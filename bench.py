@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the suite. Each query is executed to
+completion (count() action — results are consumed, not collected, so the
+measurement is plan execution, not driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hdb_resale_price_data_pipeline_spark.queries import all_queries
+from hdb_resale_price_data_pipeline_spark.session import get_spark_session
+
+# Headline suite: the scan/join/agg/window/dedup/similarity workloads that
+# dominate at scale. (Quadratic-verification demos like blocked pairwise
+# jaccard run in correctness, not in the bench loop.)
+BENCH_QUERIES = [
+    "pricing_summary",
+    "avg_revenue_by_region_year",
+    "region_nation_revenue",
+    "shipping_priority_top10",
+    "top_customers_per_nation",
+    "orders_rollup",
+    "events_hourly",
+    "events_sessionize",
+    "events_top_users",
+    "dedup_exact",
+    "dedup_least_nulls",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_fingerprint",
+    "text_top_tokens",
+    "emb_cosine_topk",
+    "emb_ann_lsh_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark_session(app_name="hdb-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/catalyst once on the smallest query so the first
+    # measured query doesn't pay session startup
+    registry["pricing_summary"].fn(spark, sf_dir).count()
+
+    total_start = time.perf_counter()
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        n = registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    total = round(time.perf_counter() - total_start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Deduplication operator family.
+
+Reference parity:
+
+- ``least_nulls_survivor`` — the reference's merge-dedup (A2 horizontal
+  null-count + A3 grouped argmin via W1 window, merge_dedup.py:14-29),
+  with the deterministic tiebreaker the reference lacks (SURVEY.md §2.7
+  hazard).
+
+Beyond-reference (LLM-data-pipeline scale family, SURVEY.md §7 phase 4):
+
+- ``dedup_exact`` — hash-groupBy exact dedup.
+- ``minhash_band_pairs`` / ``verify_jaccard_pairs`` — MinHash+LSH
+  near-dup candidate generation (shingle → minhash → band → bucket
+  join) and exact-Jaccard verification.
+- ``simhash_buckets`` — SimHash fingerprints / collision clusters.
+- ``ngram_jaccard_pairs`` — blocked pairwise n-gram Jaccard.
+
+Scale design: every candidate generator is a *bucket join* (shuffle on a
+short key), never a cross join. At 100 TB the pairwise verification only
+touches rows that collided in some band/bucket; skewed mega-buckets are
+handled by AQE skew-join splitting (enabled in session.py).
+
+All hashes come from ``functions.hashing`` — deterministic and
+bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from ..functions import hashing as H
+
+
+def horizontal_null_count(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """Per-row count of NULLs across ``cols`` (A2; merge_dedup.py:21-22).
+
+    A scalar expression composition, not an aggregation — stays inside
+    whole-stage codegen.
+    """
+    names = cols if cols is not None else df.columns
+    return reduce(add, [F.when(col(c).isNull(), 1).otherwise(0) for c in names])
+
+
+def least_nulls_survivor(
+    df: DataFrame,
+    partition_cols: list[str],
+    tiebreakers: list[str],
+    null_count_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep, per duplicate group, the row with the fewest NULLs (A3+W1;
+    merge_dedup.py:20-29).
+
+    The reference orders only by ``null_count`` — ties make the survivor
+    nondeterministic. We append explicit ``tiebreakers`` (documented
+    deviation, SURVEY.md §4 hazard 1).
+    """
+    tagged = df.withColumn("null_count", horizontal_null_count(df, null_count_cols))
+    order = [col("null_count"), *[col(c) for c in tiebreakers]]
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        tagged.withColumn("row_num", F.row_number().over(w))
+        .filter(col("row_num") == 1)
+        .drop("null_count", "row_num")
+    )
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per key group, with the
+    duplicate count. A plain hash-groupBy — map-side partial aggregation,
+    one shuffle on the key hash; the canonical 100 TB exact-dedup plan."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _expr(pair: tuple[str, str]) -> Column:
+    """Spark side of a cross-engine expression pair."""
+    return F.expr(pair[0])
+
+
+def _widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow scan up to core count before expression-heavy
+    per-row work. Locally a single parquet file arrives as ONE partition;
+    on a cluster the scan is already wide and this is a no-op."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def with_band_keys(
+    df: DataFrame,
+    text_col: str,
+    shingle_len: int = 3,
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Append LSH band-key columns ``band_0..band_{B-1}`` from a MinHash
+    signature over word shingles.
+
+    Two-stage plan: stage 1 materializes the shingle char-code arrays
+    (the expensive string work) as a column; stage 2 folds one cheap
+    numeric hash per signature slot. CollapseProject keeps the stages
+    separate because the codes column is referenced num_bands ×
+    rows_per_band times and is non-cheap — so the text is split exactly
+    once per row.
+    """
+    codes_spark, _ = H.shingle_codes(H.shingles(H.tokens(text_col), shingle_len))
+    keep = [id_col] if id_col else df.columns
+    staged = df.select(*keep, F.expr(codes_spark).alias("_codes"))
+    bands = H.band_keys_from_codes("_codes", num_bands, rows_per_band)
+    return staged.select(
+        *keep, *[F.expr(s).alias(f"band_{i}") for i, (s, _) in enumerate(bands)]
+    )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: documents colliding on ≥1 LSH band.
+
+    Plan shape: melt band columns → shuffle on (band_id, band_key) →
+    self-join within buckets → distinct pairs. No cross join anywhere;
+    cost is Σ bucket² over actual collisions only. The melted table is
+    persisted so the self-join's two sides scan the signatures instead
+    of re-hashing every document twice.
+    """
+    banded = with_band_keys(
+        _widen(df), text_col, shingle_len, num_bands, rows_per_band, id_col=id_col
+    )
+    stack_args = ", ".join(f"{i}, band_{i}" for i in range(num_bands))
+    melted = banded.selectExpr(
+        f"{id_col} AS doc_id",
+        f"stack({num_bands}, {stack_args}) AS (band_id, band_key)",
+    ).persist()
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (col("a.band_id") == col("b.band_id"))
+            & (col("a.band_key") == col("b.band_key"))
+            & (col("a.doc_id") < col("b.doc_id")),
+        )
+        .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_expr(tokens_a: str, tokens_b: str) -> Column:
+    """Exact Jaccard over two *distinct* token-array columns; formulated
+    as |I| / (|A| + |B| - |I|) so the DuckDB oracle (which lacks
+    list_union) matches term for term."""
+    inter = F.size(F.array_intersect(col(tokens_a), col(tokens_b))).cast("double")
+    union = (
+        F.size(col(tokens_a)) + F.size(col(tokens_b))
+    ).cast("double") - F.size(F.array_intersect(col(tokens_a), col(tokens_b)))
+    return F.round(inter / union, 4)
+
+
+def verify_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Join candidate pairs back to distinct-token sets and keep pairs
+    with exact Jaccard ≥ threshold."""
+    toks = docs.select(
+        col(id_col).alias("tok_id"),
+        _expr(H.distinct_tokens(text_col)).alias("toks"),
+    )
+    return (
+        pairs.join(toks.withColumnRenamed("tok_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed("tok_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+        .withColumn("jaccard", jaccard_expr("toks_a", "toks_b"))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint per document, grouped into collision buckets.
+
+    Identical fingerprints ⇒ near-identical token distributions; at
+    scale, follow with in-bucket verification exactly like MinHash.
+    Two-stage plan: token hashes materialized once, then one fold per
+    bit — not ``bits`` re-hashes of the text."""
+    th_spark, _ = H.token_hashes(H.tokens(text_col))
+    sh_spark, _ = H.simhash_from_hashes("_th", bits)
+    return (
+        _widen(df)
+        .select(col(id_col).alias("doc_id"), F.expr(th_spark).alias("_th"))
+        .select("doc_id", F.expr(sh_spark).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_len: int,
+    threshold: float,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: self-join within ``block_col``
+    buckets only (the blocking key bounds the quadratic term), then exact
+    n-gram-set Jaccard ≥ threshold."""
+    shingle_pair = H.shingles(H.tokens(text_col), shingle_len)
+    base = df.select(
+        col(id_col).alias("doc_id"),
+        col(block_col).alias("block"),
+        F.array_distinct(_expr(shingle_pair)).alias("grams"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    inter = F.size(F.array_intersect(col("a.grams"), col("b.grams"))).cast("double")
+    union = (
+        F.size(col("a.grams")) + F.size(col("b.grams"))
+    ).cast("double") - F.size(F.array_intersect(col("a.grams"), col("b.grams")))
+    return (
+        a.join(b, (col("a.block") == col("b.block")) & (col("a.doc_id") < col("b.doc_id")))
+        .select(
+            col("a.doc_id").alias("doc_a"),
+            col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(col("jaccard") >= threshold)
+    )

@@ -1,0 +1,91 @@
+"""Similarity search over embedding columns (SURVEY.md §7 phase 4).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+LSH bucketing (random-hyperplane signs) so candidate generation is a
+bucket join instead of an all-pairs scan. Both are pure JVM expressions
+(higher-order array functions) — no Python boundary.
+
+Cross-engine determinism: dot products are left-folds in index order
+with a double accumulator in BOTH engines (Spark ``aggregate`` over
+``sequence``, DuckDB ``list_reduce`` over an index comprehension), so
+the floating-point result is bit-identical and the DuckDB oracle's
+value hash matches exactly. Hyperplanes are deterministic integer
+lattices ``p(i, j) = ((i*31 + j*17) % 13) - 6`` — public, seedless,
+identical in SQL on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _to_double(col_sql: str) -> tuple[str, str]:
+    spark = f"transform({col_sql}, x -> cast(x AS double))"
+    duck = f"CAST({col_sql} AS DOUBLE[])"
+    return spark, duck
+
+
+def dot_product(a: str, b: str) -> tuple[str, str]:
+    """Σ a[i]·b[i], sequential fold in index order (1-based)."""
+    sa, da = _to_double(a)
+    sb, db = _to_double(b)
+    spark = (
+        f"aggregate(zip_with({sa}, {sb}, (x, y) -> x * y), "
+        f"cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    duck = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[({da})[i] * ({db})[i] for i in range(1, len({da}) + 1)]), "
+        f"(acc, x) -> acc + x)"
+    )
+    return spark, duck
+
+
+def norm(a: str) -> tuple[str, str]:
+    s, d = dot_product(a, a)
+    return f"sqrt({s})", f"sqrt({d})"
+
+
+def cosine(a: str, b: str, decimals: int = 6) -> tuple[str, str]:
+    ds, dd = dot_product(a, b)
+    nas, nad = norm(a)
+    nbs, nbd = norm(b)
+    return (
+        f"round({ds} / ({nas} * {nbs}), {decimals})",
+        f"round({dd} / ({nad} * {nbd}), {decimals})",
+    )
+
+
+def cosine_expr(a: str, b: str, decimals: int = 6) -> Column:
+    return F.expr(cosine(a, b, decimals)[0])
+
+
+def _plane(i: str, j: int) -> str:
+    """Deterministic integer hyperplane component, same text in both
+    SQL dialects."""
+    return f"((({i}) * 31 + {j} * 17) % 13 - 6)"
+
+
+def hyperplane_bucket(a: str, n_planes: int = 8) -> tuple[str, str]:
+    """LSH bucket id: bit j = sign of ⟨a, plane_j⟩, for j in 0..n-1."""
+    sa, da = _to_double(a)
+    spark_bits = []
+    duck_bits = []
+    for j in range(n_planes):
+        sdot = (
+            f"aggregate(sequence(1, size({sa})), cast(0.0 AS double), "
+            f"(acc, i) -> acc + element_at({sa}, i) * {_plane('i', j)})"
+        )
+        ddot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[({da})[i] * {_plane('i', j)} for i in range(1, len({da}) + 1)]), "
+            f"(acc, x) -> acc + x)"
+        )
+        spark_bits.append(f"IF({sdot} > 0, {1 << j}, 0)")
+        duck_bits.append(f"CASE WHEN {ddot} > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(spark_bits), " + ".join(duck_bits)
+
+
+def hyperplane_bucket_expr(a: str, n_planes: int = 8) -> Column:
+    return F.expr(hyperplane_bucket(a, n_planes)[0])

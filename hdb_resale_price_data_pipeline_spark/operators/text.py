@@ -1,0 +1,114 @@
+"""Text-analysis operators over a document column (SURVEY.md §7 phase 4).
+
+Generalizes the reference's text conforming (emoji/ASCII stripping,
+casing, tokenizing — propnex_transformation.py:18-20,44-54) into the
+operators a training-data pipeline needs: token counting, quality
+scoring, language ID, fingerprinting. All pure Column expressions —
+JVM-side, no Python boundary — built on the cross-engine primitives in
+``functions.hashing`` where the DuckDB oracle needs bit-parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+# Tiny public stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "es": ["el", "la", "de", "los", "las", "y", "en", "que", "un", "una"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"],
+}
+LANG_PRIORITY = ["en", "es", "de"]  # deterministic tie order
+
+
+def tokens_expr(text_col: str) -> Column:
+    return F.expr(H.tokens(text_col)[0])
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(text_col))
+
+
+def distinct_token_count(text_col: str) -> Column:
+    return F.size(F.expr(H.distinct_tokens(text_col)[0]))
+
+
+def avg_token_len(text_col: str) -> Column:
+    """Mean token length (integer-sum fold / count — exact in both
+    engines)."""
+    toks = H.tokens(text_col)[0]
+    total = F.expr(
+        f"aggregate(transform({toks}, x -> length(x)), 0, (acc, x) -> acc + x)"
+    )
+    return F.round(total.cast("double") / F.size(F.expr(toks)), 4)
+
+
+def stopword_count(text_col: str, lang: str) -> Column:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = H.tokens(text_col)[0]
+    return F.size(F.expr(f"filter({toks}, x -> x IN ({words}))"))
+
+
+def stopword_count_duck(text_col: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = H.tokens(text_col)[1]
+    return f"len(list_filter({toks}, x -> x IN ({words})))"
+
+
+def lang_id(text_col: str) -> Column:
+    """Stopword-vote language ID: argmax of per-language stopword hits,
+    ties broken by LANG_PRIORITY, zero hits → 'unknown'."""
+    counts = {lang: stopword_count(text_col, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*counts.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        expr = expr.when(counts[lang] == best, F.lit(lang))
+    return expr
+
+
+def lang_id_duck(text_col: str) -> str:
+    counts = {lang: stopword_count_duck(text_col, lang) for lang in LANG_PRIORITY}
+    best = f"greatest({', '.join(counts.values())})"
+    cases = "\n         ".join(
+        f"WHEN {counts[lang]} = {best} THEN '{lang}'" for lang in LANG_PRIORITY
+    )
+    return f"CASE WHEN {best} <= 0 THEN 'und'\n         {cases} END"
+
+
+def quality_score(text_col: str) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence +
+    lexical diversity. Integer/ratio arithmetic only — oracle-exact."""
+    n_tok = token_count(text_col)
+    n_distinct = distinct_token_count(text_col)
+    sw = stopword_count(text_col, "en")
+    length_ok = F.when((n_tok >= 20) & (n_tok <= 400), 1).otherwise(0)
+    has_stopwords = F.when(sw * 10 >= n_tok, 1).otherwise(0)  # ≥10% stopwords
+    diversity = F.round(n_distinct.cast("double") / n_tok, 4)
+    return F.round((length_ok + has_stopwords + diversity) / F.lit(3.0), 4)
+
+
+def quality_score_duck(text_col: str) -> str:
+    toks = H.tokens(text_col)[1]
+    dtoks = H.distinct_tokens(text_col)[1]
+    sw = stopword_count_duck(text_col, "en")
+    return (
+        f"round((CASE WHEN len({toks}) BETWEEN 20 AND 400 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {sw} * 10 >= len({toks}) THEN 1 ELSE 0 END"
+        f" + round(len({dtoks})::DOUBLE / len({toks}), 4)) / 3.0, 4)"
+    )
+
+
+def fingerprint(text_col: str) -> Column:
+    """Deterministic rolling-hash document fingerprint over the
+    normalized text (lower-cased, whitespace-collapsed)."""
+    normalized = f"concat_ws(' ', {H.tokens(text_col)[0]})"
+    return F.expr(H.string_hash(normalized)[0])
+
+
+def fingerprint_duck(text_col: str) -> str:
+    normalized = f"array_to_string({H.tokens(text_col)[1]}, ' ')"
+    return H.string_hash(normalized)[1]

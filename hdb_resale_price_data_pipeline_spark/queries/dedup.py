@@ -1,0 +1,190 @@
+"""Dedup query suite over ``documents`` (SURVEY.md §2.6-2.7 parity +
+§7 phase-4 scale dedup).
+
+Oracle SQL is *generated from the same cross-engine expression pairs*
+(functions/hashing.py) as the Spark plans — MinHash/SimHash values are
+bit-identical in both engines by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..functions import hashing as H
+from ..operators.dedup import (
+    dedup_exact,
+    least_nulls_survivor,
+    minhash_band_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+    verify_jaccard_pairs,
+)
+from .base import QuerySpec, t
+
+# Tuned on sf0.01 (see SURVEY.md §7): 3-gram shingles + 4 bands × 2 rows
+# → ~30 candidate pairs of which the true near-dups survive Jaccard ≥ 0.5.
+SHINGLE_LEN = 3
+NUM_BANDS = 4
+ROWS_PER_BAND = 2
+MINHASH_VERIFY_THRESHOLD = 0.5
+NGRAM_LEN = 2
+NGRAM_THRESHOLD = 0.3
+SIMHASH_BITS = 16
+
+
+# --- exact dedup (hash-groupBy) --------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup_exact(
+        docs.withColumn("text_norm", F.lower(col("text"))), ["text_norm"], "doc_id"
+    ).select("survivor_id", "n_copies")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM (SELECT doc_id, lower(text) AS text_norm FROM documents)
+GROUP BY text_norm
+"""
+
+
+# --- reference merge-dedup shape (A2 + A3 + W1) ----------------------------
+
+def q_dedup_least_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_dedup.py:14-29 re-expressed on documents: NOT-NULL
+    pre-filter, horizontal null count over (synthetically nullable)
+    columns, window argmin with deterministic tiebreak."""
+    docs = t(spark, sf_dir, "documents")
+    derived = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.nullif(col("lang"), F.lit("de")).alias("c1"),
+        F.nullif(col("source"), F.lit("src5")).alias("c2"),
+        F.nullif((col("n_chars") % 7).cast("int"), F.lit(3)).alias("c3"),
+    ).filter(col("lang").isNotNull() & col("source").isNotNull())
+    survivors = least_nulls_survivor(
+        derived,
+        partition_cols=["lang", "source"],
+        tiebreakers=["doc_id"],
+        null_count_cols=["c1", "c2", "c3"],
+    )
+    return survivors.select("doc_id", "lang", "source", "n_chars")
+
+
+_DEDUP_LEAST_NULLS_SQL = """
+WITH derived AS (
+    SELECT doc_id, lang, source, n_chars,
+           nullif(lang, 'de') AS c1,
+           nullif(source, 'src5') AS c2,
+           nullif(CAST(n_chars % 7 AS INT), 3) AS c3
+    FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
+), counted AS (
+    SELECT *,
+           (CASE WHEN c1 IS NULL THEN 1 ELSE 0 END
+          + CASE WHEN c2 IS NULL THEN 1 ELSE 0 END
+          + CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS null_count
+    FROM derived
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY lang, source
+                                 ORDER BY null_count, doc_id) AS row_num
+    FROM counted
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE row_num = 1
+"""
+
+
+# --- MinHash + LSH near-dup -------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_band_pairs(
+        docs, "doc_id", "text", SHINGLE_LEN, NUM_BANDS, ROWS_PER_BAND
+    )
+    return verify_jaccard_pairs(pairs, docs, "doc_id", "text", MINHASH_VERIFY_THRESHOLD)
+
+
+def _minhash_oracle() -> str:
+    bands = H.band_keys(H.shingles(H.tokens("text"), SHINGLE_LEN), NUM_BANDS, ROWS_PER_BAND)
+    melted = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {i} AS band_id, {duck} AS band_key FROM documents"
+        for i, (_, duck) in enumerate(bands)
+    )
+    toks = H.distinct_tokens("text")[1]
+    return f"""
+WITH melted AS (
+{melted}
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM melted a
+    JOIN melted b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+), toks AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+), scored AS (
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                 / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))),
+                 4) AS jaccard
+    FROM pairs
+    JOIN toks ta ON ta.doc_id = doc_a
+    JOIN toks tb ON tb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return simhash_buckets(docs, "doc_id", "text", SIMHASH_BITS)
+
+
+def _simhash_oracle() -> str:
+    sh = H.simhash(H.tokens("text"), SIMHASH_BITS)[1]
+    return f"""
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM (SELECT doc_id, {sh} AS simhash FROM documents)
+GROUP BY simhash
+"""
+
+
+# --- blocked n-gram Jaccard ---------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang",
+        shingle_len=NGRAM_LEN, threshold=NGRAM_THRESHOLD,
+    )
+
+
+def _ngram_oracle() -> str:
+    grams = H.shingles(H.tokens("text"), NGRAM_LEN)[1]
+    return f"""
+WITH base AS (
+    SELECT doc_id, lang AS block, list_distinct({grams}) AS grams FROM documents
+), scored AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 4) AS jaccard
+    FROM base a
+    JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {NGRAM_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(q_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_least_nulls": QuerySpec(q_dedup_least_nulls, _DEDUP_LEAST_NULLS_SQL),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_oracle()),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_oracle()),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, _ngram_oracle()),
+}

@@ -1,0 +1,191 @@
+"""Event-stream analytics (batch form) over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.11); these are the
+beyond-reference extensions: time-bucketed aggregation, pivot,
+sessionization, per-group top-k, JSON prop extraction. The same logic is
+mirrored in ``streaming/`` on ``readStream`` — these batch forms are the
+oracle-checkable twins.
+
+Timestamps are never returned raw (Spark µs vs DuckDB ns precision could
+diverge at the driver's comparison); bucketed times are cast to strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from .base import QuerySpec, t
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the streaming
+    tumbling-window query)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", col("ts")).cast("string").alias("hour_start"),
+            col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns per day (groupBy().pivot() — Spark
+    plans it as a single partial-aggregable hash agg)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date(col("ts")).cast("string").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+_EVENTS_PIVOT_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events
+GROUP BY 1
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag + cumulative sum over a per-user window, then per-user session
+    stats. Batch twin of the streaming session-window query."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    with_session = (
+        ev.withColumn("prev_us", F.lag(F.unix_micros(col("ts"))).over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                col("prev_us").isNull()
+                | (F.unix_micros(col("ts")) - col("prev_us") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(w))
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.round(F.avg("n_events"), 2).alias("avg_events_per_session"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT user_id, event_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+    FROM flagged
+), per_session AS (
+    SELECT user_id, session_seq, count(*) AS n_events
+    FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       max(session_seq) AS n_sessions,
+       round(avg(n_events), 2) AS avg_events_per_session,
+       max(n_events) AS max_session_events
+FROM per_session
+GROUP BY 1
+"""
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: top 3 users by total value within each
+    event_type (agg → window → filter)."""
+    ev = t(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("user_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(col("user_value").desc(), col("user_id"))
+    return (
+        totals.withColumn("user_rank", F.row_number().over(w))
+        .filter(col("user_rank") <= 3)
+    )
+
+
+_EVENTS_TOP_USERS_SQL = """
+SELECT event_type, user_id, user_value, user_rank
+FROM (
+    SELECT event_type, user_id, round(sum(value), 2) AS user_value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY round(sum(value), 2) DESC, user_id) AS user_rank
+    FROM events
+    GROUP BY event_type, user_id
+)
+WHERE user_rank <= 3
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the semi-structured ``props``
+    column (the read-side mirror of the reference's to_json packing,
+    propnex_transformation.py:80-90)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(col("k") > 50, 1)).alias("n_high"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       round(avg(k), 2) AS avg_k,
+       max(k) AS max_k,
+       count(*) FILTER (k > 50) AS n_high
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_hourly": QuerySpec(q_events_hourly, _EVENTS_HOURLY_SQL),
+    "events_daily_pivot": QuerySpec(q_events_daily_pivot, _EVENTS_PIVOT_SQL),
+    "events_sessionize": QuerySpec(q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
+    "events_top_users": QuerySpec(q_events_top_users, _EVENTS_TOP_USERS_SQL),
+    "events_json_props": QuerySpec(q_events_json_props, _EVENTS_JSON_SQL),
+}

@@ -1,0 +1,554 @@
+"""Relational operator suite over the TPC-H-ish testdata.
+
+Each query exercises one or more SURVEY.md §2 operator rows (noted per
+query). Spark side is plain DataFrame API — Catalyst handles pushdown /
+pruning / join strategy; tiny dims get explicit ``broadcast`` hints the
+way every reference join does (historical_data_transformation.py:56-57).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from .base import QuerySpec, t
+
+
+# --- A: aggregation / scan / arithmetic (S4, M1, M2, A-family) ------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg, fully map-side-combinable."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 2)                            AS avg_qty,
+       round(avg(l_discount), 4)                            AS avg_disc,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_avg_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: fact enriched through a broadcast dim chain then
+    aggregated — the reference's core shape (J1-J3 + groupBy).
+    orders ⋈ customer ⋈ nation ⋈ region are all left broadcast equi-joins;
+    only the final groupBy shuffles, and it shuffles pre-aggregated
+    partials."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = t(spark, sf_dir, "region")
+    return (
+        orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .groupBy(col("r_name").alias("region_name"), F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("avg_revenue"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+    )
+
+
+_AVG_REVENUE_SQL = """
+SELECT r_name AS region_name,
+       year(o_orderdate) AS order_year,
+       round(avg(o_totalprice), 2) AS avg_revenue,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       count(*) AS num_orders
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+LEFT JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-way join incl. the join-key consistency
+    filter (customer and supplier in the same nation)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .filter(col("c_nationkey") == col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") == col("r_regionkey"))
+        .filter(col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+_REGION_NATION_REVENUE_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join + agg + global top-k (O-family)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return (
+        customer.filter(col("c_mktsegment") == "BUILDING")
+        .join(orders, col("c_custkey") == col("o_custkey"))
+        .filter(col("o_orderdate") < F.lit("1998-03-15"))
+        .join(li, col("o_orderkey") == col("l_orderkey"))
+        .filter(col("l_shipdate") > F.lit("1998-03-15"))
+        .groupBy("l_orderkey", col("o_orderdate").cast("date").cast("string").alias("orderdate"))
+        .agg(
+            F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(col("revenue").desc(), col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- B: projections, casts, literals, CASE WHEN (P1-P8, F3-F5) -------------
+
+def q_conform_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection/rename/literal/bulk-cast conform stage (P1-P8), the
+    shape of the reference's ``type_casting`` + ``reorder_column``
+    (historical_data_transformation.py:66-77)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        col("o_orderkey").alias("order_id"),
+        F.floor(col("o_totalprice")).cast("int").alias("total_price_int"),
+        F.lit("orders").alias("source"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        col("o_orderstatus").alias("status"),
+    )
+
+
+_CONFORM_TYPES_SQL = """
+SELECT o_orderkey AS order_id,
+       CAST(floor(o_totalprice) AS INT) AS total_price_int,
+       'orders' AS source,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       o_orderstatus AS status
+FROM orders
+"""
+
+
+def q_priority_case_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN category mapping + conjunctive filters (F1, F3-F5) —
+    the furnishing-mapping shape (propnex_transformation.py:30-33)."""
+    orders = t(spark, sf_dir, "orders")
+    mapped = (
+        F.when(col("o_orderpriority").startswith("1"), "urgent")
+        .when(col("o_orderpriority").startswith("2"), "high")
+        .when(col("o_orderpriority").rlike("^[34]"), "normal")
+        .otherwise("low")
+    )
+    return (
+        orders.filter(col("o_totalprice").isNotNull() & col("o_orderdate").isNotNull())
+        .withColumn("priority_class", mapped)
+        .groupBy("priority_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+_PRIORITY_CASE_SQL = """
+SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+            WHEN o_orderpriority LIKE '2%' THEN 'high'
+            WHEN regexp_matches(o_orderpriority, '^[34]') THEN 'normal'
+            ELSE 'low' END AS priority_class,
+       count(*) AS n,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+GROUP BY 1
+"""
+
+
+# --- C: joins beyond broadcast (J-family, anti/semi) -----------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (beyond reference's left-equi-only surface)."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def q_dim_distinct_then_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join dim reduction (J2: `.select(...).distinct()` before the
+    broadcast join, historical_data_transformation.py:103): collapse
+    nation to region grain, then enrich supplier."""
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey").distinct()
+    region = t(spark, sf_dir, "region")
+    return (
+        supplier.join(broadcast(nation), col("s_nationkey") == col("n_nationkey"), "left")
+        .join(broadcast(region), col("n_regionkey") == col("r_regionkey"), "left")
+        .groupBy(col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+_DIM_DISTINCT_JOIN_SQL = """
+SELECT r_name AS region_name,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_balance
+FROM supplier
+LEFT JOIN (SELECT DISTINCT n_nationkey, n_regionkey FROM nation) n
+       ON s_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+# --- D: set ops (U1) -------------------------------------------------------
+
+def q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two conformed frames then dedup-agg (U1;
+    merge_dedup.py:56)."""
+    customer = t(spark, sf_dir, "customer")
+    a = customer.filter(col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    b = customer.filter(col("c_acctbal") > 5000).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+    )
+
+
+_UNION_SEGMENTS_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n,
+       round(avg(c_acctbal), 2) AS avg_balance
+FROM (
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 5000
+)
+GROUP BY 1
+"""
+
+
+# --- E: window functions (W1 + beyond) -------------------------------------
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over partition+order with deterministic tiebreak (W1
+    generalized; merge_dedup.py:25-26 fixed per SURVEY.md §2.7 hazard)."""
+    from pyspark.sql.window import Window
+
+    customer = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        col("c_acctbal").desc(), col("c_custkey")
+    )
+    return (
+        customer.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(col("rank_in_nation") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rank_in_nation")
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c_nationkey, c_custkey, c_name, c_acctbal, rank_in_nation
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation
+    FROM customer
+)
+WHERE rank_in_nation <= 3
+"""
+
+
+def q_order_value_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window (cumulative sum + lag) per customer — the
+    window-function family beyond the reference's single row_number."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").filter(col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.rank().over(w).alias("order_seq"),
+    )
+
+
+_ORDER_VALUE_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS cum_spend,
+       round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+       rank() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+WHERE o_custkey < 100
+"""
+
+
+# --- F: grouping sets (beyond reference) -----------------------------------
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup(F.year("o_orderdate").alias("order_year"), col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_ORDERS_ROLLUP_SQL = """
+SELECT year(o_orderdate) AS order_year,
+       o_orderstatus AS status,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (1, 2)
+"""
+
+
+# --- G: scalar-function conform suite (X/Y/D/M/N rows) ----------------------
+
+def q_string_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's string-cleaning arsenal (X1-X9) exercised on
+    part: initcap, regexp_extract, split/getItem, substring_index,
+    concat_ws/slice, upper/lower/trim."""
+    part = t(spark, sf_dir, "part")
+    toks = F.split(col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.initcap(col("p_name")).alias("name_title"),
+        F.regexp_extract(col("p_brand"), r"#(\d+)", 1).cast("int").alias("brand_num"),
+        F.substring_index(col("p_brand"), "#", -1).alias("brand_suffix"),
+        toks.getItem(0).alias("first_word"),
+        F.concat_ws(" ", F.slice(toks, 2, F.size(toks))).alias("rest_words"),
+        F.size(toks).alias("n_words"),
+        F.lower(F.trim(col("p_type"))).alias("type_lower"),
+        F.substring(col("p_name"), 1, 3).alias("name_prefix"),
+    )
+
+
+# DuckDB has no initcap; compose word-wise (same semantics as Spark's for
+# space-separated ASCII: first letter upper, rest lower).
+_INITCAP_DUCK = (
+    "array_to_string(list_transform(string_split(lower({c}), ' '), "
+    "w -> upper(w[1]) || w[2:]), ' ')"
+)
+
+_STRING_CONFORM_SQL = f"""
+SELECT p_partkey,
+       {_INITCAP_DUCK.format(c="p_name")} AS name_title,
+       CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INT) AS brand_num,
+       split_part(p_brand, '#', -1) AS brand_suffix,
+       string_split(p_name, ' ')[1] AS first_word,
+       array_to_string(string_split(p_name, ' ')[2:], ' ') AS rest_words,
+       len(string_split(p_name, ' ')) AS n_words,
+       lower(trim(p_type)) AS type_lower,
+       substring(p_name, 1, 3) AS name_prefix
+FROM part
+"""
+
+
+def q_pack_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json(struct(coalesce...)) packing (N1/N2;
+    propnex_transformation.py:80-90)."""
+    supplier = t(spark, sf_dir, "supplier")
+    return supplier.select(
+        "s_suppkey",
+        F.to_json(
+            F.struct(
+                F.coalesce(col("s_name"), F.lit("N/A")).alias("name"),
+                F.round(col("s_acctbal"), 2).alias("balance"),
+                col("s_nationkey").alias("nation"),
+            )
+        ).alias("supplier_info"),
+    )
+
+
+_PACK_JSON_SQL = """
+SELECT s_suppkey,
+       to_json(struct_pack(name := coalesce(s_name, 'N/A'),
+                           balance := round(s_acctbal, 2),
+                           nation := s_nationkey)) AS supplier_info
+FROM supplier
+"""
+
+
+def q_bedrooms_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's single UDF (srx_transformation.py:68-83)
+    re-expressed natively, run over synthetic bedroom-like strings built
+    from part columns ('Studio', '3+1', '4', junk, NULL)."""
+    from ..functions.bedrooms import clean_bedrooms_expr
+
+    part = t(spark, sf_dir, "part")
+    raw = (
+        F.when(col("p_partkey") % 5 == 0, F.lit("Studio"))
+        .when(col("p_partkey") % 5 == 1, F.concat_ws("+", (col("p_size") % 4).cast("string"), F.lit("1")))
+        .when(col("p_partkey") % 5 == 2, (col("p_size") % 6).cast("string"))
+        .when(col("p_partkey") % 5 == 3, F.lit("junk"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return part.select(
+        "p_partkey",
+        raw.alias("bedrooms_raw"),
+        clean_bedrooms_expr(raw).alias("bedrooms"),
+    )
+
+
+_BEDROOMS_SQL = """
+WITH raw AS (
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 5 = 0 THEN 'Studio'
+                WHEN p_partkey % 5 = 1 THEN CAST(p_size % 4 AS VARCHAR) || '+1'
+                WHEN p_partkey % 5 = 2 THEN CAST(p_size % 6 AS VARCHAR)
+                WHEN p_partkey % 5 = 3 THEN 'junk'
+                ELSE NULL END AS bedrooms_raw
+    FROM part
+)
+SELECT p_partkey, bedrooms_raw,
+       CASE WHEN bedrooms_raw IS NULL THEN NULL
+            WHEN lower(bedrooms_raw) = 'studio' THEN 1
+            WHEN regexp_matches(bedrooms_raw, '^\\d+\\+\\d+$')
+                 THEN CAST(string_split(bedrooms_raw, '+')[1] AS INT)
+                    + CAST(string_split(bedrooms_raw, '+')[2] AS INT)
+            WHEN regexp_matches(bedrooms_raw, '^\\s*\\d+\\s*$') THEN CAST(bedrooms_raw AS INT)
+            ELSE NULL END AS bedrooms
+FROM raw
+"""
+
+
+def q_date_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date derivations (D1/D2; historical_data_transformation.py:48-51):
+    rebuild 'yyyy-MM' month strings then parse back to first-of-month."""
+    orders = t(spark, sf_dir, "orders")
+    month_str = F.date_format(col("o_orderdate"), "yyyy-MM")
+    return (
+        orders.select(
+            "o_orderkey",
+            month_str.alias("sale_month"),
+            F.to_date(F.concat_ws("-", month_str, F.lit("01")), "yyyy-MM-dd")
+            .cast("string")
+            .alias("date_of_sale"),
+            F.year(col("o_orderdate")).alias("sale_year"),
+            F.month(col("o_orderdate")).alias("sale_month_num"),
+        )
+    )
+
+
+_DATE_CONFORM_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m') AS sale_month,
+       CAST(CAST(strptime(strftime(o_orderdate, '%Y-%m') || '-01', '%Y-%m-%d') AS DATE)
+            AS VARCHAR) AS date_of_sale,
+       year(o_orderdate) AS sale_year,
+       month(o_orderdate) AS sale_month_num
+FROM orders
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(q_pricing_summary, _PRICING_SUMMARY_SQL),
+    "avg_revenue_by_region_year": QuerySpec(q_avg_revenue_by_region_year, _AVG_REVENUE_SQL),
+    "region_nation_revenue": QuerySpec(q_region_nation_revenue, _REGION_NATION_REVENUE_SQL),
+    "shipping_priority_top10": QuerySpec(q_shipping_priority, _SHIPPING_PRIORITY_SQL),
+    "conform_types": QuerySpec(q_conform_types, _CONFORM_TYPES_SQL),
+    "priority_case_map": QuerySpec(q_priority_case_map, _PRIORITY_CASE_SQL),
+    "customers_without_orders": QuerySpec(
+        q_customers_without_orders, _CUSTOMERS_WITHOUT_ORDERS_SQL
+    ),
+    "dim_distinct_then_join": QuerySpec(q_dim_distinct_then_join, _DIM_DISTINCT_JOIN_SQL),
+    "union_segments": QuerySpec(q_union_segments, _UNION_SEGMENTS_SQL),
+    "top_customers_per_nation": QuerySpec(q_top_customers_per_nation, _TOP_CUSTOMERS_SQL),
+    "order_value_running": QuerySpec(q_order_value_running, _ORDER_VALUE_RUNNING_SQL),
+    "orders_rollup": QuerySpec(q_orders_rollup, _ORDERS_ROLLUP_SQL),
+    "string_conform": QuerySpec(q_string_conform, _STRING_CONFORM_SQL),
+    "pack_json": QuerySpec(q_pack_json, _PACK_JSON_SQL),
+    "bedrooms_conform": QuerySpec(q_bedrooms_conform, _BEDROOMS_SQL),
+    "date_conform": QuerySpec(q_date_conform, _DATE_CONFORM_SQL),
+}

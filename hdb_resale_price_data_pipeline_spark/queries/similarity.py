@@ -1,0 +1,187 @@
+"""Similarity-search query suite over ``embeddings``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from ..operators import similarity as S
+from .base import QuerySpec, t
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+NEAR_DUP_COSINE = 0.35  # tuned on sf0.01 (~26 same-label pairs)
+N_PLANES = 8
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the query vector (vec_id=0):
+    the correctness baseline for ANN. One broadcast of a single row, one
+    distributed map, one top-k (TakeOrderedAndProject — no full sort)."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
+        col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            S.cosine_expr("embedding", "q_emb").alias("cosine"),
+        )
+        .orderBy(col("cosine").desc(), col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _cosine_topk_oracle() -> str:
+    cos = S.cosine("e.embedding", "q.qe")[1]
+    return f"""
+SELECT e.vec_id AS vec_id, e.label AS label, {cos} AS cosine
+FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE e.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (the blocking key
+    stands in for an ANN bucket: the quadratic term is bounded per
+    block, never global)."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", "embedding")
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, (col("a.label") == col("b.label")) & (col("a.vec_id") < col("b.vec_id")))
+        .select(
+            col("a.vec_id").alias("vec_a"),
+            col("b.vec_id").alias("vec_b"),
+            col("a.label").alias("label"),
+            S.cosine_expr("a.embedding", "b.embedding").alias("cosine"),
+        )
+        .filter(col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+def _near_dup_oracle() -> str:
+    cos = S.cosine("a.embedding", "b.embedding")[1]
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, {cos} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cos} >= {NEAR_DUP_COSINE}
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: the scale path for ANN. At 100 TB
+    the bucket id becomes the shuffle/partition key; here we emit the
+    bucket histogram."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(S.hyperplane_bucket_expr("embedding", N_PLANES).alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _ann_buckets_oracle() -> str:
+    bucket = S.hyperplane_bucket("embedding", N_PLANES)[1]
+    return f"""
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM (SELECT {bucket} AS bucket, vec_id FROM embeddings)
+GROUP BY bucket
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket, exact
+    cosine only within it (brute-force work ÷ 2^planes)."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", S.hyperplane_bucket_expr("embedding", N_PLANES)
+    )
+    query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
+        col("embedding").alias("q_emb"), col("bucket").alias("q_bucket")
+    )
+    return (
+        emb.crossJoin(broadcast(query))
+        .filter((col("bucket") == col("q_bucket")) & (col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", "label", S.cosine_expr("embedding", "q_emb").alias("cosine"))
+        .orderBy(col("cosine").desc(), col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ann_topk_oracle() -> str:
+    bucket = S.hyperplane_bucket("embedding", N_PLANES)[1]
+    cos = S.cosine("e.embedding", "q.qe")[1]
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+)
+SELECT e.vec_id AS vec_id, e.label AS label, {cos} AS cosine
+FROM bucketed e,
+     (SELECT embedding AS qe, bucket AS qb FROM bucketed WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE e.bucket = q.qb AND e.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (long format): posexplode + group reduction —
+    the distributed shape of k-means / embedding aggregation.
+
+    The mean is a *sequential fold in vec_id order* (collect → sort →
+    fold), not ``avg()``: parallel float summation is order-dependent, so
+    a plain avg can differ from the single-threaded oracle in the last
+    ulp. At real scale you'd accept avg()'s tolerance; for the oracle
+    gate we pay one collect_list per (label, pos) group for bit-parity.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    ordered_sum = F.expr(
+        "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), s -> s.v), "
+        "cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    return (
+        emb.select(
+            "label",
+            "vec_id",
+            F.posexplode(col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            # + 0.0 collapses IEEE negative zero so both engines emit +0.0
+            (F.round(ordered_sum / F.count(F.lit(1)), 3) + 0.0).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+_LABEL_CENTROIDS_SQL = """
+SELECT label, pos,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(v ORDER BY vec_id)), (acc, x) -> acc + x) / count(*), 3) + 0.0
+           AS centroid_v,
+       count(*) AS n_vecs
+FROM (
+    SELECT label, vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "emb_cosine_topk": QuerySpec(q_cosine_topk, _cosine_topk_oracle()),
+    "emb_near_dup_pairs": QuerySpec(q_near_dup_pairs, _near_dup_oracle()),
+    "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),
+    "emb_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, _ann_topk_oracle()),
+    "emb_label_centroids": QuerySpec(q_label_centroids, _LABEL_CENTROIDS_SQL),
+}

@@ -1,0 +1,128 @@
+"""Text-analysis query suite over ``documents``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..functions import hashing as H
+from ..operators import text as T
+from .base import QuerySpec, t
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + shape stats per document."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(col("text")).alias("n_chars_actual"),
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_distinct_tokens"),
+        T.avg_token_len("text").alias("avg_token_len"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len({H.tokens("text")[1]}) AS n_tokens,
+       len({H.distinct_tokens("text")[1]}) AS n_distinct_tokens,
+       round(list_reduce(list_prepend(0, list_transform({H.tokens("text")[1]},
+             x -> length(x))), (acc, x) -> acc + x)::DOUBLE
+             / len({H.tokens("text")[1]}), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring with banding (the filter stage of a training-data
+    pipeline)."""
+    docs = t(spark, sf_dir, "documents")
+    score = T.quality_score("text")
+    return docs.select(
+        "doc_id",
+        score.alias("quality"),
+        F.when(score >= 0.6, "keep").when(score >= 0.4, "review").otherwise("drop").alias(
+            "quality_band"
+        ),
+    )
+
+
+_TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       {T.quality_score_duck("text")} AS quality,
+       CASE WHEN {T.quality_score_duck("text")} >= 0.6 THEN 'keep'
+            WHEN {T.quality_score_duck("text")} >= 0.4 THEN 'review'
+            ELSE 'drop' END AS quality_band
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID vs the labeled lang column."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.lang_id("text").alias("lang_pred"),
+        (T.lang_id("text") == col("lang")).cast("int").alias("is_match"),
+    )
+
+
+_TEXT_LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       {T.lang_id_duck("text")} AS lang_pred,
+       CAST({T.lang_id_duck("text")} = lang AS INT) AS is_match
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (dedup key at scale)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fingerprint"),
+        T.token_count("text").alias("n_tokens"),
+    )
+
+
+_TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {T.fingerprint_duck("text")} AS fingerprint,
+       len({H.tokens("text")[1]}) AS n_tokens
+FROM documents
+"""
+
+
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens → global top 20 (count desc,
+    token asc). The explode-shuffle-agg shape that dominates corpus
+    statistics at scale; partial aggregation keeps the shuffle small."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(col("n").desc(), col("token"))
+        .limit(20)
+    )
+
+
+_TEXT_TOP_TOKENS_SQL = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({H.tokens("text")[1]}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_stats": QuerySpec(q_text_stats, _TEXT_STATS_SQL),
+    "text_quality": QuerySpec(q_text_quality, _TEXT_QUALITY_SQL),
+    "text_lang_id": QuerySpec(q_text_lang_id, _TEXT_LANG_ID_SQL),
+    "text_fingerprint": QuerySpec(q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
+    "text_top_tokens": QuerySpec(q_text_top_tokens, _TEXT_TOP_TOKENS_SQL),
+}

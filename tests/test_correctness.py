@@ -1,0 +1,74 @@
+"""Local replica of the driver's t2 correctness gate: every query in the
+registry runs on Spark AND its DuckDB oracle over the same parquet; row
+count, column names, and order-insensitive values must match.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hdb_resale_price_data_pipeline_spark.queries import all_queries
+
+from conftest import TEST_SF_DIR
+
+REGISTRY = all_queries()
+
+
+def _canon(value):
+    """Canonicalize a cell for cross-engine comparison (sortable str)."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(value, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon(v) for v in value) + "]"
+    if value is None or (isinstance(value, float) and math.isnan(value)) or value is pd.NA:
+        return "\x00NULL"
+    if isinstance(value, (float, np.floating)):
+        v = float(value)
+        if v == 0.0:
+            v = 0.0  # collapse negative zero
+        return f"{v:.9g}"
+    if isinstance(value, decimal.Decimal):
+        return f"{float(value):.9g}"
+    return str(value)
+
+
+def _rows(df_pandas, cols):
+    return sorted(
+        tuple(_canon(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    )
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, TEST_SF_DIR)
+    spark_pd = sdf.toPandas()
+    assert len(spark_pd) >= 0  # smoke: plan executes
+
+    if spec.oracle is None:
+        assert len(spark_pd) > 0, f"{name}: rows-only query returned 0 rows"
+        return
+
+    duck_pd = duck.execute(spec.oracle).fetchdf()
+
+    spark_cols = sorted(spark_pd.columns)
+    duck_cols = sorted(duck_pd.columns)
+    assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_pd) == len(duck_pd), (
+        f"{name}: row count {len(spark_pd)} vs {len(duck_pd)}"
+    )
+
+    srows = _rows(spark_pd, spark_cols)
+    drows = _rows(duck_pd, spark_cols)
+    if srows != drows:
+        only_spark = [r for r in srows if r not in set(drows)][:5]
+        only_duck = [r for r in drows if r not in set(srows)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch; spark-only={only_spark} duck-only={only_duck}"
+        )
