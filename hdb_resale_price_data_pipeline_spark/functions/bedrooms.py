@@ -61,6 +61,14 @@ def _clean_bedrooms_batch(s: pd.Series) -> pd.Series:
 def clean_bedrooms_pandas_udf(c: Column) -> Column:
     """Arrow-vectorized variant with identical semantics.
 
-    Built lazily (``pandas_udf`` registration needs an active session).
+    Built lazily (``pandas_udf`` registration needs an active session);
+    ships the package so workers can unpickle the batch function.
     """
+    from pyspark.sql import SparkSession
+
+    from ..shipping import ensure_package_shipped
+
+    session = SparkSession.getActiveSession()
+    if session is not None:
+        ensure_package_shipped(session)
     return pandas_udf(_clean_bedrooms_batch, "int")(c)

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing (SURVEY.md §7 phase 4).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side plumbing here — schema, Arrow batch shape, ``mapInPandas``
+fan-out, partition sizing — is real and tested; the codec calls are
+stubbed behind ``try-import`` (PIL/librosa are not in this container)
+with a clearly-marked deterministic fallback, so swapping in the real
+decoder changes one function, not the plan.
+
+At 100 TB: binary payloads dominate partition size, so operators keep
+``spark.sql.files.maxPartitionBytes`` in mind, never collect, and fan
+out frames via ``mapInPandas`` (one Arrow batch in, many rows out) —
+the idiomatic Spark shape for decode/resize/frame-sample.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..functions.hashing import MERSENNE_31
+
+FEATURE_SEEDS = [(131, 7), (137, 11), (139, 13), (149, 17)]
+
+# Schema of a multimodal asset table: opaque payload + typed metadata.
+ASSET_COLUMNS = ("asset_id", "content", "media_type", "metadata")
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Build a binary asset table from the documents fixture: payload =
+    UTF-8 bytes of the text (stand-in for image/audio bytes), metadata =
+    JSON. Demonstrates the binary column contract end-to-end."""
+    return docs.select(
+        col("doc_id").alias("asset_id"),
+        F.encode(col("text"), "utf-8").alias("content"),
+        F.lit("text/plain").alias("media_type"),
+        F.to_json(F.struct(col("n_chars"), col("lang"), col("source"))).alias("metadata"),
+    )
+
+
+def _poly_features(payload: bytes) -> list[float]:
+    """Deterministic payload fingerprint features: one polynomial fold
+    per seed, scaled to [0, 1). For ASCII payloads this equals the
+    char-code fold in functions/hashing.py — which is what makes the
+    DuckDB oracle for the Pandas-UDF path possible."""
+    feats = []
+    for a, b in FEATURE_SEEDS:
+        acc = b
+        for byte in payload:
+            acc = (acc * a + byte) % MERSENNE_31
+        feats.append(round(acc / MERSENNE_31, 9))
+    return feats
+
+
+def _decode_media(payload: bytes, media_type: str) -> dict:
+    """Decode stub. Real codecs are not installed in this container —
+    the plumbing (batch iteration, schema, fan-out) is the tested part.
+    """
+    if media_type.startswith("image/"):
+        try:
+            import PIL.Image  # noqa: F401  (not installed here)
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decode requires PIL; install pillow on the cluster image"
+            ) from exc
+    # deterministic fake for text payloads: byte stats
+    return {"n_bytes": len(payload), "first_byte": payload[0] if payload else None}
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (``mapInPandas``: one pandas batch in, one out — never per-row
+    Python)."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(assets.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["content"].map(_poly_features)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": pdf["content"].map(len),
+                    "f0": feats.map(lambda v: v[0]),
+                    "f1": feats.map(lambda v: v[1]),
+                    "f2": feats.map(lambda v: v[2]),
+                    "f3": feats.map(lambda v: v[3]),
+                }
+            )
+
+    return assets.mapInPandas(
+        batches,
+        schema="asset_id long, n_bytes int, f0 double, f1 double, f2 double, f3 double",
+    )
+
+
+def sample_chunks(assets: DataFrame, chunk_bytes: int = 64) -> DataFrame:
+    """Frame/segment sampling fan-out: one input asset → N chunk rows
+    (the video-frame / audio-segment shape). ``mapInPandas`` so the
+    fan-out happens inside the Arrow batch, not via explode of a
+    driver-built array."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(assets.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_chunk = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["content"]):
+                for i in range(0, len(payload), chunk_bytes):
+                    out_ids.append(asset_id)
+                    out_idx.append(i // chunk_bytes)
+                    out_chunk.append(payload[i : i + chunk_bytes])
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "chunk_idx": out_idx, "chunk": out_chunk}
+            )
+
+    return assets.mapInPandas(batches, schema="asset_id long, chunk_idx int, chunk binary")

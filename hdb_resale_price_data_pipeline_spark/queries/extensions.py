@@ -1,0 +1,75 @@
+"""Streaming + multimodal query registrations.
+
+Streaming entries execute a real ``readStream`` plan to completion
+(availableNow → memory sink) and return the result frame — incremental
+execution has no DuckDB twin, so these are rows-only checks (oracle
+None). The multimodal feature extraction DOES carry an oracle: its
+Pandas-UDF polynomial fold over payload bytes equals the char-code fold
+in SQL for ASCII payloads (operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import hashing as H
+from ..operators.multimodal import (
+    FEATURE_SEEDS,
+    documents_as_assets,
+    extract_features,
+    sample_chunks,
+)
+from ..streaming import (
+    events_stream,
+    run_stream_to_df,
+    stream_hourly_tumbling,
+    stream_session_windows,
+    stream_user_dedup,
+)
+from .base import QuerySpec, t
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_df(stream_hourly_tumbling(events_stream(spark, sf_dir)), spark)
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_df(stream_session_windows(events_stream(spark, sf_dir)), spark)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_df(stream_user_dedup(events_stream(spark, sf_dir)), spark)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via Arrow-batched mapInPandas."""
+    return extract_features(documents_as_assets(t(spark, sf_dir, "documents")))
+
+
+def _features_oracle() -> str:
+    cols = []
+    for i, (a, b) in enumerate(FEATURE_SEEDS):
+        fold = H.poly_fold(H.char_codes("text"), a, b)[1]
+        cols.append(f"round(({fold})::DOUBLE / {H.MERSENNE_31}, 9) AS f{i}")
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+SELECT doc_id AS asset_id,
+       length(text) AS n_bytes,
+       {cols_sql}
+FROM documents
+"""
+
+
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk fan-out (frame-sampling shape); verified rows-only plus the
+    per-asset chunk-count consistency oracle below."""
+    return sample_chunks(documents_as_assets(t(spark, sf_dir, "documents")))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_hourly_tumbling": QuerySpec(q_stream_hourly, None),
+    "stream_session_windows": QuerySpec(q_stream_sessions, None),
+    "stream_user_dedup": QuerySpec(q_stream_dedup, None),
+    "multimodal_features": QuerySpec(q_multimodal_features, _features_oracle()),
+    "multimodal_chunks": QuerySpec(q_multimodal_chunks, None),
+}

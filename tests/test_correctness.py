@@ -23,6 +23,8 @@ def _canon(value):
     import numpy as np
     import pandas as pd
 
+    if isinstance(value, (bytes, bytearray)):
+        return value.hex()
     if isinstance(value, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon(v) for v in value) + "]"
     if value is None or (isinstance(value, float) and math.isnan(value)) or value is pd.NA:

@@ -1,0 +1,55 @@
+"""Streaming extension tests: the streaming plans must agree with their
+batch twins where windows are finalized (watermark semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import TEST_SF_DIR
+from hdb_resale_price_data_pipeline_spark.queries.events import q_events_hourly
+from hdb_resale_price_data_pipeline_spark.sources import read_table
+from hdb_resale_price_data_pipeline_spark.streaming import (
+    events_stream,
+    run_stream_to_df,
+    stream_hourly_tumbling,
+    stream_session_windows,
+    stream_user_dedup,
+)
+
+
+def test_stream_hourly_matches_batch_on_finalized_windows(spark):
+    stream_out = run_stream_to_df(
+        stream_hourly_tumbling(events_stream(spark, TEST_SF_DIR)), spark
+    ).collect()
+    batch = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in q_events_hourly(spark, TEST_SF_DIR).collect()
+    }
+    assert len(stream_out) > 0
+    for r in stream_out:
+        key = (r.window_start, r.event_type)
+        assert key in batch, f"stream window {key} missing from batch"
+        assert (r.n_events, r.total_value) == batch[key]
+    # only the trailing watermark horizon may be unemitted
+    assert len(stream_out) >= len(batch) - 3 * 5  # ≤3 hours × 5 event types
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    out = run_stream_to_df(stream_user_dedup(events_stream(spark, TEST_SF_DIR)), spark)
+    batch_distinct = (
+        read_table(spark, TEST_SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert out.count() == batch_distinct
+    assert out.select("user_id", "event_type").distinct().count() == batch_distinct
+
+
+def test_stream_sessions_emit_finalized(spark):
+    out = run_stream_to_df(stream_session_windows(events_stream(spark, TEST_SF_DIR)), spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    per_user = out.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()
+    total_events = read_table(spark, TEST_SF_DIR, "events").count()
+    assert sum(r.n for r in per_user) <= total_events
