@@ -1,0 +1,117 @@
+"""Physical-plan quality gates (the 100 TB design contract).
+
+These assert the *shape* of the plans, not timings: dims broadcast (the
+fact side never shuffles for a small join), predicates reach the parquet
+scan, projections prune columns, map pipelines stay shuffle-free, and
+each aggregation shuffles exactly once with map-side partials. A
+regression here is a scale bug even when sf0.1 timings look fine.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from conftest import TEST_SF_DIR
+from hdb_resale_price_data_pipeline_spark.queries import all_queries
+
+REGISTRY = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    """Count real (hash/range) exchanges; broadcast exchanges excluded —
+    they move only the tiny dim."""
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    plan = _plan(REGISTRY["avg_revenue_by_region_year"].fn(spark, TEST_SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) == 1  # only the final aggregation
+    assert "partial_avg" in plan  # map-side combine before the shuffle
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(REGISTRY["pricing_summary"].fn(spark, TEST_SF_DIR))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    read_cols = m.group(1)
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols
+    assert _shuffles(plan) == 1
+    assert "partial_sum" in plan
+
+
+def test_window_queries_single_shuffle(spark):
+    plan = _plan(REGISTRY["top_customers_per_nation"].fn(spark, TEST_SF_DIR))
+    assert _shuffles(plan) == 1  # the window partitionBy only
+
+
+def test_sessionize_reuses_user_partitioning(spark):
+    """window → groupBy(user, session) → groupBy(user): the later
+    aggregations must reuse the window's hashpartitioning(user_id), not
+    re-shuffle."""
+    plan = _plan(REGISTRY["events_sessionize"].fn(spark, TEST_SF_DIR))
+    assert _shuffles(plan) == 1
+
+
+def test_scraped_pipelines_are_shuffle_free(spark):
+    """The transformation jobs are map-only pipelines with broadcast
+    joins (SURVEY.md §3.3) — zero fact-side shuffles."""
+    import datetime
+
+    import fixtures
+    from hdb_resale_price_data_pipeline_spark import seeds
+    from hdb_resale_price_data_pipeline_spark.plans import (
+        merge_dedup_pipeline,
+        propnex_pipeline,
+        srx_pipeline,
+    )
+    from hdb_resale_price_data_pipeline_spark.schemas import (
+        RAW_PROPNEX_SCHEMA,
+        RAW_SRX_SCHEMA,
+    )
+
+    raw_p = spark.createDataFrame(
+        [tuple(r[f.name] for f in RAW_PROPNEX_SCHEMA.fields) for r in fixtures.PROPNEX_ROWS],
+        RAW_PROPNEX_SCHEMA,
+    )
+    raw_s = spark.createDataFrame(
+        [tuple(r[f.name] for f in RAW_SRX_SCHEMA.fields) for r in fixtures.SRX_ROWS],
+        RAW_SRX_SCHEMA,
+    )
+    p = propnex_pipeline(raw_p, seeds.district_code(spark), seeds.district_region(spark), 2024)
+    s = srx_pipeline(
+        raw_s, seeds.district_code(spark), seeds.district_region(spark),
+        seeds.agency(spark), 2024,
+    )
+    assert _shuffles(_plan(p)) == 0
+    assert _shuffles(_plan(s)) == 0
+    # merge+dedup: exactly the one window shuffle the reference has
+    merged = merge_dedup_pipeline(p, s, datetime.date(2024, 11, 1))
+    assert _shuffles(_plan(merged)) == 1
+
+
+def test_topk_avoids_global_sort(spark):
+    """LIMIT after ORDER BY must plan as TakeOrderedAndProject, not a
+    full global sort."""
+    plan = _plan(REGISTRY["emb_cosine_topk"].fn(spark, TEST_SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffles(plan) == 0  # broadcast query vector; no shuffle at all
+
+
+def test_dedup_exact_partial_aggregates(spark):
+    plan = _plan(REGISTRY["dedup_exact"].fn(spark, TEST_SF_DIR))
+    assert "partial_min" in plan or "partial_count" in plan
+    assert _shuffles(plan) == 1
+
+
+def test_minhash_is_bucket_join_not_cross_join(spark):
+    plan = _plan(REGISTRY["dedup_minhash_lsh"].fn(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
