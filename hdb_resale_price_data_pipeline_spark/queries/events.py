@@ -182,7 +182,29 @@ GROUP BY 1
 """
 
 
+def q_events_salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-user totals: salted two-stage aggregation
+    (operators/skew.py). The oracle is the PLAIN group-by — salting must
+    be semantically invisible."""
+    from ..operators.skew import salted_sum_count
+
+    ev = t(spark, sf_dir, "events")
+    return salted_sum_count(
+        ev, keys=["user_id"], value_col="value", n_salts=16, salt_source=col("event_id")
+    )
+
+
+_EVENTS_SALTED_SQL = """
+SELECT user_id,
+       round(sum(value), 2) AS total_value,
+       count(*) AS n_rows
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_salted_totals": QuerySpec(q_events_salted_totals, _EVENTS_SALTED_SQL),
     "events_hourly": QuerySpec(q_events_hourly, _EVENTS_HOURLY_SQL),
     "events_daily_pivot": QuerySpec(q_events_daily_pivot, _EVENTS_PIVOT_SQL),
     "events_sessionize": QuerySpec(q_events_sessionize, _EVENTS_SESSIONIZE_SQL),

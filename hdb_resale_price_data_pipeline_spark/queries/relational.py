@@ -532,7 +532,63 @@ FROM orders
 """
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status): full grouping-sets lattice."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.cube(
+        F.year("o_orderdate").alias("order_year"), col("o_orderstatus").alias("status")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_ORDERS_CUBE_SQL = """
+SELECT year(o_orderdate) AS order_year,
+       o_orderstatus AS status,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (1, 2)
+"""
+
+
+def q_segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): active BUILDING customers minus the
+    low-balance set — the intersect/except family the reference lacks."""
+    customer = t(spark, sf_dir, "customer")
+    building = customer.filter(col("c_mktsegment") == "BUILDING").select("c_custkey")
+    low_balance = customer.filter(col("c_acctbal") < 1000).select("c_custkey")
+    return building.exceptAll(low_balance)
+
+
+_SEGMENT_EXCEPT_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal < 1000
+"""
+
+
+def q_brand_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: brands that appear both in small and large
+    part sizes."""
+    part = t(spark, sf_dir, "part")
+    small = part.filter(col("p_size") <= 10).select("p_brand")
+    large = part.filter(col("p_size") >= 40).select("p_brand")
+    return small.intersect(large)
+
+
+_BRAND_INTERSECT_SQL = """
+SELECT p_brand FROM part WHERE p_size <= 10
+INTERSECT
+SELECT p_brand FROM part WHERE p_size >= 40
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "orders_cube": QuerySpec(q_orders_cube, _ORDERS_CUBE_SQL),
+    "segment_except": QuerySpec(q_segment_except, _SEGMENT_EXCEPT_SQL),
+    "brand_intersect": QuerySpec(q_brand_intersect, _BRAND_INTERSECT_SQL),
     "pricing_summary": QuerySpec(q_pricing_summary, _PRICING_SUMMARY_SQL),
     "avg_revenue_by_region_year": QuerySpec(q_avg_revenue_by_region_year, _AVG_REVENUE_SQL),
     "region_nation_revenue": QuerySpec(q_region_nation_revenue, _REGION_NATION_REVENUE_SQL),
