@@ -75,6 +75,25 @@ def read_historical_csv_dir_strict(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_historical_csv_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Per-file read + name-based projection + unionByName fold — the
+    reference's vintage-conform strategy (historical_data_transformation.py:
+    13-27), for vintages whose columns are REORDERED or renamed (a single
+    positional directory read would misparse those).
+
+    Still fully parallel: each ``read.csv`` is a distributed scan and the
+    union is a plan-level concat (no shuffle); only the file *listing* is
+    driver-side, same as the reference's bucket listing.
+    """
+    out: DataFrame | None = None
+    for p in paths:
+        part = spark.read.csv(p, header=True).select(*RAW_HISTORICAL_COLUMNS)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no CSV files given")
+    return out
+
+
 def read_listing_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Multiline row-array JSON of scraped listings, explicit schema (S3)."""
     return spark.read.option("multiline", "true").schema(schema).json(path)

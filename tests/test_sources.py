@@ -1,0 +1,95 @@
+"""Source/sink tests: multi-vintage CSV folds, API fetch stub, bucketed
+and partitioned warehouse layouts (with their plan-level payoffs)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from conftest import TEST_SF_DIR
+from hdb_resale_price_data_pipeline_spark.sources import read_table
+from hdb_resale_price_data_pipeline_spark.sources.api import (
+    download_collection,
+    list_dataset_ids,
+)
+from hdb_resale_price_data_pipeline_spark.sources.readers import (
+    read_historical_csv_files,
+)
+from hdb_resale_price_data_pipeline_spark.sources.warehouse import (
+    bucketed_join,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_csv_fold_handles_reordered_vintage(spark, tmp_path):
+    """A vintage with REORDERED columns must still conform by name."""
+    a = tmp_path / "a.csv"
+    a.write_text(
+        "month,town,flat_type,block,street_name,storey_range,floor_area_sqm,flat_model,lease_commence_date,resale_price\n"
+        "2017-03,BEDOK,4 ROOM,123,BEDOK NORTH ROAD,07 TO 09,93,New Generation,1985,550000\n"
+    )
+    b = tmp_path / "b.csv"
+    b.write_text(  # resale_price first, extra column at the end
+        "resale_price,month,town,flat_type,block,street_name,storey_range,floor_area_sqm,flat_model,lease_commence_date,remaining_lease\n"
+        "650000,2020-06,ANG MO KIO,5 ROOM,302,ANG MO KIO AVE 3,01 TO 03,110,Improved,1992,71 years\n"
+    )
+    df = read_historical_csv_files(spark, [str(a), str(b)])
+    rows = {r.town: r for r in df.collect()}
+    assert rows["BEDOK"].resale_price == "550000"
+    assert rows["ANG MO KIO"].resale_price == "650000"  # by name, not position
+    assert "remaining_lease" not in df.columns
+
+
+def test_api_source_with_fake_fetcher(tmp_path):
+    calls = []
+
+    def fetch_json(url):
+        calls.append(url)
+        if "collections" in url:
+            return {"data": {"collectionMetadata": {"childDatasets": ["d_1", "d_2"]}}}
+        if "initiate-download" in url:
+            return {"data": {"message": "initiated"}}
+        return {"data": {"url": f"https://files.example/{url.split('/')[-2]}.csv"}}
+
+    def fetch_bytes(url):
+        return f"month,town\n2020-01,{url}".encode()
+
+    paths = download_collection("189", str(tmp_path), fetch_json, fetch_bytes)
+    assert [os.path.basename(p) for p in paths] == ["d_1.csv", "d_2.csv"]
+    assert all(os.path.getsize(p) > 0 for p in paths)
+    assert list_dataset_ids("189", fetch_json) == ["d_1", "d_2"]
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    ev = read_table(spark, TEST_SF_DIR, "events").selectExpr(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path).filter("event_type = 'click'")
+    plan = _plan(back)
+    assert re.search(r"PartitionFilters: \[.*event_type.*\]", plan)
+    assert back.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """orders ⋈ lineitem bucketed on the key: no Exchange in the join."""
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    orders = read_table(spark, TEST_SF_DIR, "orders").withColumnRenamed(
+        "o_orderkey", "okey"
+    )
+    li = read_table(spark, TEST_SF_DIR, "lineitem").selectExpr(
+        "l_orderkey AS okey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(orders, "orders_b", "okey", n_buckets=8)
+    write_bucketed(li, "lineitem_b", "okey", n_buckets=8)
+    joined = bucketed_join(spark, "orders_b", "lineitem_b", on="okey")
+    plan = _plan(joined)
+    assert "Exchange hashpartitioning" not in plan  # co-located, no shuffle
+    assert joined.count() == li.count()
