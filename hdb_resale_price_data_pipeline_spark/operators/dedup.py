@@ -86,14 +86,7 @@ def _expr(pair: tuple[str, str]) -> Column:
     return F.expr(pair[0])
 
 
-def _widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition a narrow scan up to core count before expression-heavy
-    per-row work. Locally a single parquet file arrives as ONE partition;
-    on a cluster the scan is already wide and this is a no-op."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .util import widen as _widen
 
 
 def with_band_keys(
@@ -201,14 +194,35 @@ def simhash_buckets(
 
     Identical fingerprints ⇒ near-identical token distributions; at
     scale, follow with in-bucket verification exactly like MinHash.
-    Two-stage plan: token hashes materialized once, then one fold per
-    bit — not ``bits`` re-hashes of the text."""
+
+    Plan: token hashes (one interpreted char-fold per token — the
+    irreducible part) → explode → ONE codegen hash-aggregate computing
+    all ``bits`` sign-sums as conditional SUMs → assemble the
+    fingerprint. This replaces the nested per-bit lambda fold (bits ×
+    tokens interpreted evals per row) with whole-stage-codegen
+    aggregation; the integer sums are identical, so the oracle values
+    don't move."""
     th_spark, _ = H.token_hashes(H.tokens(text_col))
-    sh_spark, _ = H.simhash_from_hashes("_th", bits)
+    # explode_outer + null-guard: a zero-token document must still emit
+    # fingerprint 0 (as the nested-fold formulation did), not vanish
+    exploded = _widen(df).select(
+        col(id_col).alias("doc_id"), F.explode_outer(F.expr(th_spark)).alias("h")
+    )
+    bit_sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(col("h").isNull(), 0)
+                .when(F.expr(f"(h >> {j}) & 1") == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_b{j}")
+            for j in range(bits)
+        ]
+    )
+    assemble = " + ".join(
+        f"IF(_b{j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))" for j in range(bits)
+    )
     return (
-        _widen(df)
-        .select(col(id_col).alias("doc_id"), F.expr(th_spark).alias("_th"))
-        .select("doc_id", F.expr(sh_spark).alias("simhash"))
+        bit_sums.select("doc_id", F.expr(assemble).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )

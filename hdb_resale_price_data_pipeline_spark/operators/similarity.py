@@ -26,14 +26,29 @@ def _to_double(col_sql: str) -> tuple[str, str]:
     return spark, duck
 
 
-def dot_product(a: str, b: str) -> tuple[str, str]:
-    """Σ a[i]·b[i], sequential fold in index order (1-based)."""
+def dot_product(a: str, b: str, dim: int | None = None) -> tuple[str, str]:
+    """Σ a[i]·b[i] with LEFT-TO-RIGHT addition (1-based index order).
+
+    With ``dim`` known, the Spark side expands to an explicit arithmetic
+    chain — ``e1·f1 + e2·f2 + …`` — which whole-stage-codegens (the
+    higher-order ``aggregate``/``zip_with`` path is interpreted, ~100×
+    slower per row). A left-associative ``+`` chain performs the exact
+    same float additions as the fold, so bit-parity with the sequential
+    DuckDB fold is preserved.
+    """
     sa, da = _to_double(a)
     sb, db = _to_double(b)
-    spark = (
-        f"aggregate(zip_with({sa}, {sb}, (x, y) -> x * y), "
-        f"cast(0.0 AS double), (acc, x) -> acc + x)"
-    )
+    if dim is not None:
+        terms = [
+            f"cast(element_at({a}, {i}) AS double) * cast(element_at({b}, {i}) AS double)"
+            for i in range(1, dim + 1)
+        ]
+        spark = "(" + " + ".join(terms) + ")"
+    else:
+        spark = (
+            f"aggregate(zip_with({sa}, {sb}, (x, y) -> x * y), "
+            f"cast(0.0 AS double), (acc, x) -> acc + x)"
+        )
     duck = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"[({da})[i] * ({db})[i] for i in range(1, len({da}) + 1)]), "
@@ -42,23 +57,30 @@ def dot_product(a: str, b: str) -> tuple[str, str]:
     return spark, duck
 
 
-def norm(a: str) -> tuple[str, str]:
-    s, d = dot_product(a, a)
+def norm(a: str, dim: int | None = None) -> tuple[str, str]:
+    s, d = dot_product(a, a, dim)
     return f"sqrt({s})", f"sqrt({d})"
 
 
-def cosine(a: str, b: str, decimals: int = 6) -> tuple[str, str]:
-    ds, dd = dot_product(a, b)
-    nas, nad = norm(a)
-    nbs, nbd = norm(b)
+def cosine(a: str, b: str, decimals: int = 6, dim: int | None = None) -> tuple[str, str]:
+    ds, dd = dot_product(a, b, dim)
+    nas, nad = norm(a, dim)
+    nbs, nbd = norm(b, dim)
     return (
         f"round({ds} / ({nas} * {nbs}), {decimals})",
         f"round({dd} / ({nad} * {nbd}), {decimals})",
     )
 
 
-def cosine_expr(a: str, b: str, decimals: int = 6) -> Column:
-    return F.expr(cosine(a, b, decimals)[0])
+def cosine_expr(a: str, b: str, decimals: int = 6, dim: int | None = None) -> Column:
+    return F.expr(cosine(a, b, decimals, dim)[0])
+
+
+def embedding_dim(df, col_name: str = "embedding") -> int:
+    """Read the (fixed) vector dimensionality from one row — a tiny
+    planning-time job that unlocks the codegen dot-product path."""
+    row = df.selectExpr(f"size({col_name}) AS d").first()
+    return int(row.d)
 
 
 def _plane(i: str, j: int) -> str:
@@ -67,16 +89,27 @@ def _plane(i: str, j: int) -> str:
     return f"((({i}) * 31 + {j} * 17) % 13 - 6)"
 
 
-def hyperplane_bucket(a: str, n_planes: int = 8) -> tuple[str, str]:
-    """LSH bucket id: bit j = sign of ⟨a, plane_j⟩, for j in 0..n-1."""
+def hyperplane_bucket(a: str, n_planes: int = 8, dim: int | None = None) -> tuple[str, str]:
+    """LSH bucket id: bit j = sign of ⟨a, plane_j⟩, for j in 0..n-1.
+
+    Spark side expands to explicit codegen arithmetic when ``dim`` is
+    known (plane components fold to integer literals), same addition
+    order as the DuckDB fold."""
     sa, da = _to_double(a)
     spark_bits = []
     duck_bits = []
     for j in range(n_planes):
-        sdot = (
-            f"aggregate(sequence(1, size({sa})), cast(0.0 AS double), "
-            f"(acc, i) -> acc + element_at({sa}, i) * {_plane('i', j)})"
-        )
+        if dim is not None:
+            terms = [
+                f"cast(element_at({a}, {i}) AS double) * {(i * 31 + j * 17) % 13 - 6}"
+                for i in range(1, dim + 1)
+            ]
+            sdot = "(" + " + ".join(terms) + ")"
+        else:
+            sdot = (
+                f"aggregate(sequence(1, size({sa})), cast(0.0 AS double), "
+                f"(acc, i) -> acc + element_at({sa}, i) * {_plane('i', j)})"
+            )
         ddot = (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"[({da})[i] * {_plane('i', j)} for i in range(1, len({da}) + 1)]), "
@@ -87,5 +120,5 @@ def hyperplane_bucket(a: str, n_planes: int = 8) -> tuple[str, str]:
     return " + ".join(spark_bits), " + ".join(duck_bits)
 
 
-def hyperplane_bucket_expr(a: str, n_planes: int = 8) -> Column:
-    return F.expr(hyperplane_bucket(a, n_planes)[0])
+def hyperplane_bucket_expr(a: str, n_planes: int = 8, dim: int | None = None) -> Column:
+    return F.expr(hyperplane_bucket(a, n_planes, dim)[0])

@@ -1,0 +1,30 @@
+"""Shared operator plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow scan up to core count before expression-heavy
+    per-row work (higher-order functions, vector math — the interpreted
+    paths that don't get whole-stage codegen).
+
+    Locally a single parquet file arrives as ONE input partition, so
+    without this the 32-core box runs the hash/vector work single-
+    threaded. On a cluster the scan is already wide (files × row-groups)
+    and this is a no-op. The round-robin shuffle it inserts is tiny
+    relative to the per-row work it parallelizes.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # cheap: source-file count (a derived frame reports its scans'
+        # files). Fewer files than cores → the scan is narrow. The
+        # testdata ships single-row-group files, which parquet cannot
+        # split further, so file count IS the scan parallelism here.
+        narrow = len(df.inputFiles()) < target
+    except Exception:
+        narrow = df.rdd.getNumPartitions() < target
+    if narrow:
+        return df.repartition(target)
+    return df

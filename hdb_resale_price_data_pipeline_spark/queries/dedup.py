@@ -21,6 +21,7 @@ from ..operators.dedup import (
     simhash_buckets,
     verify_jaccard_pairs,
 )
+from ..operators.util import widen
 from .base import QuerySpec, t
 
 # Tuned on sf0.01 (see SURVEY.md §7): 3-gram shingles + 4 bands × 2 rows
@@ -38,6 +39,8 @@ SIMHASH_BITS = 16
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # no widen: the per-row work (lower) is trivial and the groupBy's own
+    # shuffle spreads the aggregation; an extra repartition only adds cost
     return dedup_exact(
         docs.withColumn("text_norm", F.lower(col("text"))), ["text_norm"], "doc_id"
     ).select("survivor_id", "n_copies")
@@ -159,7 +162,7 @@ GROUP BY simhash
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", block_col="lang",
+        widen(docs), "doc_id", "text", block_col="lang",
         shingle_len=NGRAM_LEN, threshold=NGRAM_THRESHOLD,
     )
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from ..operators import similarity as S
+from ..operators.util import widen
 from .base import QuerySpec, t
 
 QUERY_VEC_ID = 0
@@ -20,16 +21,17 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correctness baseline for ANN. One broadcast of a single row, one
     distributed map, one top-k (TakeOrderedAndProject — no full sort)."""
     emb = t(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(emb)
     query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
         col("embedding").alias("q_emb")
     )
     return (
-        emb.filter(col("vec_id") != QUERY_VEC_ID)
+        widen(emb.filter(col("vec_id") != QUERY_VEC_ID))
         .crossJoin(broadcast(query))
         .select(
             "vec_id",
             "label",
-            S.cosine_expr("embedding", "q_emb").alias("cosine"),
+            S.cosine_expr("embedding", "q_emb", dim=dim).alias("cosine"),
         )
         .orderBy(col("cosine").desc(), col("vec_id"))
         .limit(TOP_K)
@@ -52,7 +54,8 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for an ANN bucket: the quadratic term is bounded per
     block, never global)."""
     emb = t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "label", "embedding")
+    dim = S.embedding_dim(emb)
+    base = widen(emb.select("vec_id", "label", "embedding"))
     a = base.alias("a")
     b = base.alias("b")
     return (
@@ -61,7 +64,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("a.vec_id").alias("vec_a"),
             col("b.vec_id").alias("vec_b"),
             col("a.label").alias("label"),
-            S.cosine_expr("a.embedding", "b.embedding").alias("cosine"),
+            S.cosine_expr("a.embedding", "b.embedding", dim=dim).alias("cosine"),
         )
         .filter(col("cosine") >= NEAR_DUP_COSINE)
     )
@@ -82,8 +85,9 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket id becomes the shuffle/partition key; here we emit the
     bucket histogram."""
     emb = t(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(emb)
     return (
-        emb.select(S.hyperplane_bucket_expr("embedding", N_PLANES).alias("bucket"), "vec_id")
+        widen(emb).select(S.hyperplane_bucket_expr("embedding", N_PLANES, dim).alias("bucket"), "vec_id")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -101,8 +105,10 @@ GROUP BY bucket
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: candidates restricted to the query's LSH bucket, exact
     cosine only within it (brute-force work ÷ 2^planes)."""
-    emb = t(spark, sf_dir, "embeddings").withColumn(
-        "bucket", S.hyperplane_bucket_expr("embedding", N_PLANES)
+    src_emb = t(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(src_emb)
+    emb = widen(src_emb).withColumn(
+        "bucket", S.hyperplane_bucket_expr("embedding", N_PLANES, dim)
     )
     query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
         col("embedding").alias("q_emb"), col("bucket").alias("q_bucket")
@@ -110,7 +116,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.crossJoin(broadcast(query))
         .filter((col("bucket") == col("q_bucket")) & (col("vec_id") != QUERY_VEC_ID))
-        .select("vec_id", "label", S.cosine_expr("embedding", "q_emb").alias("cosine"))
+        .select("vec_id", "label", S.cosine_expr("embedding", "q_emb", dim=dim).alias("cosine"))
         .orderBy(col("cosine").desc(), col("vec_id"))
         .limit(TOP_K)
     )

@@ -8,12 +8,13 @@ from pyspark.sql.functions import col
 
 from ..functions import hashing as H
 from ..operators import text as T
+from ..operators.util import widen
 from .base import QuerySpec, t
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + shape stats per document."""
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.length(col("text")).alias("n_chars_actual"),
@@ -38,7 +39,7 @@ FROM documents
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring with banding (the filter stage of a training-data
     pipeline)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(t(spark, sf_dir, "documents"))
     score = T.quality_score("text")
     return docs.select(
         "doc_id",
@@ -61,7 +62,7 @@ FROM documents
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID vs the labeled lang column."""
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "lang",
@@ -80,7 +81,7 @@ FROM documents
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (dedup key at scale)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.fingerprint("text").alias("fingerprint"),
@@ -100,7 +101,7 @@ def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: explode tokens → global top 20 (count desc,
     token asc). The explode-shuffle-agg shape that dominates corpus
     statistics at scale; partial aggregation keeps the shuffle small."""
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(t(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(T.tokens_expr("text")).alias("token"))
         .groupBy("token")

@@ -79,8 +79,15 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
 
 def test_bucketed_join_avoids_shuffle(spark):
     """orders ⋈ lineitem bucketed on the key: no Exchange in the join."""
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    # a previous session's managed-table dirs survive the in-memory
+    # catalog; saveAsTable refuses to reuse the location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     orders = read_table(spark, TEST_SF_DIR, "orders").withColumnRenamed(
         "o_orderkey", "okey"
     )
