@@ -102,6 +102,27 @@ def quality_score_duck(text_col: str) -> str:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the GPT-style pre-tokenization shape, in regex syntax valid in
+# both Java (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens_sql(text_col: str) -> str:
+    # Spark SQL string literals consume backslashes ('\s' → 's'); DuckDB
+    # does not — escape only on the Spark side
+    escaped = BPE_PATTERN.replace("\\", "\\\\")
+    return f"regexp_extract_all(lower({text_col}), '{escaped}', 0)"
+
+
+def bpe_tokens(text_col: str) -> Column:
+    return F.expr(bpe_tokens_sql(text_col))
+
+
+def bpe_tokens_duck(text_col: str) -> str:
+    return f"regexp_extract_all(lower({text_col}), '{BPE_PATTERN}')"
+
+
 def fingerprint(text_col: str) -> Column:
     """Deterministic rolling-hash document fingerprint over the
     normalized text (lower-cased, whitespace-collapsed)."""

@@ -203,7 +203,49 @@ GROUP BY user_id
 """
 
 
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attribute each purchase to the
+    user's most recent prior-or-simultaneous click. Oracle = DuckDB's
+    native ASOF JOIN; ours is the union-sort formulation (one shuffle,
+    linear merge per key)."""
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(col("event_type") == "click").select(
+        "user_id", "ts", col("event_id").alias("click_id"), col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_value_cols=["click_id", "click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        col("ts").cast("string").alias("purchase_ts"),
+        "purchase_value",
+        col("click_id_asof").alias("click_id"),
+        col("click_value_asof").alias("click_value"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+SELECT p.event_id AS event_id,
+       p.user_id AS user_id,
+       CAST(p.ts AS VARCHAR) AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_id,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_asof_attribution": QuerySpec(q_events_asof_attribution, _EVENTS_ASOF_SQL),
     "events_salted_totals": QuerySpec(q_events_salted_totals, _EVENTS_SALTED_SQL),
     "events_hourly": QuerySpec(q_events_hourly, _EVENTS_HOURLY_SQL),
     "events_daily_pivot": QuerySpec(q_events_daily_pivot, _EVENTS_PIVOT_SQL),

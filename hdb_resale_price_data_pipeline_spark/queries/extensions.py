@@ -41,6 +41,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(stream_user_dedup(events_stream(spark, sf_dir)), spark)
 
 
+def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): gap
+    sessionizer with GroupState carried across microbatches."""
+    from ..streaming.stateful import split_events_stream, stateful_sessions
+
+    return run_stream_to_df(
+        stateful_sessions(split_events_stream(spark, sf_dir)), spark
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via Arrow-batched mapInPandas."""
     return extract_features(documents_as_assets(t(spark, sf_dir, "documents")))
@@ -70,6 +80,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_hourly_tumbling": QuerySpec(q_stream_hourly, None),
     "stream_session_windows": QuerySpec(q_stream_sessions, None),
     "stream_user_dedup": QuerySpec(q_stream_dedup, None),
+    "stream_stateful_sessions": QuerySpec(q_stream_stateful_sessions, None),
     "multimodal_features": QuerySpec(q_multimodal_features, _features_oracle()),
     "multimodal_chunks": QuerySpec(q_multimodal_chunks, None),
 }

@@ -184,7 +184,87 @@ GROUP BY label, pos
 """
 
 
+IVF_K = 8
+IVF_NPROBE = 2
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (operators/ivf.py): assign every vector to its
+    nearest codebook centroid via a literal codegen expression (no
+    shuffle), probe the query's 2 nearest lists, exact cosine inside."""
+    from ..operators import ivf as I
+
+    emb = t(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(emb)
+    codebook = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(col("vec_id") < IVF_K)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    assigned = I.assign_to_codebook(widen(emb), "embedding", codebook)
+
+    cents = emb.filter(col("vec_id") < IVF_K).select(
+        col("vec_id").alias("cid"), col("embedding").alias("cent")
+    )
+    query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
+        col("embedding").alias("q_emb")
+    )
+    probe_rows = (
+        cents.crossJoin(query)
+        .select("cid", I.pairwise_l2_expr("cent", "q_emb", dim).alias("d"))
+        .orderBy("d", "cid")
+        .limit(IVF_NPROBE)
+        .collect()
+    )
+    probe_ids = [int(r.cid) for r in probe_rows]
+
+    return (
+        assigned.filter(col("ivf_cid").isin(probe_ids) & (col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            col("ivf_cid"),
+            S.cosine_expr("embedding", "q_emb", dim=dim).alias("cosine"),
+        )
+        .orderBy(col("cosine").desc(), col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ivf_oracle() -> str:
+    from ..operators.ivf import duck_l2
+
+    cos = S.cosine("e.embedding", "q.qe")[1]
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id < {IVF_K}
+), q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), probe AS (
+    SELECT cid FROM (
+        SELECT cid, row_number() OVER (ORDER BY {duck_l2("cent", "qe")}, cid) AS rn
+        FROM cents, q
+    ) WHERE rn <= {IVF_NPROBE}
+), assigned AS (
+    SELECT vec_id, label, embedding, cid AS ivf_cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_l2("e.embedding", "c.cent")}, c.cid) AS rn
+        FROM embeddings e, cents c
+    ) WHERE rn = 1
+)
+SELECT e.vec_id AS vec_id, e.label AS label, e.ivf_cid AS ivf_cid, {cos} AS cosine
+FROM assigned e, q
+WHERE e.ivf_cid IN (SELECT cid FROM probe) AND e.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_ivf_topk": QuerySpec(q_ivf_topk, _ivf_oracle()),
     "emb_cosine_topk": QuerySpec(q_cosine_topk, _cosine_topk_oracle()),
     "emb_near_dup_pairs": QuerySpec(q_near_dup_pairs, _near_dup_oracle()),
     "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),

@@ -120,7 +120,36 @@ LIMIT 20
 """
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization (letter runs / digit runs /
+    symbols) next to whitespace tokenization — the token-counting pair a
+    training-data pipeline budgets with."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    bpe = T.bpe_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+        T.token_count("text").alias("n_ws_tokens"),
+        F.size(
+            F.expr(f"filter({T.bpe_tokens_sql('text')}, x -> x rlike '^[0-9]+$')")
+        ).alias("n_digit_tokens"),
+    )
+
+
+_TEXT_BPE_SQL = f"""
+SELECT doc_id,
+       len({T.bpe_tokens_duck("text")}) AS n_bpe_tokens,
+       len(list_distinct({T.bpe_tokens_duck("text")})) AS n_bpe_distinct,
+       len({{ws}}) AS n_ws_tokens,
+       len(list_filter({T.bpe_tokens_duck("text")},
+           x -> regexp_matches(x, '^[0-9]+$'))) AS n_digit_tokens
+FROM documents
+""".replace("{ws}", H.tokens("text")[1])
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_bpe_tokens": QuerySpec(q_text_bpe_tokens, _TEXT_BPE_SQL),
     "text_stats": QuerySpec(q_text_stats, _TEXT_STATS_SQL),
     "text_quality": QuerySpec(q_text_quality, _TEXT_QUALITY_SQL),
     "text_lang_id": QuerySpec(q_text_lang_id, _TEXT_LANG_ID_SQL),

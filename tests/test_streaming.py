@@ -53,3 +53,54 @@ def test_stream_sessions_emit_finalized(spark):
     per_user = out.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()
     total_events = read_table(spark, TEST_SF_DIR, "events").count()
     assert sum(r.n for r in per_user) <= total_events
+
+
+def test_custom_stateful_sessionizer_across_batches(spark):
+    """applyInPandasWithState sessionizer: state must carry the open
+    session across the two microbatches; emitted sessions must equal the
+    batch-computed closed sessions (every session except each user's
+    last)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hdb_resale_price_data_pipeline_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        split_events_stream,
+        stateful_sessions,
+    )
+
+    out = run_stream_to_df(
+        stateful_sessions(split_events_stream(spark, TEST_SF_DIR)), spark
+    )
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in out.collect()
+    }
+
+    # batch expectation: standard lag/gap sessionization, drop each
+    # user's final (still-open) session
+    ev = read_table(spark, TEST_SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.withColumn("us", F.unix_micros("ts"))
+        .withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            F.when(F.col("prev").isNull() | (F.col("us") - F.col("prev") > SESSION_GAP_US), 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("sid").alias("_sid"),
+        )
+    )
+    last_sid = sessions.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    closed = sessions.join(last_sid, "user_id").filter(F.col("sid") != F.col("last_sid"))
+    want = {
+        (r.user_id, r.start_us): (r.end_us, r.n) for r in closed.collect()
+    }
+    assert len(got) > 0
+    assert got == want
