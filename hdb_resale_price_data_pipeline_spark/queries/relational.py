@@ -585,7 +585,106 @@ SELECT p_brand FROM part WHERE p_size >= 40
 """
 
 
+def q_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 order in 1995 (EXISTS shape)."""
+    customer = t(spark, sf_dir, "customer")
+    orders95 = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    return (
+        customer.join(orders95, customer.c_custkey == orders95.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+    )
+
+
+_ACTIVE_SEMI_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_active,
+       round(avg(c_acctbal), 2) AS avg_balance
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+GROUP BY 1
+"""
+
+
+def q_hdb_cleaning_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's listing-cleaning semantics (furnishing map F3,
+    Blk-strip + re-case location X1/X4/X8/X9, money parse X4, postal
+    sector X6) oracle-checked on synthetic raw strings derived from
+    part — the same functions plans/propnex.py composes."""
+    from ..functions.cleaning import (
+        furnishing_category,
+        money_to_int,
+        postal_sector,
+        title_case_location,
+    )
+
+    part = t(spark, sf_dir, "part")
+    raw_furnish = (
+        F.when(col("p_partkey") % 4 == 0, "Partially Furnished")
+        .when(col("p_partkey") % 4 == 1, "Fully Furnished")
+        .when(col("p_partkey") % 4 == 2, "unfurnished")
+        .otherwise("Unknown")
+    )
+    raw_location = F.concat_ws(
+        " ", F.lit("Blk"), (col("p_partkey") % 900).cast("string"), F.upper(col("p_name"))
+    )
+    raw_price = F.concat(
+        F.lit("$"), F.format_number(F.floor(col("p_retailprice")).cast("int"), 0)
+    )
+    raw_postcode = F.lpad(((col("p_partkey") * 7919) % 830000).cast("string"), 6, "0")
+    return part.select(
+        "p_partkey",
+        furnishing_category(raw_furnish, "unfurnished").alias("furnish"),
+        title_case_location(raw_location).alias("location"),
+        money_to_int(raw_price).alias("price"),
+        postal_sector(raw_postcode).alias("postal_sector"),
+    )
+
+
+_HDB_CLEANING_SQL = """
+WITH raw AS (
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 4 = 0 THEN 'Partially Furnished'
+                WHEN p_partkey % 4 = 1 THEN 'Fully Furnished'
+                WHEN p_partkey % 4 = 2 THEN 'unfurnished'
+                ELSE 'Unknown' END AS raw_furnish,
+           'Blk ' || CAST(p_partkey % 900 AS VARCHAR) || ' ' || upper(p_name) AS raw_location,
+           '$' || format('{:,}', CAST(floor(p_retailprice) AS INT)) AS raw_price,
+           lpad(CAST((p_partkey * 7919) % 830000 AS VARCHAR), 6, '0') AS raw_postcode
+    FROM part
+), cleaned AS (
+    SELECT p_partkey,
+           CASE WHEN lower(raw_furnish) = 'partially furnished' THEN 'partial'
+                WHEN lower(raw_furnish) = 'fully furnished' THEN 'full'
+                WHEN lower(raw_furnish) = 'unfurnished' THEN 'unfurnished'
+                ELSE raw_furnish END AS furnish,
+           regexp_replace(
+               array_to_string(list_transform(string_split(lower(raw_location), ' '),
+                                              w -> upper(w[1]) || w[2:]), ' '),
+               '^(Blk |Block )', '') AS loc_cased,
+           CAST(regexp_replace(raw_price, '[$,]', '', 'g') AS INT) AS price,
+           substring(raw_postcode, 1, 2) AS postal_sector
+    FROM raw
+)
+SELECT p_partkey, furnish,
+       CASE WHEN regexp_matches(string_split(loc_cased, ' ')[1], '^[0-9]')
+            THEN upper(string_split(loc_cased, ' ')[1]) ||
+                 CASE WHEN len(string_split(loc_cased, ' ')) > 1
+                      THEN ' ' || array_to_string(string_split(loc_cased, ' ')[2:], ' ')
+                      ELSE '' END
+            ELSE loc_cased END AS location,
+       price, postal_sector
+FROM cleaned
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "active_customers_semi": QuerySpec(q_active_customers_semi, _ACTIVE_SEMI_SQL),
+    "hdb_cleaning_semantics": QuerySpec(q_hdb_cleaning_semantics, _HDB_CLEANING_SQL),
     "orders_cube": QuerySpec(q_orders_cube, _ORDERS_CUBE_SQL),
     "segment_except": QuerySpec(q_segment_except, _SEGMENT_EXCEPT_SQL),
     "brand_intersect": QuerySpec(q_brand_intersect, _BRAND_INTERSECT_SQL),

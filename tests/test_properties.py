@@ -1,0 +1,82 @@
+"""Property-based tests (SURVEY.md §5.4): invariants over generated
+inputs, batch-evaluated through one DataFrame per property."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from hdb_resale_price_data_pipeline_spark.functions.bedrooms import clean_bedrooms_expr
+from hdb_resale_price_data_pipeline_spark.functions.cleaning import (
+    money_to_int,
+    title_case_location,
+)
+
+
+def _python_bedrooms_model(value):
+    """Reference semantics (srx_transformation.py:68-83)."""
+    if value is None:
+        return None
+    if value.lower() == "studio":
+        return 1
+    if re.match(r"^\d+\+\d+$", value):
+        return sum(map(int, value.split("+")))
+    try:
+        return int(value)
+    except ValueError:
+        return None
+
+
+bedroom_strings = st.one_of(
+    st.none(),
+    st.sampled_from(["Studio", "studio", "3+1", "0+0", "12", " 7 ", "junk", "", "3.5", "+"]),
+    st.integers(0, 99).map(str),
+    st.tuples(st.integers(0, 20), st.integers(0, 20)).map(lambda t: f"{t[0]}+{t[1]}"),
+    st.text(alphabet="0123456789+studio ", max_size=8),
+)
+
+
+@given(st.lists(bedroom_strings, min_size=1, max_size=50))
+@settings(max_examples=20, deadline=None)
+def test_clean_bedrooms_matches_python_model(spark, values):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id int, raw string"
+    )
+    got = {
+        r.id: r.out
+        for r in df.select("id", clean_bedrooms_expr(col("raw")).alias("out")).collect()
+    }
+    for i, v in enumerate(values):
+        expected = _python_bedrooms_model(v)
+        # model int('  7 ') accepts whitespace; ours matches (\s*\d+\s*)
+        if got[i] != expected:
+            raise AssertionError(f"{v!r}: got {got[i]}, model {expected}")
+
+
+@given(st.lists(st.integers(0, 10**7), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None)
+def test_money_roundtrip(spark, amounts):
+    df = spark.createDataFrame(
+        [(i, f"${v:,}") for i, v in enumerate(amounts)], "id int, raw string"
+    )
+    got = {r.id: r.out for r in df.select("id", money_to_int(col("raw")).alias("out")).collect()}
+    assert got == dict(enumerate(amounts))
+
+
+def test_title_case_idempotent(spark):
+    """Applying the location conform twice must equal applying it once
+    (casing conform is a projection, SURVEY.md §5.4)."""
+    samples = [
+        "Blk 123 Bedok North Road",
+        "block 45a holland road",
+        "8 TAMPINES STREET 81",
+        "bishan street 22",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "loc string")
+    once = df.select(title_case_location(col("loc")).alias("o"))
+    twice = once.select(title_case_location(col("o")).alias("o"))
+    assert [r.o for r in once.collect()] == [r.o for r in twice.collect()]
