@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "text_top_tokens",
     "emb_cosine_topk",
     "emb_ann_lsh_buckets",
+    "emb_ivf_topk",
+    "events_asof_attribution",
+    "events_salted_totals",
 ]
 
 

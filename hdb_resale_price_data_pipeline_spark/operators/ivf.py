@@ -28,13 +28,28 @@ def _lit(v: float) -> str:
     return repr(float(v))
 
 
+def _sq_norm(vals: list[float]) -> float:
+    """Sequential Σv² — the same IEEE op order as the SQL folds."""
+    acc = 0.0
+    for v in vals:
+        acc = acc + float(v) * float(v)
+    return acc
+
+
 def dist_to_literal_centroid(emb_col: str, centroid: list[float]) -> str:
-    """Σ (e_i − c_i)² as an explicit codegen chain (Spark SQL text)."""
-    terms = []
-    for i, v in enumerate(centroid, start=1):
-        e = f"cast(element_at({emb_col}, {i}) AS double)"
-        terms.append(f"(({e}) - {_lit(v)}) * (({e}) - {_lit(v)})")
-    return "(" + " + ".join(terms) + ")"
+    """Centroid affinity |c|² − 2⟨c, e⟩ (Spark SQL text).
+
+    Equals true L2² minus the centroid-independent |e|², so argmin is
+    unchanged — at half the expression size of the (e−c)² form (each
+    element referenced once) and with the |c|² part folded to a literal.
+    The DuckDB twin (``duck_ivf_dist``) computes the exact same ops, so
+    near-tie argmins cannot diverge.
+    """
+    terms = [
+        f"cast(element_at({emb_col}, {i}) AS double) * {_lit(v)}"
+        for i, v in enumerate(centroid, start=1)
+    ]
+    return f"({_lit(_sq_norm(centroid))} - 2.0 * ({' + '.join(terms)}))"
 
 
 def assign_to_codebook(
@@ -65,22 +80,31 @@ def assign_to_codebook(
     ).drop("_dists")
 
 
-def pairwise_l2_expr(a: str, b: str, dim: int) -> Column:
-    """Σ (a_i − b_i)² between two array columns, codegen chain."""
-    terms = []
-    for i in range(1, dim + 1):
-        ea = f"cast(element_at({a}, {i}) AS double)"
-        eb = f"cast(element_at({b}, {i}) AS double)"
-        terms.append(f"(({ea}) - ({eb})) * (({ea}) - ({eb}))")
-    return F.expr("(" + " + ".join(terms) + ")")
+def pairwise_affinity_expr(cent: str, e: str, dim: int) -> Column:
+    """|c|² − 2⟨c, e⟩ between two array columns (cent, query), codegen
+    chain with the same op order as ``duck_ivf_dist``."""
+    sq_terms = [
+        f"cast(element_at({cent}, {i}) AS double) * cast(element_at({cent}, {i}) AS double)"
+        for i in range(1, dim + 1)
+    ]
+    dot_terms = [
+        f"cast(element_at({cent}, {i}) AS double) * cast(element_at({e}, {i}) AS double)"
+        for i in range(1, dim + 1)
+    ]
+    return F.expr(f"(({' + '.join(sq_terms)}) - 2.0 * ({' + '.join(dot_terms)}))")
 
 
-def duck_l2(a: str, b: str) -> str:
-    """DuckDB twin of the L2 fold (sequential, same order)."""
-    da = f"CAST({a} AS DOUBLE[])"
-    db = f"CAST({b} AS DOUBLE[])"
-    return (
+def duck_ivf_dist(cent: str, e: str) -> str:
+    """DuckDB twin of the centroid affinity (sequential folds, same op
+    order: |c|² fold, then − 2·dot fold)."""
+    dc = f"CAST({cent} AS DOUBLE[])"
+    de = f"CAST({e} AS DOUBLE[])"
+    sq = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"[(({da})[i] - ({db})[i]) * (({da})[i] - ({db})[i]) "
-        f"for i in range(1, len({da}) + 1)]), (acc, x) -> acc + x)"
+        f"[({dc})[i] * ({dc})[i] for i in range(1, len({dc}) + 1)]), (acc, x) -> acc + x)"
     )
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[({dc})[i] * ({de})[i] for i in range(1, len({dc}) + 1)]), (acc, x) -> acc + x)"
+    )
+    return f"(({sq}) - 2.0 * ({dot}))"

@@ -244,7 +244,42 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_events_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas API (applyInPandas): flag events above their
+    event_type's median value. Median interpolation is (a+b)/2 in both
+    pandas and DuckDB — exact parity, so this Python-boundary operator
+    still gets a full oracle."""
+    import pandas as pd
+
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "above_median": (pdf["value"] > med).astype("int32"),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        flag, schema="event_id long, event_type string, above_median int"
+    )
+
+
+_EVENTS_ABOVE_MEDIAN_SQL = """
+SELECT event_id, event_type,
+       CAST(value > median(value) OVER (PARTITION BY event_type) AS INT) AS above_median
+FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_above_median": QuerySpec(q_events_above_median, _EVENTS_ABOVE_MEDIAN_SQL),
     "events_asof_attribution": QuerySpec(q_events_asof_attribution, _EVENTS_ASOF_SQL),
     "events_salted_totals": QuerySpec(q_events_salted_totals, _EVENTS_SALTED_SQL),
     "events_hourly": QuerySpec(q_events_hourly, _EVENTS_HOURLY_SQL),

@@ -212,7 +212,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_rows = (
         cents.crossJoin(query)
-        .select("cid", I.pairwise_l2_expr("cent", "q_emb", dim).alias("d"))
+        .select("cid", I.pairwise_affinity_expr("cent", "q_emb", dim).alias("d"))
         .orderBy("d", "cid")
         .limit(IVF_NPROBE)
         .collect()
@@ -234,7 +234,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle() -> str:
-    from ..operators.ivf import duck_l2
+    from ..operators.ivf import duck_ivf_dist
 
     cos = S.cosine("e.embedding", "q.qe")[1]
     return f"""
@@ -244,14 +244,14 @@ WITH cents AS (
     SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
 ), probe AS (
     SELECT cid FROM (
-        SELECT cid, row_number() OVER (ORDER BY {duck_l2("cent", "qe")}, cid) AS rn
+        SELECT cid, row_number() OVER (ORDER BY {duck_ivf_dist("cent", "qe")}, cid) AS rn
         FROM cents, q
     ) WHERE rn <= {IVF_NPROBE}
 ), assigned AS (
     SELECT vec_id, label, embedding, cid AS ivf_cid FROM (
         SELECT e.vec_id, e.label, e.embedding, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {duck_l2("e.embedding", "c.cent")}, c.cid) AS rn
+                                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
         FROM embeddings e, cents c
     ) WHERE rn = 1
 )
