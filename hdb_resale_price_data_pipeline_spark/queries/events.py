@@ -278,7 +278,44 @@ FROM events
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/rangejoin.py): classify event
+    values into value bands derived from nation (band i = [i·20, i·20+20)
+    doubled width for odd ids — non-uniform so bucketization is honest).
+    Oracle is the plain theta join."""
+    from ..operators.rangejoin import range_join_bucketed
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    bands = t(spark, sf_dir, "nation").select(
+        col("n_name").alias("band_name"),
+        (col("n_nationkey") * 20.0).alias("lo"),
+        (col("n_nationkey") * 20.0 + F.when(col("n_nationkey") % 2 == 1, 40.0).otherwise(20.0)).alias("hi"),
+    )
+    joined = range_join_bucketed(ev, bands, "value", "lo", "hi", bucket_width=25.0)
+    return joined.groupBy("band_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_EVENTS_RANGE_JOIN_SQL = """
+WITH bands AS (
+    SELECT n_name AS band_name,
+           n_nationkey * 20.0 AS lo,
+           n_nationkey * 20.0 + CASE WHEN n_nationkey % 2 = 1 THEN 40.0 ELSE 20.0 END AS hi
+    FROM nation
+)
+SELECT band_name,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+JOIN bands ON value >= lo AND value < hi
+GROUP BY band_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_range_join": QuerySpec(q_events_range_join, _EVENTS_RANGE_JOIN_SQL),
     "events_above_median": QuerySpec(q_events_above_median, _EVENTS_ABOVE_MEDIAN_SQL),
     "events_asof_attribution": QuerySpec(q_events_asof_attribution, _EVENTS_ASOF_SQL),
     "events_salted_totals": QuerySpec(q_events_salted_totals, _EVENTS_SALTED_SQL),
