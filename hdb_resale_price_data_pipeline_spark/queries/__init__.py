@@ -16,12 +16,12 @@ comparison sorts columns by name before value-hashing.
 from __future__ import annotations
 
 from .base import QuerySpec
-from . import dedup, events, extensions, relational, similarity, text
+from . import dedup, events, extensions, relational, similarity, text, tpch_extra
 
 
 def all_queries() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
-    for module in (relational, events, dedup, text, similarity, extensions):
+    for module in (relational, tpch_extra, events, dedup, text, similarity, extensions):
         overlap = out.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

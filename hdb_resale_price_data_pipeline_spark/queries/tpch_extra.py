@@ -1,0 +1,187 @@
+"""Additional TPC-H-shaped queries (Q6/Q14/Q18/Q19/Q22 adapted to the
+testdata's columns) — breadth for the relational surface: conditional
+aggregate ratios, HAVING, disjunctive pushdown, scalar subqueries,
+approximate aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from .base import QuerySpec, t
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter-agg; every predicate must reach the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (col("l_shipdate") >= F.lit("1996-01-01"))
+            & (col("l_shipdate") < F.lit("1997-01-01"))
+            & (col("l_discount") >= 0.05)
+            & (col("l_discount") <= 0.07)
+            & (col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(col("l_extendedprice") * col("l_discount")), 2).alias("revenue"))
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1997-01-01")) & (col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = col("l_extendedprice") * (1 - col("l_discount"))
+    return (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_pct")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg + HAVING + join back + top-k."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            F.round(col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(col("totalprice").desc(), col("o_orderkey"))
+        .limit(20)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       total_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands — the optimizer must still push the common join key."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    joined = li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+    bands = (
+        ((col("p_brand") == "Brand#1") & (col("p_size").between(1, 15)) & (col("l_quantity").between(1, 20)))
+        | ((col("p_brand") == "Brand#2") & (col("p_size").between(16, 35)) & (col("l_quantity").between(10, 30)))
+        | ((col("p_brand") == "Brand#3") & (col("p_size").between(36, 50)) & (col("l_quantity").between(20, 40)))
+    )
+    return joined.filter(bands).agg(
+        F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 36 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg of positive
+    balances) + anti join, grouped by nation."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        customer.filter(col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+        .first()
+        .ab
+    )
+    return (
+        customer.filter(col("c_acctbal") > avg_bal)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, quantile sketch) — sketch
+    internals differ across engines, so this is a rows-only driver check;
+    tests/test_approx.py bounds the error against exact values."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, _Q6_SQL),
+    "q14_promo_revenue": QuerySpec(q14_promo_revenue, _Q14_SQL),
+    "q18_large_orders": QuerySpec(q18_large_orders, _Q18_SQL),
+    "q19_disjunctive": QuerySpec(q19_disjunctive, _Q19_SQL),
+    "q22_idle_customers": QuerySpec(q22_idle_customers, _Q22_SQL),
+    "approx_stats": QuerySpec(q_approx_stats, None),
+}
