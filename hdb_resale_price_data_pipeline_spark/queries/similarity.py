@@ -263,7 +263,26 @@ LIMIT {TOP_K}
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook IVF: 3 Lloyd iterations (operators/kmeans.py)
+    then cluster histogram. Iterative algorithm → rows-only driver check
+    (invariants tested in tests/test_kmeans.py)."""
+    from ..operators.kmeans import kmeans_assign, kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    codebook = kmeans_fit(emb, "embedding", "vec_id", k=IVF_K, max_iter=3)
+    return (
+        kmeans_assign(widen(emb), "embedding", codebook)
+        .groupBy("ivf_cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_kmeans_clusters": QuerySpec(q_kmeans_clusters, None),
     "emb_ivf_topk": QuerySpec(q_ivf_topk, _ivf_oracle()),
     "emb_cosine_topk": QuerySpec(q_cosine_topk, _cosine_topk_oracle()),
     "emb_near_dup_pairs": QuerySpec(q_near_dup_pairs, _near_dup_oracle()),

@@ -46,6 +46,9 @@ def get_spark_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter pushdown: a selective join side prunes the
+        # big side's scan at row-group granularity (100 TB win)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # --- shuffle sizing: local tests use core count; a cluster run
         # would raise initialPartitionNum and let AQE coalesce down ---
         .config("spark.sql.shuffle.partitions", str(n_shuffle))

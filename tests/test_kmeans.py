@@ -1,0 +1,33 @@
+"""k-means invariants: deterministic, objective non-increasing, trained
+codebook beats the sampled one."""
+
+from __future__ import annotations
+
+from conftest import TEST_SF_DIR
+from hdb_resale_price_data_pipeline_spark.operators.kmeans import (
+    inertia,
+    kmeans_assign,
+    kmeans_fit,
+)
+from hdb_resale_price_data_pipeline_spark.sources import read_table
+
+
+def test_kmeans_deterministic_and_improving(spark):
+    emb = read_table(spark, TEST_SF_DIR, "embeddings")
+    cb0 = kmeans_fit(emb, "embedding", "vec_id", k=8, max_iter=0)  # sampled init
+    cb5 = kmeans_fit(emb, "embedding", "vec_id", k=8, max_iter=5)
+    cb5_again = kmeans_fit(emb, "embedding", "vec_id", k=8, max_iter=5)
+    assert cb5 == cb5_again  # deterministic end to end
+
+    i0 = inertia(emb, "embedding", cb0)
+    i5 = inertia(emb, "embedding", cb5)
+    assert i5 <= i0  # Lloyd never increases the objective
+    assert i5 < i0 * 0.999  # and actually moved on this data
+
+    assigned = kmeans_assign(emb, "embedding", cb5)
+    counts = dict(
+        (r.ivf_cid, r.n)
+        for r in assigned.groupBy("ivf_cid").count().withColumnRenamed("count", "n").collect()
+    )
+    assert sum(counts.values()) == emb.count()
+    assert len(counts) >= 2  # didn't collapse to one cluster

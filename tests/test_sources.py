@@ -100,3 +100,29 @@ def test_bucketed_join_avoids_shuffle(spark):
     plan = _plan(joined)
     assert "Exchange hashpartitioning" not in plan  # co-located, no shuffle
     assert joined.count() == li.count()
+
+
+def test_sink_roundtrips(spark, tmp_path):
+    """CSV/JSON/ORC sink → read round-trips preserve values (parquet is
+    exercised everywhere else)."""
+    src = (
+        read_table(spark, TEST_SF_DIR, "nation")
+        .selectExpr("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+    want = [tuple(r) for r in src.collect()]
+
+    csv_path = str(tmp_path / "nation_csv")
+    src.write.mode("overwrite").option("header", True).csv(csv_path)
+    got_csv = spark.read.option("header", True).option("inferSchema", True).csv(csv_path)
+    assert sorted(tuple(r) for r in got_csv.collect()) == sorted(want)
+
+    json_path = str(tmp_path / "nation_json")
+    src.write.mode("overwrite").json(json_path)
+    got_json = spark.read.json(json_path).select("n_nationkey", "n_name", "n_regionkey")
+    assert sorted(tuple(r) for r in got_json.collect()) == sorted(want)
+
+    orc_path = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(orc_path)
+    got_orc = spark.read.orc(orc_path)
+    assert sorted(tuple(r) for r in got_orc.collect()) == sorted(want)
