@@ -184,7 +184,22 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {NGRAM_THRESHOLD}
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: MinHash-LSH candidate pairs → Jaccard
+    verification → connected components → duplicate clusters with a
+    canonical survivor. Iterative label propagation → rows-only driver
+    check (exactness vs a union-find model in tests/test_components.py).
+    """
+    from ..operators.components import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_band_pairs(docs, "doc_id", "text", SHINGLE_LEN, NUM_BANDS, ROWS_PER_BAND)
+    verified = verify_jaccard_pairs(pairs, docs, "doc_id", "text", MINHASH_VERIFY_THRESHOLD)
+    return dedup_clusters(verified)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_clusters": QuerySpec(q_dedup_clusters, None),
     "dedup_exact": QuerySpec(q_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_least_nulls": QuerySpec(q_dedup_least_nulls, _DEDUP_LEAST_NULLS_SQL),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_oracle()),

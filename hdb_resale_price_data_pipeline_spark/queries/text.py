@@ -148,7 +148,71 @@ FROM documents
 """.replace("{ws}", H.tokens("text")[1])
 
 
+def q_text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (NOT random
+    sampling — hash-based splits are reproducible across runs, engines,
+    and re-shards, which is what a training pipeline actually needs).
+    80/10/10 on fingerprint mod 100."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    bucket = T.fingerprint("text") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_TRAIN_TEST_SQL = f"""
+SELECT lang, split, count(*) AS n_docs
+FROM (
+    SELECT lang,
+           CASE WHEN ({T.fingerprint_duck("text")}) % 100 < 80 THEN 'train'
+                WHEN ({T.fingerprint_duck("text")}) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+GROUP BY lang, split
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition signal (gopher-style): the share of a
+    document's 2-grams taken by its most frequent 2-gram. Explode →
+    count per (doc, gram) → max/sum ratio — the scalable shuffle-agg
+    formulation, not a per-row quadratic scan."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(H.shingles(H.tokens("text"), 2)[0])).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top_gram_ratio"),
+        F.max("c").alias("top_gram_count"),
+        F.sum("c").alias("n_grams"),
+    )
+
+
+_TEXT_REPETITION_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, unnest({H.shingles(H.tokens("text"), 2)[1]}) AS gram FROM documents
+), per_gram AS (
+    SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_gram_ratio,
+       max(c) AS top_gram_count,
+       sum(c) AS n_grams
+FROM per_gram
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_train_test_split": QuerySpec(q_text_train_test_split, _TRAIN_TEST_SQL),
+    "text_repetition": QuerySpec(q_text_repetition, _TEXT_REPETITION_SQL),
     "text_bpe_tokens": QuerySpec(q_text_bpe_tokens, _TEXT_BPE_SQL),
     "text_stats": QuerySpec(q_text_stats, _TEXT_STATS_SQL),
     "text_quality": QuerySpec(q_text_quality, _TEXT_QUALITY_SQL),

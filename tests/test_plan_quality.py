@@ -115,3 +115,23 @@ def test_minhash_is_bucket_join_not_cross_join(spark):
     plan = _plan(REGISTRY["dedup_minhash_lsh"].fn(spark, TEST_SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    plan = _plan(REGISTRY["events_range_join"].fn(spark, TEST_SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """Union-sort as-of join: one hash exchange (the key window), no
+    range/nested-loop join anywhere."""
+    plan = _plan(REGISTRY["events_asof_attribution"].fn(spark, TEST_SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _shuffles(plan) == 1
+
+
+def test_salted_agg_two_small_shuffles(spark):
+    plan = _plan(REGISTRY["events_salted_totals"].fn(spark, TEST_SF_DIR))
+    assert _shuffles(plan) == 2  # salted partial + final reduce
+    assert "partial_sum" in plan
