@@ -104,3 +104,74 @@ def test_custom_stateful_sessionizer_across_batches(spark):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_watermark_finalized_windows_emit_exactly_once(spark, tmp_path):
+    """Watermark guarantee (the real one): a window finalized by the
+    watermark is emitted exactly once in append mode, and a late event
+    targeting it must NOT cause a second emission or a changed count.
+    (Spark does NOT guarantee dropping of late rows into never-evicted
+    window slots — observed on 4.1: such rows still aggregate — so the
+    assertion is on finalized-window immutability, which IS guaranteed.)
+    """
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from hdb_resale_price_data_pipeline_spark.streaming import (
+        run_stream_to_df,
+        stream_hourly_tumbling,
+    )
+    from hdb_resale_price_data_pipeline_spark.streaming.stateful import _staged_schema
+
+    stage = str(tmp_path / "late_src")
+    os.makedirs(stage)
+
+    def write_batch(i, rows):
+        tmp = str(tmp_path / f"_w{i}")
+        spark.createDataFrame(rows, _staged_schema()).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dest = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], dest)
+        os.utime(dest, (1_700_000_000 + i * 100,) * 2)
+
+    import datetime
+
+    def ev(eid, hhmm, etype="click", value=1.0):
+        h, m = divmod(hhmm, 100)
+        return Row(
+            event_id=eid,
+            ts=datetime.datetime(2024, 1, 1, h, m),
+            user_id=1,
+            event_type=etype,
+            value=value,
+            props="{}",
+        )
+
+    # batch 1: events in hour 00 and hour 06 → watermark advances to
+    # 04:00 at batch end
+    write_batch(0, [ev(1, 00), ev(2, 30), ev(3, 600)])
+    # batch 2 (all on-time): processing under watermark 04:00 finalizes
+    # and emits window [00:00, 01:00) with its 2 on-time events
+    write_batch(1, [ev(6, 630)])
+    # batch 3: a LATE event into the already-evicted hour-00 window —
+    # its state is gone and watermark is past; must not re-emit
+    write_batch(2, [ev(4, 15), ev(5, 700)])
+
+    raw = (
+        spark.readStream.schema(_staged_schema())
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
+    out = run_stream_to_df(stream_hourly_tumbling(raw), spark).collect()
+    rows_00 = [r for r in out if r.window_start == "2024-01-01 00:00:00"]
+    # exactly one emission, with exactly the on-time count — the late
+    # event_id=4 neither re-emits nor mutates the finalized window
+    assert len(rows_00) == 1 and rows_00[0].n_events == 2
+    # trailing windows (06:00, 07:00) are still open at end-of-stream
+    # (watermark 05:00 < their ends) — append mode holds them
+    assert all(r.window_start < "2024-01-01 06:00:00" for r in out)
