@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "emb_ivf_topk",
     "events_asof_attribution",
     "events_salted_totals",
+    "multimodal_features",
 ]
 
 

@@ -682,7 +682,44 @@ FROM cleaned
 """
 
 
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality contract run (operators/quality.py): uniqueness,
+    non-null, referential integrity, range — one row of violation
+    counts over orders/customer."""
+    from ..operators.quality import (
+        check_not_null,
+        check_range,
+        check_referential,
+        check_unique,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    uniq = check_unique(orders, ["o_orderkey"])
+    nn = check_not_null(orders, ["o_custkey", "o_totalprice", "o_orderdate"])
+    ri = check_referential(orders, "o_custkey", customer, "c_custkey")
+    rng = check_range(orders, {"o_totalprice": (0.0, 10_000_000.0)})
+    return uniq.crossJoin(nn).crossJoin(ri).crossJoin(rng)
+
+
+_DQ_CHECKS_SQL = """
+SELECT
+    (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS duplicate_keys,
+    (SELECT coalesce(sum(n - 1), 0) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS excess_rows,
+    (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS nulls_o_custkey,
+    (SELECT count(*) FROM orders WHERE o_totalprice IS NULL) AS nulls_o_totalprice,
+    (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS nulls_o_orderdate,
+    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)) AS orphan_rows,
+    (SELECT count(DISTINCT o_custkey) FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)) AS orphan_keys,
+    (SELECT count(*) FROM orders
+     WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 10000000.0)) AS oob_o_totalprice
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_checks": QuerySpec(q_dq_checks, _DQ_CHECKS_SQL),
     "active_customers_semi": QuerySpec(q_active_customers_semi, _ACTIVE_SEMI_SQL),
     "hdb_cleaning_semantics": QuerySpec(q_hdb_cleaning_semantics, _HDB_CLEANING_SQL),
     "orders_cube": QuerySpec(q_orders_cube, _ORDERS_CUBE_SQL),
