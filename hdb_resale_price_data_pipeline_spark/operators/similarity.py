@@ -76,11 +76,25 @@ def cosine_expr(a: str, b: str, decimals: int = 6, dim: int | None = None) -> Co
     return F.expr(cosine(a, b, decimals, dim)[0])
 
 
+_DIM_CACHE: dict[tuple[int, str], int] = {}
+
+
 def embedding_dim(df, col_name: str = "embedding") -> int:
     """Read the (fixed) vector dimensionality from one row — a tiny
-    planning-time job that unlocks the codegen dot-product path."""
+    planning-time job that unlocks the codegen dot-product path.
+    Memoized per (session, source files): repeated queries in one
+    session (the driver runs dozens) skip the extra job."""
+    try:
+        key = (id(df.sparkSession.sparkContext), "|".join(sorted(df.inputFiles())) + col_name)
+    except Exception:
+        key = None
+    if key is not None and key in _DIM_CACHE:
+        return _DIM_CACHE[key]
     row = df.selectExpr(f"size({col_name}) AS d").first()
-    return int(row.d)
+    dim = int(row.d)
+    if key is not None:
+        _DIM_CACHE[key] = dim
+    return dim
 
 
 def _plane(i: str, j: int) -> str:
