@@ -120,7 +120,7 @@ WITH flagged AS (
     FROM sessions GROUP BY 1, 2
 )
 SELECT user_id,
-       max(session_seq) AS n_sessions,
+       CAST(max(session_seq) AS BIGINT) AS n_sessions,
        round(avg(n_events), 2) AS avg_events_per_session,
        max(n_events) AS max_session_events
 FROM per_session

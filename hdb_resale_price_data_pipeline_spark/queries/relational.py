@@ -705,7 +705,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DQ_CHECKS_SQL = """
 SELECT
     (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS duplicate_keys,
-    (SELECT coalesce(sum(n - 1), 0) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS excess_rows,
+    (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS excess_rows,
     (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS nulls_o_custkey,
     (SELECT count(*) FROM orders WHERE o_totalprice IS NULL) AS nulls_o_totalprice,
     (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS nulls_o_orderdate,

@@ -204,7 +204,7 @@ WITH grams AS (
 SELECT doc_id,
        round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_gram_ratio,
        max(c) AS top_gram_count,
-       sum(c) AS n_grams
+       CAST(sum(c) AS BIGINT) AS n_grams
 FROM per_gram
 GROUP BY doc_id
 """

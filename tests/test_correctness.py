@@ -33,9 +33,16 @@ def _canon(value):
         v = float(value)
         if v == 0.0:
             v = 0.0  # collapse negative zero
-        return f"{v:.9g}"
+        s = f"{v:.9g}"
+        # Dtype-sensitive like the driver's hash: a float-typed 53.0 must
+        # NOT canonicalize to the same string as an int-typed 53 (DuckDB
+        # HUGEINT sums surface as float64 in pandas and failed the driver
+        # gate in r01 while this replica stayed green).
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(value, decimal.Decimal):
-        return f"{float(value):.9g}"
+        return _canon(float(value))
     return str(value)
 
 
