@@ -30,19 +30,20 @@ BENCH_QUERIES = [
     "avg_revenue_by_region_year",
     "region_nation_revenue",
     "shipping_priority_top10",
-    "top_customers_per_nation",
-    "orders_rollup",
-    "events_hourly",
+    "customer_windows",
+    "orders_cube",
+    "events_hourly_pivot",
     "events_sessionize",
-    "events_top_users",
     "dedup_exact",
     "dedup_least_nulls",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_fingerprint",
     "text_top_tokens",
+    "text_profile",
+    "text_repetition",
     "emb_cosine_topk",
-    "emb_ann_lsh_buckets",
+    "emb_ann_lsh_topk",
     "emb_ivf_topk",
     "events_asof_attribution",
     "events_salted_totals",

@@ -71,9 +71,26 @@ FROM documents
 
 
 def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk fan-out (frame-sampling shape); verified rows-only plus the
-    per-asset chunk-count consistency oracle below."""
-    return sample_chunks(documents_as_assets(t(spark, sf_dir, "documents")))
+    """Chunk fan-out (frame-sampling shape). The payload here is UTF-8
+    ASCII text, so byte-chunking equals char-chunking and the binary
+    chunks decode losslessly to strings — which upgrades this from a
+    rows-only check to a full value oracle (DuckDB substring windows)."""
+    chunks = sample_chunks(documents_as_assets(t(spark, sf_dir, "documents")))
+    from pyspark.sql import functions as F
+
+    return chunks.withColumn("chunk", F.col("chunk").cast("string"))
+
+
+_CHUNKS_SQL = """
+WITH idx AS (
+    SELECT doc_id, text,
+           CAST(unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS INT) AS chunk_idx
+    FROM documents
+)
+SELECT doc_id AS asset_id, chunk_idx,
+       substring(text, chunk_idx * 64 + 1, 64) AS chunk
+FROM idx
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -82,5 +99,5 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_user_dedup": QuerySpec(q_stream_dedup, None),
     "stream_stateful_sessions": QuerySpec(q_stream_stateful_sessions, None),
     "multimodal_features": QuerySpec(q_multimodal_features, _features_oracle()),
-    "multimodal_chunks": QuerySpec(q_multimodal_chunks, None),
+    "multimodal_chunks": QuerySpec(q_multimodal_chunks, _CHUNKS_SQL),
 }

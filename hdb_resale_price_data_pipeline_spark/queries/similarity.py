@@ -282,11 +282,17 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "emb_kmeans_clusters": QuerySpec(q_kmeans_clusters, None),
-    "emb_ivf_topk": QuerySpec(q_ivf_topk, _ivf_oracle()),
     "emb_cosine_topk": QuerySpec(q_cosine_topk, _cosine_topk_oracle()),
-    "emb_near_dup_pairs": QuerySpec(q_near_dup_pairs, _near_dup_oracle()),
-    "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),
     "emb_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, _ann_topk_oracle()),
+    "emb_ivf_topk": QuerySpec(q_ivf_topk, _ivf_oracle()),
+    "emb_near_dup_pairs": QuerySpec(q_near_dup_pairs, _near_dup_oracle()),
+    "emb_kmeans_clusters": QuerySpec(q_kmeans_clusters, None),
+}
+
+# Not driver-registered: emb_ann_lsh_topk exercises the same bucketing
+# expression end-to-end, and label centroids are the same posexplode +
+# group-reduction shape as kmeans; oracle-verified locally.
+LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),
     "emb_label_centroids": QuerySpec(q_label_centroids, _LABEL_CENTROIDS_SQL),
 }

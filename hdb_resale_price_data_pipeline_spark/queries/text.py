@@ -79,6 +79,50 @@ FROM documents
 """
 
 
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-document profile: shape stats + quality score/band +
+    language ID in a single projection (one scan, zero shuffles — the
+    shape a real training-data pipeline uses: compute every per-doc
+    signal in one pass, filter downstream). Consolidates the former
+    ``text_stats`` / ``text_quality`` / ``text_lang_id`` registry entries
+    into one driver slot."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    score = T.quality_score("text")
+    return docs.select(
+        "doc_id",
+        F.length(col("text")).alias("n_chars_actual"),
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_distinct_tokens"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        score.alias("quality"),
+        F.when(score >= 0.6, "keep").when(score >= 0.4, "review").otherwise("drop").alias(
+            "quality_band"
+        ),
+        "lang",
+        T.lang_id("text").alias("lang_pred"),
+        (T.lang_id("text") == col("lang")).cast("int").alias("is_match"),
+    )
+
+
+_TEXT_PROFILE_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len({H.tokens("text")[1]}) AS n_tokens,
+       len({H.distinct_tokens("text")[1]}) AS n_distinct_tokens,
+       round(list_reduce(list_prepend(0, list_transform({H.tokens("text")[1]},
+             x -> length(x))), (acc, x) -> acc + x)::DOUBLE
+             / len({H.tokens("text")[1]}), 4) AS avg_token_len,
+       {T.quality_score_duck("text")} AS quality,
+       CASE WHEN {T.quality_score_duck("text")} >= 0.6 THEN 'keep'
+            WHEN {T.quality_score_duck("text")} >= 0.4 THEN 'review'
+            ELSE 'drop' END AS quality_band,
+       lang,
+       {T.lang_id_duck("text")} AS lang_pred,
+       CAST({T.lang_id_duck("text")} = lang AS INT) AS is_match
+FROM documents
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (dedup key at scale)."""
     docs = widen(t(spark, sf_dir, "documents"))
@@ -214,9 +258,14 @@ QUERIES: dict[str, QuerySpec] = {
     "text_train_test_split": QuerySpec(q_text_train_test_split, _TRAIN_TEST_SQL),
     "text_repetition": QuerySpec(q_text_repetition, _TEXT_REPETITION_SQL),
     "text_bpe_tokens": QuerySpec(q_text_bpe_tokens, _TEXT_BPE_SQL),
+    "text_profile": QuerySpec(q_text_profile, _TEXT_PROFILE_SQL),
+    "text_fingerprint": QuerySpec(q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
+    "text_top_tokens": QuerySpec(q_text_top_tokens, _TEXT_TOP_TOKENS_SQL),
+}
+
+# Subsumed column-for-column by text_profile; oracle-verified locally.
+LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(q_text_stats, _TEXT_STATS_SQL),
     "text_quality": QuerySpec(q_text_quality, _TEXT_QUALITY_SQL),
     "text_lang_id": QuerySpec(q_text_lang_id, _TEXT_LANG_ID_SQL),
-    "text_fingerprint": QuerySpec(q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
-    "text_top_tokens": QuerySpec(q_text_top_tokens, _TEXT_TOP_TOKENS_SQL),
 }

@@ -164,6 +164,57 @@ GROUP BY c_nationkey
 """
 
 
+def q_lineitem_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 + Q14 + Q19 consolidated into one labeled (metric, value)
+    result — one driver slot for three single-row filter-agg demos. Each
+    branch keeps its original plan (scan-level predicate pushdown for Q6,
+    conditional-aggregate ratio over a broadcast join for Q14, disjunctive
+    band pushdown for Q19); Q19's two output columns are unpivoted via
+    ``stack`` so the whole suite stays one pass per branch."""
+    q6 = q6_forecast_revenue(spark, sf_dir).select(
+        F.lit("q6_forecast_revenue").alias("metric"),
+        col("revenue").cast("double").alias("value"),
+    )
+    q14 = q14_promo_revenue(spark, sf_dir).select(
+        F.lit("q14_promo_pct").alias("metric"),
+        col("promo_pct").cast("double").alias("value"),
+    )
+    q19 = q19_disjunctive(spark, sf_dir).select(
+        F.expr(
+            "stack(2, 'q19_revenue', CAST(revenue AS DOUBLE), "
+            "'q19_n_lines', CAST(n_lines AS DOUBLE)) AS (metric, value)"
+        )
+    )
+    return q6.unionByName(q14).unionByName(q19)
+
+
+_FILTER_SUITE_SQL = f"""
+SELECT 'q6_forecast_revenue' AS metric, value FROM (
+    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS value
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+)
+UNION ALL
+SELECT 'q14_promo_pct' AS metric, value FROM (
+    SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+)
+UNION ALL
+SELECT metric, value FROM (
+    SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS q19_revenue,
+           CAST(count(*) AS DOUBLE) AS q19_n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 36 AND 50 AND l_quantity BETWEEN 20 AND 40)
+) UNPIVOT (value FOR metric IN (q19_revenue, q19_n_lines))
+"""
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ across engines, so this is a rows-only driver check;
@@ -178,10 +229,17 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "lineitem_filter_suite": QuerySpec(q_lineitem_filter_suite, _FILTER_SUITE_SQL),
+    "q18_large_orders": QuerySpec(q18_large_orders, _Q18_SQL),
+    "approx_stats": QuerySpec(q_approx_stats, None),
+}
+
+# Subsumed by lineitem_filter_suite (q6/q14/q19) or near-duplicate of
+# graded demos (q22 = scalar subquery + anti join, both graded elsewhere);
+# still oracle-verified by tests/test_correctness.py.
+LOCAL_QUERIES: dict[str, QuerySpec] = {
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, _Q6_SQL),
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, _Q14_SQL),
-    "q18_large_orders": QuerySpec(q18_large_orders, _Q18_SQL),
     "q19_disjunctive": QuerySpec(q19_disjunctive, _Q19_SQL),
     "q22_idle_customers": QuerySpec(q22_idle_customers, _Q22_SQL),
-    "approx_stats": QuerySpec(q_approx_stats, None),
 }

@@ -9,11 +9,13 @@ import math
 
 import pytest
 
-from hdb_resale_price_data_pipeline_spark.queries import all_queries
+from hdb_resale_price_data_pipeline_spark.queries import local_queries
 
 from conftest import TEST_SF_DIR
 
-REGISTRY = all_queries()
+# Superset of the driver-graded registry: includes per-module
+# LOCAL_QUERIES demoted out of the driver's 50-entry window.
+REGISTRY = local_queries()
 
 
 def _canon(value):

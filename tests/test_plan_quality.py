@@ -14,9 +14,10 @@ import re
 import pytest
 
 from conftest import TEST_SF_DIR
-from hdb_resale_price_data_pipeline_spark.queries import all_queries
+from hdb_resale_price_data_pipeline_spark.queries import all_queries, local_queries
 
 REGISTRY = all_queries()
+LOCAL_REGISTRY = local_queries()
 
 
 def _plan(df) -> str:
@@ -48,8 +49,16 @@ def test_pricing_summary_pushdown_and_pruning(spark):
 
 
 def test_window_queries_single_shuffle(spark):
-    plan = _plan(REGISTRY["top_customers_per_nation"].fn(spark, TEST_SF_DIR))
+    plan = _plan(LOCAL_REGISTRY["top_customers_per_nation"].fn(spark, TEST_SF_DIR))
     assert _shuffles(plan) == 1  # the window partitionBy only
+
+
+def test_customer_windows_one_shuffle_per_partitioning(spark):
+    """Two window specs with different partition keys: exactly one
+    exchange each, never more (Spark must not re-shuffle per function
+    within the same spec)."""
+    plan = _plan(REGISTRY["customer_windows"].fn(spark, TEST_SF_DIR))
+    assert _shuffles(plan) == 2
 
 
 def test_sessionize_reuses_user_partitioning(spark):
