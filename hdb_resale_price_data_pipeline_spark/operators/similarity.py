@@ -76,16 +76,29 @@ def cosine_expr(a: str, b: str, decimals: int = 6, dim: int | None = None) -> Co
     return F.expr(cosine(a, b, decimals, dim)[0])
 
 
-_DIM_CACHE: dict[tuple[int, str], int] = {}
+_DIM_CACHE: dict[tuple[str, str], int] = {}
+
+
+def session_cache_key(spark) -> str:
+    """Stable per-session cache key: applicationId (unique per started
+    SparkContext) — unlike ``id()``, never reused after GC."""
+    return str(spark.sparkContext.applicationId)
 
 
 def embedding_dim(df, col_name: str = "embedding") -> int:
     """Read the (fixed) vector dimensionality from one row — a tiny
     planning-time job that unlocks the codegen dot-product path.
     Memoized per (session, source files): repeated queries in one
-    session (the driver runs dozens) skip the extra job."""
+    session (the driver runs dozens) skip the extra job. Memoization is
+    SKIPPED for non-file-backed frames (``inputFiles()`` empty): two
+    in-memory frames with different dims must never share an entry."""
     try:
-        key = (id(df.sparkSession.sparkContext), "|".join(sorted(df.inputFiles())) + col_name)
+        files = df.inputFiles()
+        key = (
+            (session_cache_key(df.sparkSession), "|".join(sorted(files)) + col_name)
+            if files
+            else None
+        )
     except Exception:
         key = None
     if key is not None and key in _DIM_CACHE:
