@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import seeds
 from ..schemas import RAW_PROPNEX_SCHEMA, RAW_SRX_SCHEMA
 from ..sources.readers import read_historical_csv_dir, read_listing_json
+from ..sources.warehouse import load_day_partitioned
 from .historical import historical_pipeline
 from .merge import merge_dedup_pipeline
 from .propnex import propnex_pipeline
@@ -68,3 +69,60 @@ def run_scraped(
     merged = merge_dedup_pipeline(p, s, as_of)
     write_warehouse(merged, out_path, partition_col="transformed_date")
     return merged
+
+
+def run_all(
+    spark: SparkSession,
+    csv_dir: str,
+    propnex_json: str,
+    srx_json: str,
+    warehouse_dir: str,
+    as_of: datetime.date | None = None,
+) -> dict[str, DataFrame]:
+    """One full DAG run, reproducing the reference's task graph
+    (dags/pipeline.py:282-288): propnex ∥ srx transforms feed
+    ``merge_dedup`` which loads the scraped-data table; the historical
+    transform loads its table independently. Both loads are incremental
+    day-partitioned (``load_day_partitioned``) on the same keys as the
+    reference's DAY-partitioned BigQuery tables (``date_of_sale`` /
+    ``transformed_date``), so a daily scheduler can call this once per
+    ``as_of`` and re-runs are idempotent.
+
+    Spark note: the two branches are independent *jobs*, not tasks — on
+    a shared session, scheduling them concurrently is a driver-thread
+    concern; expressing them as separate actions here keeps either
+    branch's failure from poisoning the other, matching the DAG.
+    """
+    as_of = as_of or datetime.date.today()
+    district_code = seeds.district_code(spark)
+    district_region = seeds.district_region(spark)
+
+    # Branch 1 (independent): historical CSV fold → transform → load.
+    historical = historical_pipeline(
+        read_historical_csv_dir(spark, csv_dir),
+        seeds.town_district(spark),
+        district_code,
+        district_region,
+    )
+    load_day_partitioned(
+        historical, f"{warehouse_dir}/historical_data", "date_of_sale"
+    )
+
+    # Branch 2: propnex ∥ srx → merge_dedup → load.
+    p = propnex_pipeline(
+        read_listing_json(spark, propnex_json, RAW_PROPNEX_SCHEMA),
+        district_code,
+        district_region,
+        as_of.year,
+    )
+    s = srx_pipeline(
+        read_listing_json(spark, srx_json, RAW_SRX_SCHEMA),
+        district_code,
+        district_region,
+        seeds.agency(spark),
+        as_of.year,
+    )
+    merged = merge_dedup_pipeline(p, s, as_of)
+    load_day_partitioned(merged, f"{warehouse_dir}/scraped_data", "transformed_date")
+
+    return {"historical": historical, "scraped": merged}

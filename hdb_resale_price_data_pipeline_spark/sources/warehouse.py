@@ -19,6 +19,26 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def load_day_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Incremental day-partitioned warehouse load (K2): the Spark-native
+    equivalent of the reference's WRITE_APPEND into DAY-partitioned
+    BigQuery tables (dags/pipeline.py:231-247 historical on
+    ``date_of_sale``, :264-272 scraped on ``transformed_date``).
+
+    Dynamic partition overwrite makes the daily load IDEMPOTENT where a
+    plain append is not: only the date partitions present in ``df`` are
+    replaced, earlier days stay untouched, and re-running a failed or
+    repeated day never duplicates rows. At 100 TB this is also the cheap
+    path — the job rewrites one day's partition, never the table.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

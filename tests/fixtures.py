@@ -252,6 +252,21 @@ HISTORICAL_CSV_B = """month,town,flat_type,block,street_name,storey_range,floor_
 """
 
 
+def write_listing_jsons(tmpdir: str) -> tuple[str, str]:
+    """Write the propnex/srx rows as multiline row-array JSON — the
+    scraper output shape read_listing_json (S3) expects."""
+    import json
+    import os
+
+    p = os.path.join(tmpdir, "propnex.json")
+    s = os.path.join(tmpdir, "srx.json")
+    with open(p, "w") as f:
+        json.dump(PROPNEX_ROWS, f, indent=1)
+    with open(s, "w") as f:
+        json.dump(SRX_ROWS, f, indent=1)
+    return p, s
+
+
 def write_historical_csvs(tmpdir: str) -> str:
     import os
 

@@ -174,3 +174,38 @@ def test_historical_pipeline(spark, tmp_path):
 
     v2 = next(r for r in rows if r.block == "302")
     assert v2.year == 2020 and v2.price == 650000  # second vintage parsed
+
+
+def test_run_all_dag_end_to_end(spark, tmp_path):
+    """run_all reproduces the reference DAG (dags/pipeline.py:282-288):
+    propnex ∥ srx → merge_dedup → scraped table; historical independent.
+    Golden path from raw fixtures to both warehouse tables, and a re-run
+    for the same as_of day must be idempotent (K2 incremental load)."""
+    from hdb_resale_price_data_pipeline_spark.plans.runner import run_all
+    from hdb_resale_price_data_pipeline_spark.schemas import (
+        HISTORICAL_COLUMNS as HCOLS,
+    )
+
+    csv_dir = fixtures.write_historical_csvs(str(tmp_path))
+    propnex_json, srx_json = fixtures.write_listing_jsons(str(tmp_path))
+    wh = str(tmp_path / "warehouse")
+
+    out = run_all(spark, csv_dir, propnex_json, srx_json, wh, as_of=AS_OF)
+
+    hist = spark.read.parquet(f"{wh}/historical_data")
+    scraped = spark.read.parquet(f"{wh}/scraped_data")
+    # partitionBy moves the key to the end; content must round-trip
+    assert sorted(hist.columns) == sorted(HCOLS)
+    assert sorted(scraped.columns) == sorted(LISTING_COLUMNS)
+    assert hist.count() == out["historical"].count() == 5
+    # merge survivors: propnex 1,2 + srx 10(dup winner),11; null price /
+    # null location rows gated out; propnex 3 loses the dedup
+    assert scraped.count() == out["scraped"].count() == 4
+    urls = {r.url for r in scraped.collect()}
+    assert "https://www.srx.com.sg/listings/10" in urls
+    assert "https://www.propnex.com/listing/3" not in urls
+
+    # same-day re-run (scheduler retry) must not duplicate any partition
+    run_all(spark, csv_dir, propnex_json, srx_json, wh, as_of=AS_OF)
+    assert spark.read.parquet(f"{wh}/historical_data").count() == 5
+    assert spark.read.parquet(f"{wh}/scraped_data").count() == 4

@@ -17,6 +17,7 @@ from hdb_resale_price_data_pipeline_spark.sources.readers import (
 )
 from hdb_resale_price_data_pipeline_spark.sources.warehouse import (
     bucketed_join,
+    load_day_partitioned,
     write_bucketed,
     write_partitioned,
 )
@@ -75,6 +76,35 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = _plan(back)
     assert re.search(r"PartitionFilters: \[.*event_type.*\]", plan)
     assert back.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_day_partitioned_load_is_incremental_and_idempotent(spark, tmp_path):
+    """K2 append semantics (reference dags/pipeline.py:239-247): loading
+    day 2 after day 1 keeps day 1; RE-loading day 2 (retry/backfill)
+    replaces that partition only — no duplicates, day 1 untouched."""
+    path = str(tmp_path / "wh")
+    day1 = spark.createDataFrame([("2024-11-01", "a", 1), ("2024-11-01", "b", 2)], "d string, k string, v int")
+    day2 = spark.createDataFrame([("2024-11-02", "c", 3)], "d string, k string, v int")
+    load_day_partitioned(day1, path, "d")
+    load_day_partitioned(day2, path, "d")
+    assert spark.read.parquet(path).count() == 3
+
+    day2_retry = spark.createDataFrame(
+        [("2024-11-02", "c", 30), ("2024-11-02", "e", 31)], "d string, k string, v int"
+    )
+    load_day_partitioned(day2_retry, path, "d")
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .selectExpr("cast(d as string) d", "k", "v")  # partition col reads back date-typed
+        .collect()
+    )
+    assert got == [
+        ("2024-11-01", "a", 1),
+        ("2024-11-01", "b", 2),
+        ("2024-11-02", "c", 30),
+        ("2024-11-02", "e", 31),
+    ]
 
 
 def test_bucketed_join_avoids_shuffle(spark):
