@@ -23,8 +23,8 @@ from hdb_resale_price_data_pipeline_spark.queries import all_queries
 from hdb_resale_price_data_pipeline_spark.session import get_spark_session
 
 # Headline suite: the scan/join/agg/window/dedup/similarity workloads that
-# dominate at scale. (Quadratic-verification demos like blocked pairwise
-# jaccard run in correctness, not in the bench loop.)
+# dominate at scale, plus the reference pipeline's cleaning semantics
+# (hdb_cleaning_semantics) as the pipeline-shaped workload at data scale.
 BENCH_QUERIES = [
     "pricing_summary",
     "avg_revenue_by_region_year",
@@ -32,23 +32,37 @@ BENCH_QUERIES = [
     "shipping_priority_top10",
     "customer_windows",
     "orders_cube",
+    "hdb_cleaning_semantics",
     "events_hourly_pivot",
     "events_sessionize",
+    "events_range_join",
+    "events_above_median",
+    "events_json_props",
     "dedup_exact",
     "dedup_least_nulls",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "text_fingerprint",
     "text_top_tokens",
     "text_profile",
     "text_repetition",
+    "text_bpe_tokens",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
     "emb_ivf_topk",
+    "emb_near_dup_pairs",
+    "emb_kmeans_clusters",
     "events_asof_attribution",
     "events_salted_totals",
     "multimodal_features",
+    "multimodal_chunks",
 ]
+
+# Machine timing variance on this box is large (±2×): report the MEDIAN
+# of REPEATS timed runs after one warm run so round-over-round
+# regressions are detectable above the noise floor.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def main() -> None:
@@ -60,17 +74,25 @@ def main() -> None:
     registry = all_queries()
     timings: dict[str, float] = {}
 
-    # Per-query warm run (codegen/JIT/scan-cache), then one timed run:
-    # reported numbers are steady-state execution, not first-touch
+    # Per-query warm run (codegen/JIT/scan-cache), then REPEATS timed
+    # runs, median reported: steady-state execution, not first-touch
     # compilation, which is what matters for a long-lived cluster.
     total = 0.0
     for name in BENCH_QUERIES:
         registry[name].fn(spark, sf_dir).count()
-        start = time.perf_counter()
-        n = registry[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        runs = []
+        for _ in range(REPEATS):
+            start = time.perf_counter()
+            n = registry[name].fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - start)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
         total += timings[name]
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        print(
+            f"# {name}: median {timings[name]:.3f}s "
+            f"(min {runs[0]:.3f} max {runs[-1]:.3f}) rows={n}",
+            file=sys.stderr,
+        )
     total = round(total, 3)
 
     print(
@@ -81,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": REPEATS,
             }
         )
     )

@@ -14,7 +14,7 @@ Beyond-reference (LLM-data-pipeline scale family, SURVEY.md §7 phase 4):
   near-dup candidate generation (shingle → minhash → band → bucket
   join) and exact-Jaccard verification.
 - ``simhash_buckets`` — SimHash fingerprints / collision clusters.
-- ``ngram_jaccard_pairs`` — blocked pairwise n-gram Jaccard.
+- ``ngram_jaccard_pairs`` — blocked n-gram Jaccard (inverted index).
 
 Scale design: every candidate generator is a *bucket join* (shuffle on a
 short key), never a cross join. At 100 TB the pairwise verification only
@@ -237,27 +237,60 @@ def ngram_jaccard_pairs(
     shingle_len: int,
     threshold: float,
 ) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard: self-join within ``block_col``
-    buckets only (the blocking key bounds the quadratic term), then exact
-    n-gram-set Jaccard ≥ threshold."""
+    """Blocked n-gram Jaccard via an INVERTED INDEX, not all-pairs:
+    explode distinct grams to (gram, doc) postings, self-join postings
+    on (block, gram) to count common grams per candidate pair, then
+    exact Jaccard from the per-doc gram counts.
+
+    Result-identical to the pairwise-``array_intersect`` formulation for
+    any ``threshold > 0`` (pairs sharing zero grams have Jaccard 0 and
+    are generated by neither), but the work is Σ_g c_g² over per-gram
+    posting counts instead of |block|² array intersections — with
+    distinctive shingles c_g ≈ 1 and the plan is join + count, entirely
+    codegen. At 100 TB the posting join shuffles on the gram key, so
+    skew = hot shingles; AQE skew-join splits those, and a document-
+    frequency cap on pathological stop-grams is the standard relief
+    valve if a corpus needs one."""
+    assert threshold > 0.0, "inverted-index formulation requires threshold > 0"
     shingle_pair = H.shingles(H.tokens(text_col), shingle_len)
     base = df.select(
         col(id_col).alias("doc_id"),
         col(block_col).alias("block"),
         F.array_distinct(_expr(shingle_pair)).alias("grams"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    inter = F.size(F.array_intersect(col("a.grams"), col("b.grams"))).cast("double")
-    union = (
-        F.size(col("a.grams")) + F.size(col("b.grams"))
-    ).cast("double") - F.size(F.array_intersect(col("a.grams"), col("b.grams")))
+    # The shingle table is used three times (both join sides + counts):
+    # persist it so extraction runs once. At 100 TB this is the
+    # materialized intermediate a pipeline would checkpoint anyway —
+    # recomputing tokenization per consumer is the real cost.
+    postings = base.select(
+        "doc_id", "block", F.explode("grams").alias("gram")
+    ).persist()
+    counts = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (col("a.block") == col("b.block"))
+            & (col("a.gram") == col("b.gram"))
+            & (col("a.doc_id") < col("b.doc_id")),
+        )
+        .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
     return (
-        a.join(b, (col("a.block") == col("b.block")) & (col("a.doc_id") < col("b.doc_id")))
+        inter.join(counts.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_grams", "na")
+        .join(counts.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_grams", "nb")
         .select(
-            col("a.doc_id").alias("doc_a"),
-            col("b.doc_id").alias("doc_b"),
-            F.round(inter / union, 4).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            F.round(
+                col("n_common").cast("double")
+                / ((col("na") + col("nb")).cast("double") - col("n_common")),
+                4,
+            ).alias("jaccard"),
         )
         .filter(col("jaccard") >= threshold)
     )

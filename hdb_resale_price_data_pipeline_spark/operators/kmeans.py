@@ -32,8 +32,13 @@ def kmeans_fit(
     Per-iteration driver traffic is exactly one K×dim collect (the new
     centroids) — the data never leaves the executors.
     """
-    base = df.select(col(id_col).alias("_id"), col(emb_col).alias("_e")).withColumn(
-        "_ed", col("_e").cast("array<double>")
+    # Iterative algorithm: persist the working set — every Lloyd
+    # iteration re-reads it, and at 100 TB re-scanning the source per
+    # iteration is the difference between k-means working and not.
+    base = (
+        df.select(col(id_col).alias("_id"), col(emb_col).alias("_e"))
+        .withColumn("_ed", col("_e").cast("array<double>"))
+        .persist()
     )
     dim = len(base.select("_ed").first()._ed)
     codebook = [
@@ -68,6 +73,7 @@ def kmeans_fit(
             codebook = new_codebook
             break
         codebook = new_codebook
+    base.unpersist()
     return codebook
 
 

@@ -16,8 +16,11 @@ identical in SQL on both sides.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _to_double(col_sql: str) -> tuple[str, str]:
@@ -74,6 +77,42 @@ def cosine(a: str, b: str, decimals: int = 6, dim: int | None = None) -> tuple[s
 
 def cosine_expr(a: str, b: str, decimals: int = 6, dim: int | None = None) -> Column:
     return F.expr(cosine(a, b, decimals, dim)[0])
+
+
+def pair_cosine_udf():
+    """Arrow-vectorized RAW cosine over two embedding columns — for the
+    one plan shape where the dim-expanded arithmetic chain cannot run
+    compiled: a projection consumed inside an equi-join.
+
+    WholeStageCodegen cannot split expressions that reference join
+    output variables, so a ~3·dim-term cosine chain inside a
+    BroadcastHashJoin consume method overflows the JVM 64KB method
+    limit (janino failure) and silently drops the whole stage to
+    interpreted eval. The numpy path accumulates strictly in dimension
+    order (``acc = acc + a[:,j]*b[:,j]``), reproducing the sequential
+    fold's IEEE op sequence bit-for-bit, and returns the UNROUNDED
+    double — callers apply ``F.round`` JVM-side so HALF_UP semantics
+    stay identical to the DuckDB oracle's ``round``.
+    """
+
+    @pandas_udf("double")
+    def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        mb = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        dot = ma[:, 0] * mb[:, 0]
+        na = ma[:, 0] * ma[:, 0]
+        nb = mb[:, 0] * mb[:, 0]
+        for j in range(1, ma.shape[1]):
+            dot = dot + ma[:, j] * mb[:, j]
+            na = na + ma[:, j] * ma[:, j]
+            nb = nb + mb[:, j] * mb[:, j]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _pair_cosine
 
 
 _DIM_CACHE: dict[tuple[str, str], int] = {}

@@ -52,19 +52,28 @@ LIMIT {TOP_K}
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked (the blocking key
     stands in for an ANN bucket: the quadratic term is bounded per
-    block, never global)."""
+    block, never global).
+
+    The pair cosine runs as an Arrow pandas_udf, NOT the dim-expanded
+    chain: inside a BroadcastHashJoin consume method the chain cannot be
+    codegen-split, overflows the 64KB method limit, and drops the stage
+    to interpreted eval (observed: 4 janino failures per bench run).
+    Rounding stays JVM-side for oracle-exact HALF_UP."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     emb = t(spark, sf_dir, "embeddings")
-    dim = S.embedding_dim(emb)
     base = widen(emb.select("vec_id", "label", "embedding"))
     a = base.alias("a")
     b = base.alias("b")
+    pair_cos = S.pair_cosine_udf()
     return (
         a.join(b, (col("a.label") == col("b.label")) & (col("a.vec_id") < col("b.vec_id")))
         .select(
             col("a.vec_id").alias("vec_a"),
             col("b.vec_id").alias("vec_b"),
             col("a.label").alias("label"),
-            S.cosine_expr("a.embedding", "b.embedding", dim=dim).alias("cosine"),
+            F.round(pair_cos(col("a.embedding"), col("b.embedding")), 6).alias("cosine"),
         )
         .filter(col("cosine") >= NEAR_DUP_COSINE)
     )
