@@ -100,19 +100,25 @@ def with_band_keys(
     """Append LSH band-key columns ``band_0..band_{B-1}`` from a MinHash
     signature over word shingles.
 
-    Two-stage plan: stage 1 materializes the shingle char-code arrays
-    (the expensive string work) as a column; stage 2 folds one cheap
-    numeric hash per signature slot. CollapseProject keeps the stages
-    separate because the codes column is referenced num_bands ×
-    rows_per_band times and is non-cheap — so the text is split exactly
-    once per row.
+    The signature is computed in ONE Arrow pass
+    (``arrow_text.band_keys_udf``): Spark's higher-order functions don't
+    participate in whole-stage codegen, so the per-char fold that
+    dominates MinHash runs ~100× slower interpreted than the vectorized
+    numpy congruence — which is value-identical (tests/test_arrow_text)
+    so the DuckDB oracle (the expression spec in functions/hashing.py)
+    is unchanged. At 100 TB this is a shuffle-free map either way; the
+    Arrow path just prices the map correctly.
     """
-    codes_spark, _ = H.shingle_codes(H.shingles(H.tokens(text_col), shingle_len))
+    from ..functions.arrow_text import band_keys_udf
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     keep = [id_col] if id_col else df.columns
-    staged = df.select(*keep, F.expr(codes_spark).alias("_codes"))
-    bands = H.band_keys_from_codes("_codes", num_bands, rows_per_band)
+    bands_udf = band_keys_udf(shingle_len, num_bands, rows_per_band)
+    staged = df.select(*keep, bands_udf(col(text_col)).alias("_bands"))
     return staged.select(
-        *keep, *[F.expr(s).alias(f"band_{i}") for i, (s, _) in enumerate(bands)]
+        *keep,
+        *[F.element_at("_bands", i + 1).alias(f"band_{i}") for i in range(num_bands)],
     )
 
 
@@ -196,18 +202,21 @@ def simhash_buckets(
     Identical fingerprints ⇒ near-identical token distributions; at
     scale, follow with in-bucket verification exactly like MinHash.
 
-    Plan: token hashes (one interpreted char-fold per token — the
-    irreducible part) → explode → ONE codegen hash-aggregate computing
-    all ``bits`` sign-sums as conditional SUMs → assemble the
-    fingerprint. This replaces the nested per-bit lambda fold (bits ×
-    tokens interpreted evals per row) with whole-stage-codegen
-    aggregation; the integer sums are identical, so the oracle values
-    don't move."""
-    th_spark, _ = H.token_hashes(H.tokens(text_col))
+    Plan: token hashes (ONE Arrow pass — the vectorized twin of the
+    interpreted per-token char-fold, value-identical per
+    tests/test_arrow_text) → explode → ONE codegen hash-aggregate
+    computing all ``bits`` sign-sums as conditional SUMs → assemble the
+    fingerprint. The integer sums are identical to the nested-fold
+    formulation, so the oracle values don't move."""
+    from ..functions.arrow_text import token_hashes_udf
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     # explode_outer + null-guard: a zero-token document must still emit
     # fingerprint 0 (as the nested-fold formulation did), not vanish
     exploded = _widen(df).select(
-        col(id_col).alias("doc_id"), F.explode_outer(F.expr(th_spark)).alias("h")
+        col(id_col).alias("doc_id"),
+        F.explode_outer(token_hashes_udf()(col(text_col))).alias("h"),
     )
     bit_sums = exploded.groupBy("doc_id").agg(
         *[
@@ -252,11 +261,14 @@ def ngram_jaccard_pairs(
     frequency cap on pathological stop-grams is the standard relief
     valve if a corpus needs one."""
     assert threshold > 0.0, "inverted-index formulation requires threshold > 0"
-    shingle_pair = H.shingles(H.tokens(text_col), shingle_len)
+    from ..functions.arrow_text import distinct_grams_udf
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     base = df.select(
         col(id_col).alias("doc_id"),
         col(block_col).alias("block"),
-        F.array_distinct(_expr(shingle_pair)).alias("grams"),
+        distinct_grams_udf(shingle_len)(col(text_col)).alias("grams"),
     )
     # The shingle table is used three times (both join sides + counts):
     # persist it so extraction runs once. At 100 TB this is the

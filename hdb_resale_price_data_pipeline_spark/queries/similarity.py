@@ -89,14 +89,38 @@ WHERE {cos} >= {NEAR_DUP_COSINE}
 """
 
 
+# LSH index cache: (applicationId, sf_dir, planes) → (bucketed frame,
+# dim). Like the IVF index below, an LSH index is BUILT ONCE (bucket id
+# for every vector, persisted) and probed many times; steady-state
+# queries only filter the persisted frame. Building also pays the one-
+# time Catalyst cost of the ~planes×dim-term bucket expression — per
+# probe that cost would dominate the (tiny) bucket scan.
+_LSH_INDEX_CACHE: dict[tuple[str, str, int], tuple[DataFrame, int]] = {}
+
+
+def _lsh_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    key = (S.session_cache_key(spark), sf_dir, N_PLANES)
+    hit = _LSH_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = t(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(emb)
+    bucketed = (
+        widen(emb)
+        .withColumn("bucket", S.hyperplane_bucket_expr("embedding", N_PLANES, dim))
+        .persist()
+    )
+    _LSH_INDEX_CACHE[key] = (bucketed, dim)
+    return bucketed, dim
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: the scale path for ANN. At 100 TB
     the bucket id becomes the shuffle/partition key; here we emit the
     bucket histogram."""
-    emb = t(spark, sf_dir, "embeddings")
-    dim = S.embedding_dim(emb)
+    bucketed, _ = _lsh_index(spark, sf_dir)
     return (
-        widen(emb).select(S.hyperplane_bucket_expr("embedding", N_PLANES, dim).alias("bucket"), "vec_id")
+        bucketed.select("bucket", "vec_id")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -113,12 +137,10 @@ GROUP BY bucket
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: candidates restricted to the query's LSH bucket, exact
-    cosine only within it (brute-force work ÷ 2^planes)."""
-    src_emb = t(spark, sf_dir, "embeddings")
-    dim = S.embedding_dim(src_emb)
-    emb = widen(src_emb).withColumn(
-        "bucket", S.hyperplane_bucket_expr("embedding", N_PLANES, dim)
-    )
+    cosine only within it (brute-force work ÷ 2^planes). Probes the
+    cached persisted index (``_lsh_index``); steady state touches no
+    source data and re-plans no bucket expression."""
+    emb, dim = _lsh_index(spark, sf_dir)
     query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
         col("embedding").alias("q_emb"), col("bucket").alias("q_bucket")
     )
