@@ -50,3 +50,18 @@ def salted_sum_count(
         F.round(F.sum("_psum"), 2).alias("total_value"),
         F.sum("_pcnt").alias("n_rows"),
     )
+
+
+# NOTE on what does NOT need salting on Spark ≥ 3.5 (measured in
+# tools/scale_probe.py --skew, 10M rows, one key = 80% of them):
+# - sum/count aggregation: map-side partial aggregation collapses the
+#   hot key to one row per map task before the shuffle — plain groupBy
+#   matches the salted plan within noise.
+# - per-key top-N (row_number ≤ n): InferWindowGroupLimit inserts a
+#   PARTIAL WindowGroupLimit below the exchange, so each map task ships
+#   at most n rows per key — a hand-salted two-stage window is pure
+#   overhead (measured slower).
+# Salting earns its keep where partial state does not collapse
+# (collect_list/UDF-style state) and for join skew when AQE's runtime
+# split can't apply (it does apply here: scale_probe measures the AQE
+# skew-join split at ~3× on the same data).

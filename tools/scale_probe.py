@@ -8,6 +8,26 @@ Observed on local[32] (round 1): scan-agg 9.6M rows 1.5s (vs 0.65s at
 600k — sublinear, scheduling floor amortizes), fact-fact join
 9.6M × 2.4M 3.2s (AQE-planned SMJ/shuffled-hash), per-key window over
 2.4M rows 2.3s. No spills, no OOM at default confs.
+
+Skew stress (``--skew``): a 10M-row power-law fact (ONE key holds 80%
+of all rows) measuring each classic skew story against its mitigation.
+Measured findings on local[32] (these drove operators/skew.py's design
+notes — the numbers say most hand-mitigations are already built in):
+
+- sum/count agg, plain vs salted: ≈ EQUAL — map-side partial
+  aggregation collapses the hot key to one row per map task before the
+  shuffle. Salting algebraic aggs on Spark is insurance, not a win.
+- per-key top-N: plain window is ALREADY skew-proof — Spark ≥ 3.5
+  plans a Partial WindowGroupLimit below the exchange (asserted here),
+  so each map task ships ≤ n rows per key. A hand-salted two-stage
+  window measured SLOWER; we deliberately ship no salted_topn.
+- skewed SMJ join with payload, AQE skew-split off vs on: the real
+  straggler and the real win — ~3× (10.5s → 3.3s). Caveat from
+  building this probe: if the query only consumes the join KEY, column
+  pruning makes the hot partition a run of identical values that
+  compresses below the skew threshold and nothing triggers — size
+  your skew thresholds against post-pruning shuffle bytes, not logical
+  row counts.
 """
 
 from __future__ import annotations
@@ -41,9 +61,107 @@ def stage(spark) -> None:
     open(f"{STAGE}/_done", "w").close()
 
 
+SKEW_STAGE = "/tmp/skew10m"
+SKEW_ROWS = 10_000_000
+SKEW_KEYS = 100_000
+
+
+def stage_skew(spark) -> None:
+    """10M-row fact: 80% of ids → key 0, the rest multiplicative-hash
+    spread over 100k keys. Plus a 100k-row dim."""
+    if os.path.exists(f"{SKEW_STAGE}/_done"):
+        return
+    fact = spark.range(SKEW_ROWS).select(
+        F.when(col("id") % 5 != 0, 0)
+        .otherwise((col("id") * 2654435761) % SKEW_KEYS)
+        .alias("k"),
+        ((col("id") % 1000) / 10.0).alias("v"),
+        col("id").alias("rid"),
+    )
+    fact.repartition(32).write.mode("overwrite").parquet(f"{SKEW_STAGE}/fact")
+    dim = spark.range(SKEW_KEYS).select(
+        col("id").alias("k"), (col("id") % 7).alias("seg")
+    )
+    dim.repartition(4).write.mode("overwrite").parquet(f"{SKEW_STAGE}/dim")
+    open(f"{SKEW_STAGE}/_done", "w").close()
+
+
+def probe_skew(spark) -> None:
+    from pyspark.sql.window import Window as W
+
+    from hdb_resale_price_data_pipeline_spark.operators.skew import salted_sum_count
+
+    stage_skew(spark)
+    fact = spark.read.parquet(f"{SKEW_STAGE}/fact")
+    dim = spark.read.parquet(f"{SKEW_STAGE}/dim")
+    print(f"skew fact rows: {fact.count():,} (hot key = 80%)")
+
+    def timed(label, make):
+        make().count()  # warm: codegen/JIT/scan cache out of the number
+        t0 = time.perf_counter()
+        make().count()
+        dt = time.perf_counter() - t0
+        print(f"{label}: {dt:.2f}s")
+        return dt
+
+    timed(
+        "agg plain groupBy (map-side partial absorbs the hot key)",
+        lambda: fact.groupBy("k").agg(F.sum("v"), F.count(F.lit(1))),
+    )
+    timed(
+        "agg salted_sum_count (same semantics; for non-collapsing state)",
+        lambda: salted_sum_count(fact, ["k"], "v", n_salts=16, salt_source=col("rid")),
+    )
+
+    order = [col("v").desc(), col("rid")]
+    topn = lambda: fact.withColumn(
+        "rank", F.row_number().over(W.partitionBy("k").orderBy(*order))
+    ).filter(col("rank") <= 3)
+    assert "WindowGroupLimit" in topn()._jdf.queryExecution().executedPlan().toString(), (
+        "expected Spark to plan a partial WindowGroupLimit (skew-proof top-N)"
+    )
+    timed("per-key top-3, plain window (WindowGroupLimit absorbs the hot key)", topn)
+
+    # Skewed SMJ with PAYLOAD carried through the join (post-pruning
+    # shuffle bytes are what skew detection sees): forbid broadcast so
+    # the join shuffles on the hot key; lower the skew threshold so the
+    # ~8M-row partition qualifies locally.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    try:
+        for flag in ("false", "true"):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
+            q = fact.join(dim, "k").groupBy("seg").agg(
+                F.sum(col("v") * col("rid")).alias("s")
+            )
+            q.collect()  # warm
+            t0 = time.perf_counter()
+            q2 = fact.join(dim, "k").groupBy("seg").agg(
+                F.sum(col("v") * col("rid")).alias("s")
+            )
+            q2.collect()
+            split = "skew=true" in q2._jdf.queryExecution().executedPlan().toString()
+            print(
+                f"skewed join+payload, AQE skew-split={flag}: "
+                f"{time.perf_counter() - t0:.2f}s (plan skew marker: {split})"
+            )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+
+
 def main() -> None:
     spark = get_spark_session(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--skew" in sys.argv:
+        probe_skew(spark)
+        spark.stop()
+        return
     stage(spark)
     li = spark.read.parquet(f"{STAGE}/lineitem")
     orders = spark.read.parquet(f"{STAGE}/orders")
