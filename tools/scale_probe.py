@@ -155,11 +155,76 @@ def probe_skew(spark) -> None:
         spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
 
 
+def probe_layout(spark) -> None:
+    """Layout probe at 16×: natural vs linear-sort vs z-order layouts of
+    the replicated lineitem, judged by (a) fraction of row groups a 2-D
+    box filter can skip from footer stats, (b) timed filtered scans."""
+    from hdb_resale_price_data_pipeline_spark.sources.layout import (
+        rowgroup_prune_fraction,
+        write_zordered,
+    )
+
+    stage(spark)
+    li = spark.read.parquet(f"{STAGE}/lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lo_o, hi_o, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).first()
+    box = {
+        "l_orderkey": (lo_o + 0.45 * (hi_o - lo_o), lo_o + 0.55 * (hi_o - lo_o)),
+        "l_partkey": (lo_p + 0.45 * (hi_p - lo_p), lo_p + 0.55 * (hi_p - lo_p)),
+    }
+    layouts = {
+        "natural (hash)": f"{STAGE}/layout_natural",
+        "linear sort l_orderkey": f"{STAGE}/layout_linear",
+        "zorder(l_orderkey,l_partkey)": f"{STAGE}/layout_zorder",
+    }
+    if not os.path.exists(f"{STAGE}/layout_done"):
+        # scatter by key hash: deterministically unclustered baseline
+        li.repartition(32, F.crc32(col("l_orderkey").cast("string"))).write.mode(
+            "overwrite"
+        ).parquet(layouts["natural (hash)"])
+        (
+            li.repartitionByRange(32, col("l_orderkey"))
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .parquet(layouts["linear sort l_orderkey"])
+        )
+        write_zordered(li, layouts["zorder(l_orderkey,l_partkey)"], ["l_orderkey", "l_partkey"], n_files=32)
+        open(f"{STAGE}/layout_done", "w").close()
+    # The point of z-order is pruning on EVERY dimension: a linear sort
+    # matches it on its own dimension and prunes NOTHING on the other.
+    cases = {
+        "dim1 only": {"l_orderkey": box["l_orderkey"]},
+        "dim2 only": {"l_partkey": box["l_partkey"]},
+        "2-D box": box,
+    }
+    for name, path in layouts.items():
+        fracs = "  ".join(
+            f"{c}: {rowgroup_prune_fraction(path, p):.0%}" for c, p in cases.items()
+        )
+        df = spark.read.parquet(path)
+        pred = None
+        for c, (lo, hi) in box.items():
+            term = (col(c) >= lo) & (col(c) <= hi)
+            pred = term if pred is None else (pred & term)
+        q = df.filter(pred).agg(F.sum("l_extendedprice"))
+        q.collect()  # warm
+        t0 = time.perf_counter()
+        q.collect()
+        print(f"{name}: skippable row groups — {fracs}; 2-D scan {time.perf_counter() - t0:.2f}s")
+
+
 def main() -> None:
     spark = get_spark_session(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "--skew" in sys.argv:
         probe_skew(spark)
+        spark.stop()
+        return
+    if "--layout" in sys.argv:
+        probe_layout(spark)
         spark.stop()
         return
     stage(spark)
