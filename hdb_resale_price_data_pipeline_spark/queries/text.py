@@ -264,8 +264,44 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 # Subsumed column-for-column by text_profile; oracle-verified locally.
+PACK_CAPACITY = 512
+
+
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/packing.py): docs
+    per language in doc_id order form one token stream cut into
+    512-token sequences; each doc gets (seq_id, offset). One shuffle +
+    a codegen window cumsum — the oracle is the identical prefix-sum
+    arithmetic in SQL."""
+    from ..operators.packing import pack_sequences
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return pack_sequences(
+        docs, "lang", "doc_id", T.token_count("text"), PACK_CAPACITY
+    )
+
+
+_TEXT_PACK_SQL = f"""
+WITH toks AS (
+    SELECT lang, doc_id, len({H.tokens("text")[1]}) AS n_tokens FROM documents
+), cum AS (
+    SELECT lang, doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS _start
+    FROM toks
+)
+SELECT lang, doc_id, n_tokens,
+       _start // {PACK_CAPACITY} AS seq_id,
+       _start % {PACK_CAPACITY} AS offset
+FROM cum
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(q_text_stats, _TEXT_STATS_SQL),
     "text_quality": QuerySpec(q_text_quality, _TEXT_QUALITY_SQL),
     "text_lang_id": QuerySpec(q_text_lang_id, _TEXT_LANG_ID_SQL),
+    "text_pack_sequences": QuerySpec(q_text_pack_sequences, _TEXT_PACK_SQL),
 }
