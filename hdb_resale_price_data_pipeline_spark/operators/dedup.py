@@ -132,12 +132,17 @@ def minhash_band_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: documents colliding on ≥1 LSH band.
 
-    Plan shape: melt band columns → shuffle on (band_id, band_key) →
-    self-join within buckets → distinct pairs. No cross join anywhere;
-    cost is Σ bucket² over actual collisions only. The self-join's two
-    sides share one physical subtree via ReusedExchange (measured: same
-    runtime as an explicit persist, with zero cache pressure), so each
-    document is hashed exactly once.
+    Plan shape: melt band columns → ONE shuffle on (band_id, band_key)
+    → collect the (band-bounded, small by construction) doc-id bucket →
+    explode its i<j pairs → distinct. Cost is Σ bucket² over actual
+    collisions only, same as a bucket self-join — but each document is
+    hashed exactly ONCE. (The previous self-join relied on
+    ReusedExchange to dedupe the two sides; PythonUDF projections don't
+    canonicalize equal, so the Arrow banding pass ran twice — measured
+    2× the banding cost at sf0.1.) A pathological hot bucket (thousands
+    of identical docs) would bloat its collected list; at that point the
+    bucket IS the duplicate set and the pair explosion, not the list,
+    is the quadratic term either way.
     """
     banded = with_band_keys(
         _widen(df), text_col, shingle_len, num_bands, rows_per_band, id_col=id_col
@@ -147,16 +152,22 @@ def minhash_band_pairs(
         f"{id_col} AS doc_id",
         f"stack({num_bands}, {stack_args}) AS (band_id, band_key)",
     )
-    a = melted.alias("a")
-    b = melted.alias("b")
+    buckets = (
+        melted.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (col("a.band_id") == col("b.band_id"))
-            & (col("a.band_key") == col("b.band_key"))
-            & (col("a.doc_id") < col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
