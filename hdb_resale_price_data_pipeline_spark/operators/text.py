@@ -133,3 +133,41 @@ def fingerprint(text_col: str) -> Column:
 def fingerprint_duck(text_col: str) -> str:
     normalized = f"array_to_string({H.tokens(text_col)[1]}, ' ')"
     return H.string_hash(normalized)[1]
+
+
+# --- PII redaction -----------------------------------------------------------
+# Ordered: URLs can CONTAIN email-/phone-shaped substrings, so they go
+# first; the replacement tokens contain no digits or '@', so later
+# patterns can't re-match earlier redactions. Patterns stay in the
+# common RE2 ∩ java.util.regex dialect (character classes, bounded
+# quantifiers — no backrefs/lookaround) so the identical string runs in
+# a DuckDB oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"[+(]?[0-9][-0-9() ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_counts(text_col: str) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern (pre-redaction)."""
+    return [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(text_col: str) -> Column:
+    """Replace every PII match with its type token, in pattern order."""
+    out = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def redact_pii_duck(text_col: str) -> str:
+    """DuckDB twin of ``redact_pii`` (same patterns, same order)."""
+    out = text_col
+    for _, pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out

@@ -350,10 +350,46 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_kmeans_clusters": QuerySpec(q_kmeans_clusters, None),
 }
 
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding (the storage/serving
+    prep step of an embedding pipeline): scale = max |v|, q[i] =
+    round(v[i] / scale × 127). Pure codegen expressions — the max fold
+    and the per-element transform run the identical op order in the
+    DuckDB oracle (greatest-fold ≡ list_max exactly: max is
+    order-insensitive, unlike float sums). Zero vectors quantize to
+    null elements via nullif (division guard on BOTH sides)."""
+    emb = t(spark, sf_dir, "embeddings")
+    maxabs = (
+        "aggregate(transform(embedding, x -> abs(cast(x AS double))), "
+        "cast(0.0 AS double), (acc, x) -> greatest(acc, x))"
+    )
+    return widen(emb).select(
+        "vec_id",
+        F.round(F.expr(maxabs), 6).alias("scale"),
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(round(cast(x AS double) / nullif({maxabs}, 0.0) * 127, 0) AS int))"
+        ).alias("qvec"),
+    )
+
+
+_EMB_QUANTIZE_SQL = """
+WITH scaled AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+    FROM embeddings
+)
+SELECT vec_id, round(m, 6) AS scale,
+       list_transform(e, x -> CAST(round(x / nullif(m, 0.0) * 127, 0) AS INT)) AS qvec
+FROM scaled
+"""
+
+
 # Not driver-registered: emb_ann_lsh_topk exercises the same bucketing
 # expression end-to-end, and label centroids are the same posexplode +
 # group-reduction shape as kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),
     "emb_label_centroids": QuerySpec(q_label_centroids, _LABEL_CENTROIDS_SQL),
+    "emb_quantize": QuerySpec(q_emb_quantize, _EMB_QUANTIZE_SQL),
 }
