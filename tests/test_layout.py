@@ -53,10 +53,14 @@ def test_zorder_layout_prunes_2d_box(spark, tmp_path):
     lo_o, hi_o, lo_p, hi_p = li.agg(
         F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
     ).first()
-    # middle ~10% box on both dimensions
+    # ~10% box on both dimensions, placed at 10-20%: inside one z-curve
+    # quadrant. (A box straddling the 50% mark sits on the curve's
+    # top-level discontinuity — the known worst case for Morton
+    # locality — and with only 8 row groups the skippable fraction
+    # then flaps around any threshold.)
     box = {
-        "l_orderkey": (lo_o + 0.45 * (hi_o - lo_o), lo_o + 0.55 * (hi_o - lo_o)),
-        "l_partkey": (lo_p + 0.45 * (hi_p - lo_p), lo_p + 0.55 * (hi_p - lo_p)),
+        "l_orderkey": (lo_o + 0.10 * (hi_o - lo_o), lo_o + 0.20 * (hi_o - lo_o)),
+        "l_partkey": (lo_p + 0.10 * (hi_p - lo_p), lo_p + 0.20 * (hi_p - lo_p)),
     }
     natural = f"{tmp_path}/natural"
     zordered = f"{tmp_path}/zorder"

@@ -144,3 +144,43 @@ def test_salted_agg_two_small_shuffles(spark):
     plan = _plan(REGISTRY["events_salted_totals"].fn(spark, TEST_SF_DIR))
     assert _shuffles(plan) == 2  # salted partial + final reduce
     assert "partial_sum" in plan
+
+
+def test_runtime_bloom_filter_prunes_join_probe_side(spark):
+    """A selective dim filter injects a runtime Bloom filter on the fact
+    side (session.py enables the optimization; thresholds relaxed here
+    because sf0.01 sits under the size gates a 100 TB table clears
+    naturally). Values must be unchanged by the pruning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    li = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+
+    def q():
+        return (
+            li.join(
+                orders.filter(col("o_orderpriority") == "1-URGENT"),
+                col("l_orderkey") == col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    baseline = {(r.o_orderstatus, r.n) for r in q().collect()}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        bloomed = q()
+        plan = bloomed._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower()
+        assert {(r.o_orderstatus, r.n) for r in bloomed.collect()} == baseline
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
