@@ -30,9 +30,17 @@ def load_day_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     replaced, earlier days stay untouched, and re-running a failed or
     repeated day never duplicates rows. At 100 TB this is also the cheap
     path — the job rewrites one day's partition, never the table.
+
+    Rows are clustered by the partition column first: without it every
+    upstream task writes a sliver of every date (tasks × dates tiny
+    files — the classic small-files failure; measured 2× the load time
+    at bench scale). One shuffle keyed on the date gives one file per
+    partition; at real scale you'd salt in a second key to target
+    ~128 MB files per date.
     """
     (
-        df.write.mode("overwrite")
+        df.repartition(partition_col)
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
