@@ -81,18 +81,29 @@ def extract_features(assets: DataFrame) -> DataFrame:
     ensure_package_shipped(assets.sparkSession)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized twin of _poly_features: the whole batch's payloads
+        # become ONE flat uint8 buffer, each seed's fold runs as ragged
+        # int64 arithmetic across all payloads at once (identical
+        # congruence and step order — same discipline as
+        # functions/arrow_text.py, ~20M/s-per-core Python loops avoided).
+        import numpy as np
+
         for pdf in it:
-            feats = pdf["content"].map(_poly_features)
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "n_bytes": pdf["content"].map(len),
-                    "f0": feats.map(lambda v: v[0]),
-                    "f1": feats.map(lambda v: v[1]),
-                    "f2": feats.map(lambda v: v[2]),
-                    "f3": feats.map(lambda v: v[3]),
-                }
-            )
+            payloads = pdf["content"].to_list()
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+            starts = np.zeros(len(payloads), dtype=np.int64)
+            if len(payloads) > 1:
+                np.cumsum(lens[:-1], out=starts[1:])
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            maxlen = int(lens.max()) if len(payloads) else 0
+            out = {"asset_id": pdf["asset_id"], "n_bytes": lens.astype("int32")}
+            for fi, (a, b) in enumerate(FEATURE_SEEDS):
+                acc = np.full(len(payloads), b, dtype=np.int64)
+                for j in range(maxlen):
+                    m = lens > j
+                    acc[m] = (acc[m] * a + flat[starts[m] + j]) % MERSENNE_31
+                out[f"f{fi}"] = np.round(acc / MERSENNE_31, 9)
+            yield pd.DataFrame(out)
 
     return assets.mapInPandas(
         batches,
