@@ -175,3 +175,79 @@ def test_watermark_finalized_windows_emit_exactly_once(spark, tmp_path):
     # trailing windows (06:00, 07:00) are still open at end-of-stream
     # (watermark 05:00 < their ends) — append mode holds them
     assert all(r.window_start < "2024-01-01 06:00:00" for r in out)
+
+
+def test_event_time_timeout_closes_quiet_users_session(spark, tmp_path):
+    """EventTimeTimeout sessionizer: a user who goes quiet must still
+    get their session emitted once the watermark passes last_event +
+    gap — the exact case the NoTimeout variant leaves in state forever."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from hdb_resale_price_data_pipeline_spark.streaming import run_stream_to_df
+    from hdb_resale_price_data_pipeline_spark.streaming.stateful import (
+        _staged_schema,
+        stateful_sessions_event_time,
+    )
+
+    stage = str(tmp_path / "timeout_src")
+    os.makedirs(stage)
+
+    def ts(minutes):
+        return datetime.datetime(2025, 1, 1, 12, 0) + datetime.timedelta(
+            minutes=minutes
+        )
+
+    def ev(eid, uid, minutes, value=1.0):
+        return Row(
+            event_id=eid,
+            ts=ts(minutes),
+            user_id=uid,
+            event_type="click",
+            value=value,
+            props="{}",
+        )
+
+    batches = [
+        # user 1: two events 5 min apart, then silence; user 2 anchors t0
+        [ev(1, 1, 0), ev(2, 1, 5, 2.5), ev(3, 2, 0)],
+        # user 2 event 3 h later: advances the watermark far past
+        # user 1's last_event + 30 min gap
+        [ev(4, 2, 180)],
+        # one more batch so timed-out state is processed with the
+        # advanced watermark
+        [ev(5, 2, 181)],
+    ]
+    for i, rows in enumerate(batches):
+        tmp = str(tmp_path / f"_t{i}")
+        spark.createDataFrame(rows, _staged_schema()).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dest = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], dest)
+        os.utime(dest, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(_staged_schema())
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
+    out = run_stream_to_df(
+        stateful_sessions_event_time(stream, watermark_delay="10 minutes"), spark
+    )
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.total_value)
+        for r in out.collect()
+    }
+    us = lambda minutes: int(ts(minutes).timestamp() * 1_000_000)
+    assert got == {
+        # user 1's session closed BY TIMEOUT (no later user-1 event exists)
+        (1, us(0)): (us(5), 2, 3.5),
+        # user 2's first session closed by the 3h-later event (gap break)
+        (2, us(0)): (us(0), 1, 1.0),
+    }
