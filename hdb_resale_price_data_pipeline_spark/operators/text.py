@@ -171,3 +171,45 @@ def redact_pii_duck(text_col: str) -> str:
     for _, pat, token in PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
     return out
+
+
+def repetition_stats(df, id_col: str, text_col: str, n: int = 2):
+    """Per-document n-gram repetition counts as a SHUFFLE-FREE map.
+
+    The stats (most-frequent n-gram count, total n-grams) are row-local
+    — no cross-document aggregation exists — so the explode →
+    groupBy(doc, gram) → groupBy(doc) formulation pays two shuffles for
+    a computation that needs zero. One Arrow pass with a per-doc
+    counter emits exactly one row per document; the ratio (and its
+    rounding) stays a JVM expression so oracle HALF_UP semantics are
+    untouched. Gram derivation = arrow_text._shingles∘_tokens, the
+    proven bit-identical twin of the hashing.shingles spec.
+    """
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.arrow_text import _shingles, _tokens
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            tops, totals = [], []
+            for t in pdf[text_col]:
+                counts = Counter(_shingles(_tokens(t), n))
+                tops.append(max(counts.values()))
+                totals.append(sum(counts.values()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "top_gram_count": tops,
+                    "n_grams": totals,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="doc_id long, top_gram_count long, n_grams long"
+    )

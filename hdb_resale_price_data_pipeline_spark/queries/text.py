@@ -224,18 +224,20 @@ GROUP BY lang, split
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate/repetition signal (gopher-style): the share of a
-    document's 2-grams taken by its most frequent 2-gram. Explode →
-    count per (doc, gram) → max/sum ratio — the scalable shuffle-agg
-    formulation, not a per-row quadratic scan."""
+    document's 2-grams taken by its most frequent 2-gram. The stats are
+    row-local, so this is ONE shuffle-free Arrow map
+    (operators/text.repetition_stats) — the explode → groupBy(doc,
+    gram) → groupBy(doc) formulation paid two shuffles for a
+    computation that needs zero. Ratio + rounding stay JVM-side."""
     docs = widen(t(spark, sf_dir, "documents"))
-    grams = docs.select(
-        "doc_id", F.explode(F.expr(H.shingles(H.tokens("text"), 2)[0])).alias("gram")
-    )
-    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    return per_gram.groupBy("doc_id").agg(
-        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top_gram_ratio"),
-        F.max("c").alias("top_gram_count"),
-        F.sum("c").alias("n_grams"),
+    stats = T.repetition_stats(docs, "doc_id", "text", n=2)
+    return stats.select(
+        "doc_id",
+        F.round(
+            col("top_gram_count").cast("double") / col("n_grams"), 4
+        ).alias("top_gram_ratio"),
+        "top_gram_count",
+        "n_grams",
     )
 
 
