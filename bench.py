@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "text_profile",
     "text_repetition",
     "text_bpe_tokens",
+    "text_decontaminate",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
     "emb_ivf_topk",

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from ..functions import hashing as H
+from ..operators import decontam as D
 from ..operators import text as T
 from ..operators.util import widen
 from .base import QuerySpec, t
@@ -256,8 +257,49 @@ GROUP BY doc_id
 """
 
 
+DECONTAM_N = 5  # word n-gram size; 8–13 typical for prod, 5 fits the tiny test vocab
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): every tenth
+    doc_id acts as the held-out eval set; each remaining training doc is
+    scored by how many of its distinct word 5-grams collide with the
+    eval set's n-gram union. Eval n-grams are broadcast (benchmarks are
+    tiny next to the corpus) so the training scan shuffles once, on
+    doc_id, with partial aggregation."""
+    from ..operators.decontam import contamination_report
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return contamination_report(
+        docs, eval_pred=col("doc_id") % 10 == 0, n=DECONTAM_N
+    )
+
+
+_DECONTAM_GRAMS = D.doc_shingle_hashes_duck("text", 5)
+_TEXT_DECONTAM_SQL = f"""
+WITH eval_grams AS (
+    SELECT DISTINCT unnest({_DECONTAM_GRAMS}) AS gram
+    FROM documents WHERE doc_id % 10 = 0
+), train AS (
+    SELECT doc_id, unnest({_DECONTAM_GRAMS}) AS gram
+    FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       round(CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS contamination_ratio,
+       CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS INT)
+           AS is_contaminated
+FROM train t LEFT JOIN eval_grams e ON t.gram = e.gram
+GROUP BY t.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_train_test_split": QuerySpec(q_text_train_test_split, _TRAIN_TEST_SQL),
+    "text_decontaminate": QuerySpec(q_text_decontaminate, _TEXT_DECONTAM_SQL),
     "text_repetition": QuerySpec(q_text_repetition, _TEXT_REPETITION_SQL),
     "text_bpe_tokens": QuerySpec(q_text_bpe_tokens, _TEXT_BPE_SQL),
     "text_profile": QuerySpec(q_text_profile, _TEXT_PROFILE_SQL),

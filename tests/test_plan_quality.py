@@ -184,3 +184,17 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """The eval/benchmark n-gram set must reach the training scan as a
+    broadcast — shuffling the (huge) training corpus to join a (tiny)
+    benchmark set is the classic decontamination scale bug."""
+    plan = _plan(REGISTRY["text_decontaminate"].fn(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two exchanges: the eval-gram distinct (benchmark-sized,
+    # tiny) and the per-doc aggregation over the training side — the
+    # training corpus itself is never shuffled for the join
+    assert _shuffles(plan) == 2
+    assert "partial_count" in plan or "partial_sum" in plan
