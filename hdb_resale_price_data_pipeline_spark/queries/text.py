@@ -8,6 +8,7 @@ from pyspark.sql.functions import col
 
 from ..functions import hashing as H
 from ..operators import decontam as D
+from ..operators import sampling as S
 from ..operators import text as T
 from ..operators.util import widen
 from .base import QuerySpec, t
@@ -343,7 +344,25 @@ FROM cum
 """
 
 
+MIX_BUDGET_TOKENS = 12_000  # ~45% of the sf0.01 corpus — real downsampling
+
+
+def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token-budget domain mixture (operators/sampling.py): each
+    `source` gets budget/n_domains tokens, documents hash-sampled at the
+    per-domain acceptance rate. Rate table broadcast; corpus never
+    shuffled for the join."""
+    from ..operators.sampling import sample_domain_mixture
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return sample_domain_mixture(docs, MIX_BUDGET_TOKENS)
+
+
+_TEXT_DOMAIN_MIX_SQL = S.sample_domain_mixture_duck(MIX_BUDGET_TOKENS)
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "text_domain_mix": QuerySpec(q_text_domain_mix, _TEXT_DOMAIN_MIX_SQL),
     "text_stats": QuerySpec(q_text_stats, _TEXT_STATS_SQL),
     "text_quality": QuerySpec(q_text_quality, _TEXT_QUALITY_SQL),
     "text_lang_id": QuerySpec(q_text_lang_id, _TEXT_LANG_ID_SQL),

@@ -186,6 +186,18 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
         )
 
 
+def test_domain_mixture_broadcasts_rate_table(spark):
+    """The per-domain rate table must reach the corpus scan as a
+    broadcast, and pass 1 must shuffle only the slim (domain, n_tok)
+    projection — one hash exchange total (the window's single-partition
+    exchange moves a domains-sized frame and is not a scale risk)."""
+    plan = _plan(LOCAL_REGISTRY["text_domain_mix"].fn(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) == 1
+    assert "partial_sum" in plan
+
+
 def test_decontamination_broadcasts_eval_grams(spark):
     """The eval/benchmark n-gram set must reach the training scan as a
     broadcast — shuffling the (huge) training corpus to join a (tiny)
