@@ -1,0 +1,116 @@
+"""Table compaction: rewrite a fragmented parquet table into
+target-size files.
+
+Long-running ingestion (streaming micro-batches, per-day incremental
+loads, many small upstream tasks) fragments a table into thousands of
+tiny files; at 100 TB the scan's task-scheduling and footer-reading
+overhead then dominates the query. The fix is a periodic rewrite that
+re-clusters rows into ~128 MB files.
+
+Scale design — let AQE do the sizing, don't hand-compute file counts:
+
+- ``hint("rebalance")`` + ``spark.sql.adaptive.advisoryPartitionSizeInBytes``
+  makes the adaptive engine coalesce small shuffle partitions AND split
+  large/skewed ones at runtime, from observed sizes — a driver-side
+  ``repartition(ceil(bytes/target))`` would go wrong on skewed or
+  badly-compressed inputs and cannot split a single hot partition.
+- For partitioned tables, rebalancing ON the partition columns keeps
+  one-file-per-partition when partitions are small but splits oversized
+  partitions into several target-size files — the upgrade promised in
+  ``load_day_partitioned`` ("salt in a second key at real scale"),
+  without hand-tuning the salt.
+- AQE's advisory applies to shuffle-stage (decompressed, row-format)
+  bytes while the target is on-disk parquet; the ``inflation`` factor
+  bridges the two. The default 2.0 suits snappy parquet of mixed
+  text/numeric columns; pass a measured ratio for exotic data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class CompactionStats:
+    in_files: int
+    in_bytes: int
+    out_files: int
+    out_bytes: int
+
+
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(file_count, total_bytes) of a table directory via the Hadoop
+    FileSystem API — works for any supported scheme (file/hdfs/s3a)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(jpath)
+    n = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n, summary.getLength()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_cols: tuple[str, ...] = (),
+    inflation: float = 2.0,
+) -> CompactionStats:
+    """Rewrite ``in_path`` into ``out_path`` targeting
+    ``target_file_bytes`` per file. Returns before/after file stats."""
+    in_files, in_bytes = _dir_stats(spark, in_path)
+    df = spark.read.parquet(in_path)
+
+    advisory = max(1 << 16, int(target_file_bytes * inflation))
+    prev = {
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled", "true"
+        ),
+        "spark.sql.adaptive.coalescePartitions.enabled": spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        ),
+        # Without this floor-drop, AQE refuses to create partitions
+        # smaller than 1MB-default minPartitionSize, defeating small
+        # targets (only relevant for test-scale targets; harmless at
+        # production targets).
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(advisory)
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            str(min(advisory, 1 << 20)),
+        )
+        balanced = (
+            df.hint("rebalance", *partition_cols)
+            if partition_cols
+            else df.hint("rebalance")
+        )
+        writer = balanced.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(out_path)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+    out_files, out_bytes = _dir_stats(spark, out_path)
+    return CompactionStats(in_files, in_bytes, out_files, out_bytes)

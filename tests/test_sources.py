@@ -156,3 +156,69 @@ def test_sink_roundtrips(spark, tmp_path):
     src.write.mode("overwrite").orc(orc_path)
     got_orc = spark.read.orc(orc_path)
     assert sorted(tuple(r) for r in got_orc.collect()) == sorted(want)
+
+
+def test_compaction_hits_file_size_target(spark, tmp_path):
+    """A fragmented table (64 tiny files) compacts to few near-target
+    files; a smaller target yields proportionally more files; rows and
+    values survive the rewrite."""
+    from hdb_resale_price_data_pipeline_spark.sources.compaction import (
+        compact_parquet,
+    )
+
+    frag = str(tmp_path / "fragmented")
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    docs.repartition(64).write.parquet(frag)
+
+    big = compact_parquet(
+        spark, frag, str(tmp_path / "big"), target_file_bytes=64 << 20
+    )
+    assert big.in_files == 64
+    assert big.out_files <= 2  # whole table well under one 64MB target
+    assert (
+        spark.read.parquet(str(tmp_path / "big")).count() == docs.count()
+    )
+
+    small = compact_parquet(
+        spark, frag, str(tmp_path / "small"),
+        target_file_bytes=16 << 10, inflation=2.0,
+    )
+    assert big.out_files < small.out_files < 64
+
+    got = spark.read.parquet(str(tmp_path / "small"))
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+
+def test_compaction_partitioned_defragments_each_partition(spark, tmp_path):
+    """Partition-aware compaction: each lang directory collapses from
+    task×partition slivers to a handful of files, partition pruning
+    still works on the result."""
+    from hdb_resale_price_data_pipeline_spark.sources.compaction import (
+        compact_parquet,
+    )
+
+    frag = str(tmp_path / "frag_part")
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    # the classic failure: many upstream tasks each write into every
+    # partition directory
+    docs.repartition(16).write.partitionBy("lang").parquet(frag)
+
+    stats = compact_parquet(
+        spark, frag, str(tmp_path / "compact_part"),
+        target_file_bytes=64 << 20, partition_cols=("lang",),
+    )
+    assert stats.in_files >= 40  # ~16 slivers x 5 langs
+    n_langs = docs.select("lang").distinct().count()
+    assert stats.out_files <= 2 * n_langs
+    for d in (p for p in os.listdir(str(tmp_path / "compact_part")) if p.startswith("lang=")):
+        files = [
+            f for f in os.listdir(str(tmp_path / "compact_part") + "/" + d)
+            if not f.startswith("_") and not f.startswith(".")
+        ]
+        assert 1 <= len(files) <= 2
+    assert (
+        spark.read.parquet(str(tmp_path / "compact_part")).count()
+        == docs.count()
+    )
