@@ -1,0 +1,59 @@
+"""Streaming → warehouse bridge: an exactly-once day-partitioned sink.
+
+The reference's warehouse load is a batch WRITE_APPEND into
+day-partitioned tables (dags/pipeline.py:231-247); its streaming-era
+equivalent is ``foreachBatch`` feeding the same idempotent
+dynamic-partition-overwrite load used by ``sources/warehouse.py``.
+
+Exactly-once here is the composition of two guarantees:
+
+- the checkpoint gives each micro-batch a stable ``batch_id``, and a
+  batch that fails mid-write is REPLAYED with the same id after
+  restart;
+- ``load_day_partitioned`` makes the replay harmless — it replaces the
+  date partitions present in the batch rather than appending, so a
+  half-written batch is simply overwritten whole.
+
+Plain ``mode("append")`` in ``foreachBatch`` would duplicate rows on
+every such replay; partition-level overwrite is the Spark-native
+idempotence trick when the sink has no transactional MERGE. The one
+semantic requirement is that micro-batches align with partition
+boundaries *or* that a partition is only ever extended by re-delivering
+ALL of its rows (true for replays, which re-run the same batch). For a
+date column derived from event time with a watermark, late data lands
+in an old partition and would erase that partition's earlier rows —
+that deployment needs a keyed MERGE sink (Delta/Iceberg) instead; this
+sink documents the boundary rather than pretending it away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..sources.warehouse import load_day_partitioned
+
+
+def stream_to_day_partitioned(
+    streaming_df: DataFrame,
+    path: str,
+    partition_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start a foreachBatch sink writing each micro-batch through the
+    idempotent day-partitioned warehouse load. Returns the
+    StreamingQuery (caller awaits)."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        load_day_partitioned(batch_df, path, partition_col)
+
+    writer = (
+        streaming_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

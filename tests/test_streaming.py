@@ -251,3 +251,35 @@ def test_event_time_timeout_closes_quiet_users_session(spark, tmp_path):
         # user 2's first session closed by the 3h-later event (gap break)
         (2, us(0)): (us(0), 1, 1.0),
     }
+
+
+def test_stream_to_warehouse_is_exactly_once(spark, tmp_path):
+    """foreachBatch → idempotent day-partitioned load: the sink lands
+    every event exactly once, a restart with the same checkpoint
+    reprocesses nothing, and a full replay (fresh checkpoint — every
+    batch re-delivered) overwrites partitions instead of duplicating."""
+    from hdb_resale_price_data_pipeline_spark.streaming.sink import (
+        stream_to_day_partitioned,
+    )
+
+    warehouse = str(tmp_path / "warehouse")
+
+    def run(checkpoint: str) -> None:
+        ev = events_stream(spark, TEST_SF_DIR).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        q = stream_to_day_partitioned(ev, warehouse, "event_date", checkpoint)
+        q.awaitTermination()
+
+    expected = read_table(spark, TEST_SF_DIR, "events").count()
+
+    run(str(tmp_path / "ckpt1"))
+    first = spark.read.parquet(warehouse)
+    assert first.count() == expected
+    assert first.select("event_id").distinct().count() == expected
+
+    run(str(tmp_path / "ckpt1"))  # restart, same checkpoint: no-op
+    assert spark.read.parquet(warehouse).count() == expected
+
+    run(str(tmp_path / "ckpt2"))  # full replay: overwrite, not append
+    assert spark.read.parquet(warehouse).count() == expected
