@@ -84,3 +84,53 @@ def test_zorder_layout_prunes_2d_box(spark, tmp_path):
     finally:
         shutil.rmtree(natural, ignore_errors=True)
         shutil.rmtree(zordered, ignore_errors=True)
+
+
+def test_hilbert_index_is_a_continuous_bijection():
+    """The two defining curve properties on a full 8x8 grid: every cell
+    gets a distinct position (bijection), and consecutive positions are
+    grid-adjacent (continuity — the property Morton lacks, and the
+    reason Hilbert runs span tighter boxes)."""
+    import numpy as np
+
+    from hdb_resale_price_data_pipeline_spark.sources.layout import (
+        _hilbert_index_np,
+    )
+
+    bits = 3
+    n = 1 << bits
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n))
+    x, y = xx.ravel(), yy.ravel()
+    d = _hilbert_index_np(x, y, bits)
+    assert sorted(d) == list(range(n * n))
+    order = np.argsort(d)
+    steps = np.abs(np.diff(x[order])) + np.abs(np.diff(y[order]))
+    assert (steps == 1).all()
+
+
+def test_hilbert_layout_prunes_2d_box(spark, tmp_path):
+    """Hilbert clustering must prune a 2-D box at least as well as the
+    unclustered baseline by a wide margin; the box deliberately straddles
+    the 50% mark — Morton's worst case, which Hilbert has no analog of."""
+    from hdb_resale_price_data_pipeline_spark.sources.layout import (
+        write_hilbert_ordered,
+    )
+
+    li = read_table(spark, TEST_SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    lo_o, hi_o, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).first()
+    box = {
+        "l_orderkey": (lo_o + 0.45 * (hi_o - lo_o), lo_o + 0.55 * (hi_o - lo_o)),
+        "l_partkey": (lo_p + 0.45 * (hi_p - lo_p), lo_p + 0.55 * (hi_p - lo_p)),
+    }
+    hilbert = f"{tmp_path}/hilbert"
+    write_hilbert_ordered(li, hilbert, ["l_orderkey", "l_partkey"], n_files=8)
+    try:
+        assert spark.read.parquet(hilbert).count() == li.count()
+        f_h = rowgroup_prune_fraction(hilbert, box)
+        assert f_h >= 0.5
+    finally:
+        shutil.rmtree(hilbert, ignore_errors=True)

@@ -155,12 +155,94 @@ def probe_skew(spark) -> None:
         spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
 
 
+DOCS_STAGE = "/tmp/docs_scale"
+DOC_COPIES = 16  # 5k docs → 80k
+EMB_COPIES = 64  # 2k vecs → 128k
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def stage_docs(spark) -> None:
+    """Replicate the sf0.1 text/embedding tables (80k docs / 128k
+    vectors), laid out like an sf dir so the registered query fns run
+    on it unchanged.
+
+    Document replicas are Caesar-rotated per copy, NOT verbatim: a
+    first attempt with 256 identical-text copies made every LSH band
+    bucket hold 256 exact duplicates — candidate pairs are quadratic in
+    per-bucket density, so that's 5000 × C(256,2) ≈ 160M pairs and the
+    probe died in GC, a correct answer to a degenerate question. The
+    lesson is itself the point: near-dup cost scales with DUPLICATE
+    DENSITY, not corpus size. Rotation keeps each copy's *internal*
+    dup structure (rotation is a bijection on shingles) so candidate
+    volume scales linearly with copies, like a real corpus."""
+    if os.path.exists(f"{DOCS_STAGE}/_done"):
+        return
+    for table, key, copies in (
+        ("documents", "doc_id", DOC_COPIES),
+        ("embeddings", "vec_id", EMB_COPIES),
+    ):
+        base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        out = base
+        for i in range(1, copies):
+            rep = base.withColumn(key, col(key) + F.lit(i * 10_000_000))
+            if table == "documents":
+                rot = i % 26
+                rep = rep.withColumn(
+                    "text",
+                    F.translate(
+                        "text",
+                        _ALPHA + _ALPHA.upper(),
+                        _ALPHA[rot:] + _ALPHA[:rot]
+                        + (_ALPHA[rot:] + _ALPHA[:rot]).upper(),
+                    ),
+                )
+            out = out.unionByName(rep)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{DOCS_STAGE}/{table}.parquet"
+        )
+    open(f"{DOCS_STAGE}/_done", "w").close()
+
+
+def probe_docs(spark) -> None:
+    """LLM-pipeline operators at 16×/64× the bench corpus (80k docs /
+    128k vectors): the check that the dedup/decontam/ANN plans hold an
+    order of magnitude past where the bench measures them. Measured
+    numbers: see the README scale-probe section (printed by this probe).
+    """
+    from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+    stage_docs(spark)
+    registry = local_queries()
+    n_docs = spark.read.parquet(f"{DOCS_STAGE}/documents.parquet").count()
+    n_vecs = spark.read.parquet(f"{DOCS_STAGE}/embeddings.parquet").count()
+    print(f"staged: documents={n_docs:,} embeddings={n_vecs:,}")
+
+    names = [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_decontaminate",
+        "text_domain_mix",
+        "emb_cosine_topk",
+        "emb_ann_lsh_topk",
+        "emb_ivf_topk",
+        "emb_kmeans_clusters",
+    ]
+    for name in names:
+        fn = registry[name].fn
+        fn(spark, DOCS_STAGE).count()  # warm: index build, codegen, scan cache
+        t0 = time.perf_counter()
+        rows = fn(spark, DOCS_STAGE).count()
+        print(f"{name}: {time.perf_counter() - t0:.2f}s ({rows:,} rows)")
+
+
 def probe_layout(spark) -> None:
     """Layout probe at 16×: natural vs linear-sort vs z-order layouts of
     the replicated lineitem, judged by (a) fraction of row groups a 2-D
     box filter can skip from footer stats, (b) timed filtered scans."""
     from hdb_resale_price_data_pipeline_spark.sources.layout import (
         rowgroup_prune_fraction,
+        write_hilbert_ordered,
         write_zordered,
     )
 
@@ -179,6 +261,7 @@ def probe_layout(spark) -> None:
         "natural (hash)": f"{STAGE}/layout_natural",
         "linear sort l_orderkey": f"{STAGE}/layout_linear",
         "zorder(l_orderkey,l_partkey)": f"{STAGE}/layout_zorder",
+        "hilbert(l_orderkey,l_partkey)": f"{STAGE}/layout_hilbert",
     }
     if not os.path.exists(f"{STAGE}/layout_done"):
         # scatter by key hash: deterministically unclustered baseline
@@ -192,6 +275,7 @@ def probe_layout(spark) -> None:
             .parquet(layouts["linear sort l_orderkey"])
         )
         write_zordered(li, layouts["zorder(l_orderkey,l_partkey)"], ["l_orderkey", "l_partkey"], n_files=32)
+        write_hilbert_ordered(li, layouts["hilbert(l_orderkey,l_partkey)"], ["l_orderkey", "l_partkey"], n_files=32)
         open(f"{STAGE}/layout_done", "w").close()
     # The point of z-order is pruning on EVERY dimension: a linear sort
     # matches it on its own dimension and prunes NOTHING on the other.
@@ -225,6 +309,10 @@ def main() -> None:
         return
     if "--layout" in sys.argv:
         probe_layout(spark)
+        spark.stop()
+        return
+    if "--docs" in sys.argv:
+        probe_docs(spark)
         spark.stop()
         return
     stage(spark)
