@@ -385,6 +385,66 @@ FROM scaled
 """
 
 
+BATCH_QUERY_MOD = 100  # vec_id % 100 == 0 → Q queries (5 at sf0.01)
+BATCH_TOP_K = 5
+
+
+def q_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: ALL query vectors scored against the corpus in ONE
+    corpus pass — the realistic serving shape (a single-query top-k per
+    request would re-scan the corpus Q times).
+
+    The query set broadcasts (requests are tiny next to the corpus);
+    the pair cosine runs as the Arrow pandas_udf (the dim-expanded
+    chain cannot codegen inside a join consume method — see
+    pair_cosine_udf); and the per-query top-k is a row_number window
+    that Spark plans with a partial WindowGroupLimit below the
+    exchange, so each map task ships at most Q×k rows — the shuffle is
+    O(tasks × Q × k), independent of corpus size."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(col("vec_id") % BATCH_QUERY_MOD == 0).select(
+        col("vec_id").alias("query_id"), col("embedding").alias("q_emb")
+    )
+    corpus = widen(emb.filter(col("vec_id") % BATCH_QUERY_MOD != 0))
+    pair_cos = S.pair_cosine_udf()
+    scored = corpus.crossJoin(broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(pair_cos(col("embedding"), col("q_emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cosine").desc(), col("vec_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(col("rank") <= BATCH_TOP_K)
+
+
+def _batch_topk_oracle() -> str:
+    cos = S.cosine("e.embedding", "q.q_emb")[1]
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id % {BATCH_QUERY_MOD} = 0
+), s AS (
+    SELECT q.query_id, e.vec_id, e.label, {cos} AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id % {BATCH_QUERY_MOD} <> 0
+), ranked AS (
+    SELECT query_id, vec_id, label, cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id
+           ) AS INT) AS rank
+    FROM s
+)
+SELECT * FROM ranked WHERE rank <= {BATCH_TOP_K}
+"""
+
+
 # Not driver-registered: emb_ann_lsh_topk exercises the same bucketing
 # expression end-to-end, and label centroids are the same posexplode +
 # group-reduction shape as kmeans; oracle-verified locally.
@@ -392,4 +452,5 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),
     "emb_label_centroids": QuerySpec(q_label_centroids, _LABEL_CENTROIDS_SQL),
     "emb_quantize": QuerySpec(q_emb_quantize, _EMB_QUANTIZE_SQL),
+    "emb_batch_topk": QuerySpec(q_batch_topk, _batch_topk_oracle()),
 }

@@ -186,6 +186,18 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
         )
 
 
+def test_batch_topk_ships_only_topk_rows(spark):
+    """Batch ANN: the query set is broadcast (corpus never shuffles for
+    the join) and the per-query top-k must plan a partial
+    WindowGroupLimit below the exchange, so each map task ships at most
+    Q×k rows — the shuffle is independent of corpus size."""
+    plan = _plan(LOCAL_REGISTRY["emb_batch_topk"].fn(spark, TEST_SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny query set, cross form
+    assert _shuffles(plan) == 1  # only the final per-query window
+
+
 def test_domain_mixture_broadcasts_rate_table(spark):
     """The per-domain rate table must reach the corpus scan as a
     broadcast, and pass 1 must shuffle only the slim (domain, n_tok)
