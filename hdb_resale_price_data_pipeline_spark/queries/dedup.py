@@ -206,3 +206,43 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_oracle()),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, _ngram_oracle()),
 }
+
+
+BATCH_MOD = 5  # doc_id % 5 == 0 plays the "new batch"; rest is the corpus
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-batch dedup (operators/incremental.py): batch
+    docs surviving a prefix-fingerprint check against the corpus. Both
+    joins broadcast the batch-sized side — the corpus is scanned,
+    never shuffled."""
+    from ..operators.incremental import dedup_incremental
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    batch = docs.filter(col("doc_id") % BATCH_MOD == 0)
+    corpus = docs.filter(col("doc_id") % BATCH_MOD != 0)
+    return dedup_incremental(batch, corpus)
+
+
+def _incremental_oracle() -> str:
+    from ..operators.incremental import prefix_fingerprint_duck
+
+    fp = prefix_fingerprint_duck("text")
+    return f"""
+WITH f AS (
+    SELECT doc_id, {fp} AS fp FROM documents
+), batch AS (
+    SELECT fp, min(doc_id) AS doc_id
+    FROM f WHERE doc_id % {BATCH_MOD} = 0 GROUP BY fp
+), corpus AS (
+    SELECT DISTINCT fp FROM f WHERE doc_id % {BATCH_MOD} <> 0
+)
+SELECT b.doc_id, b.fp
+FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+WHERE c.fp IS NULL
+"""
+
+
+LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "dedup_incremental": QuerySpec(q_dedup_incremental, _incremental_oracle()),
+}

@@ -186,6 +186,22 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
         )
 
 
+def test_incremental_dedup_never_shuffles_corpus(spark):
+    """Both sides of the incremental check broadcast the batch-sized
+    frame: the corpus contributes a scan (semi-join filter at the read)
+    and zero hash exchanges beyond the batch's internal groupBy."""
+    plan = _plan(LOCAL_REGISTRY["dedup_incremental"].fn(spark, TEST_SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 2  # semi + anti
+    assert "SortMergeJoin" not in plan
+    # 3 hash exchanges, ALL on the batch-sized side (survivor groupBy,
+    # its column-pruned recompute for the broadcast build, collision
+    # distinct) — each ships one 8-byte column of batch cardinality.
+    # The corpus side contributes file scans only.
+    assert _shuffles(plan) <= 3
+    corpus_scans = plan.count("FileScan")
+    assert corpus_scans >= 2  # batch scan + corpus scan, both unshuffled
+
+
 def test_batch_topk_ships_only_topk_rows(spark):
     """Batch ANN: the query set is broadcast (corpus never shuffles for
     the join) and the per-query top-k must plan a partial
