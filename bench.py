@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hdb_resale_price_data_pipeline_spark.queries import all_queries
+from hdb_resale_price_data_pipeline_spark.queries import local_queries
 from hdb_resale_price_data_pipeline_spark.session import get_spark_session
 
 # Headline suite: the scan/join/agg/window/dedup/similarity workloads that
@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "text_domain_mix",
+    "emb_batch_topk",
     "text_fingerprint",
     "text_top_tokens",
     "text_profile",
@@ -110,7 +113,7 @@ def main() -> None:
     spark = get_spark_session(app_name="hdb-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    registry = all_queries()
+    registry = local_queries()
     timings: dict[str, float] = {}
 
     # Per-query warm run (codegen/JIT/scan-cache), then REPEATS timed

@@ -245,6 +245,25 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
     return codebook, assigned
 
 
+def _probe_ids(codebook: list, q_vec: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the query, by the affinity
+    |c|² − 2⟨c, q⟩ with the exact sequential-fold IEEE op order of the
+    oracle's ``duck_ivf_dist`` (ties → lowest cid)."""
+
+    def _affinity(cent: list[float]) -> float:
+        sq = 0.0
+        for v in cent:
+            sq = sq + v * v
+        dot = 0.0
+        for v, qv in zip(cent, q_vec):
+            dot = dot + v * qv
+        return sq - 2.0 * dot
+
+    return [
+        cid for cid, _ in sorted(codebook, key=lambda kv: (_affinity(kv[1]), kv[0]))
+    ][:nprobe]
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (operators/ivf.py): the index (codebook + Arrow-
     vectorized nearest-centroid assignment of every vector, persisted as
@@ -262,19 +281,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = dict(codebook)
     q_vec = head[QUERY_VEC_ID]
     dim = len(q_vec)
-
-    def _affinity(cent: list[float]) -> float:
-        sq = 0.0
-        for v in cent:
-            sq = sq + v * v
-        dot = 0.0
-        for v, qv in zip(cent, q_vec):
-            dot = dot + v * qv
-        return sq - 2.0 * dot
-
-    probe_ids = [
-        cid for cid, _ in sorted(codebook, key=lambda kv: (_affinity(kv[1]), kv[0]))
-    ][:IVF_NPROBE]
+    probe_ids = _probe_ids(codebook, q_vec, IVF_NPROBE)
 
     emb = t(spark, sf_dir, "embeddings")
     query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
@@ -385,6 +392,62 @@ FROM scaled
 """
 
 
+# Trained-codebook IVF index cache, same build/probe split as
+# _IVF_INDEX_CACHE but with k-means centroids: balanced inverted lists
+# (a sampled codebook inherits the data's density skew — hot lists make
+# probe cost and recall uneven; Lloyd iterations even them out).
+_IVF_KM_CACHE: dict[tuple[str, str, int], tuple[list, DataFrame]] = {}
+
+
+def _ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    from ..operators import ivf as I
+    from ..operators.kmeans import kmeans_fit
+
+    key = (S.session_cache_key(spark), sf_dir, IVF_K)
+    hit = _IVF_KM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = t(spark, sf_dir, "embeddings")
+    codebook = kmeans_fit(emb, "embedding", "vec_id", k=IVF_K, max_iter=3)
+    assigned = I.assign_to_codebook(widen(emb), "embedding", codebook).persist()
+    _IVF_KM_CACHE[key] = (codebook, assigned)
+    return codebook, assigned
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a k-means-TRAINED codebook: the realistic index
+    (sampled codebooks inherit density skew; trained centroids balance
+    the inverted lists). Training is iterative and driver-folded, so
+    no SQL oracle exists — rows-only driver check; recall vs the exact
+    brute-force top-k is asserted in tests/test_similarity_recall.py."""
+    codebook, assigned = _ivf_kmeans_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    q_vec = [
+        float(v)
+        for v in emb.filter(col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    dim = len(q_vec)
+    probe_ids = _probe_ids(codebook, q_vec, IVF_NPROBE)
+    query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
+        col("embedding").alias("q_emb")
+    )
+    return (
+        assigned.filter(col("ivf_cid").isin(probe_ids) & (col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            col("ivf_cid"),
+            S.cosine_expr("embedding", "q_emb", dim=dim).alias("cosine"),
+        )
+        .orderBy(col("cosine").desc(), col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 BATCH_QUERY_MOD = 100  # vec_id % 100 == 0 → Q queries (5 at sf0.01)
 BATCH_TOP_K = 5
 
@@ -453,4 +516,5 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_label_centroids": QuerySpec(q_label_centroids, _LABEL_CENTROIDS_SQL),
     "emb_quantize": QuerySpec(q_emb_quantize, _EMB_QUANTIZE_SQL),
     "emb_batch_topk": QuerySpec(q_batch_topk, _batch_topk_oracle()),
+    "emb_ivf_kmeans_topk": QuerySpec(q_ivf_kmeans_topk, None),
 }

@@ -1,0 +1,31 @@
+"""ANN quality gates: approximate indexes must actually FIND the
+neighbors — a fast index with bad recall is worse than no index."""
+
+from __future__ import annotations
+
+from conftest import TEST_SF_DIR
+from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+REGISTRY = local_queries()
+
+
+def _topk_ids(spark, name):
+    return [r.vec_id for r in REGISTRY[name].fn(spark, TEST_SF_DIR).collect()]
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    exact = set(_topk_ids(spark, "emb_cosine_topk"))
+    approx = set(_topk_ids(spark, "emb_ivf_kmeans_topk"))
+    recall = len(exact & approx) / len(exact)
+    # nprobe=2 of K=8 trained lists: the true neighborhood should land
+    # mostly in the probed cells
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_kmeans_matches_sampled_ivf_shape(spark):
+    """Same output schema and k as the sampled-codebook IVF — the
+    trained index is a drop-in replacement."""
+    km = REGISTRY["emb_ivf_kmeans_topk"].fn(spark, TEST_SF_DIR)
+    sampled = REGISTRY["emb_ivf_topk"].fn(spark, TEST_SF_DIR)
+    assert km.columns == sampled.columns
+    assert km.count() == sampled.count()
