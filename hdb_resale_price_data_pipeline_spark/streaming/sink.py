@@ -22,14 +22,16 @@ boundaries *or* that a partition is only ever extended by re-delivering
 ALL of its rows (true for replays, which re-run the same batch). For a
 date column derived from event time with a watermark, late data lands
 in an old partition and would erase that partition's earlier rows —
-that deployment needs a keyed MERGE sink (Delta/Iceberg) instead; this
-sink documents the boundary rather than pretending it away.
+that deployment needs the keyed variant below
+(:func:`stream_to_day_partitioned_merge`), whose per-batch MERGE
+replaces only matching keys inside the affected partitions.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..sources.merge import merge_upsert
 from ..sources.warehouse import load_day_partitioned
 
 
@@ -51,6 +53,41 @@ def stream_to_day_partitioned(
 
     writer = (
         streaming_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_to_day_partitioned_merge(
+    streaming_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Late-data-safe variant: each micro-batch MERGES by key into the
+    affected partitions (sources/merge.py) instead of replacing them
+    whole, so a batch carrying a few late rows for an old day updates
+    those keys without erasing the day's earlier rows. Idempotent under
+    replay for the same reason the merge itself is."""
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):  # first batch bootstraps the table
+            load_day_partitioned(batch_df, path, partition_col)
+            return
+        merge_upsert(spark, path, batch_df, key_cols, partition_col)
+
+    writer = (
+        streaming_df.writeStream.foreachBatch(_merge_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -283,3 +283,32 @@ def test_stream_to_warehouse_is_exactly_once(spark, tmp_path):
 
     run(str(tmp_path / "ckpt2"))  # full replay: overwrite, not append
     assert spark.read.parquet(warehouse).count() == expected
+
+
+def test_stream_merge_sink_is_idempotent_under_replay(spark, tmp_path):
+    """The keyed MERGE sink: full replay (fresh checkpoint) re-merges
+    every batch and must leave the table unchanged — no duplicates, no
+    erased rows."""
+    from hdb_resale_price_data_pipeline_spark.streaming.sink import (
+        stream_to_day_partitioned_merge,
+    )
+
+    warehouse = str(tmp_path / "merge_wh")
+
+    def run(checkpoint: str) -> None:
+        ev = events_stream(spark, TEST_SF_DIR).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        q = stream_to_day_partitioned_merge(
+            ev, warehouse, ["event_id"], "event_date", checkpoint
+        )
+        q.awaitTermination()
+
+    expected = read_table(spark, TEST_SF_DIR, "events").count()
+    run(str(tmp_path / "ck1"))
+    assert spark.read.parquet(warehouse).count() == expected
+
+    run(str(tmp_path / "ck2"))  # replay everything: merge, not append
+    got = spark.read.parquet(warehouse)
+    assert got.count() == expected
+    assert got.select("event_id").distinct().count() == expected
