@@ -169,3 +169,38 @@ def token_hashes_udf(a: int = 131, b: int = 7):
         return pd.Series(out, dtype=object)
 
     return _th
+
+
+def distinct_gram_hashes_udf(shingle_len: int, a: int = 131, b: int = 7):
+    """array<bigint> of DISTINCT hashed word n-grams per document —
+    twin of ``array_distinct(shingle_hashes(shingles(tokens(text))))``
+    (decontamination's staging column). Grams are deduped before the
+    fold (cheaper) and hashes deduped after it, which is exactly
+    ``array_distinct`` over the full hash list: first occurrence wins
+    in both steps, and a cross-gram hash collision is removed by the
+    second step just as array_distinct would."""
+
+    @pandas_udf("array<bigint>")
+    def _gh(text: pd.Series) -> pd.Series:
+        docs = [
+            None
+            if t is None
+            else list(dict.fromkeys(_shingles(_tokens(t), shingle_len)))
+            for t in text
+        ]
+        flat = [g for gs in docs if gs is not None for g in gs]
+        if not flat:
+            return pd.Series([None if d is None else [] for d in docs], dtype=object)
+        codes, starts, lens = _flat_codes(flat)
+        hashes = _fold_ragged(codes, starts, lens, a, b)
+        out: list[list[int] | None] = []
+        pos = 0
+        for gs in docs:
+            if gs is None:
+                out.append(None)
+                continue
+            out.append(list(dict.fromkeys(hashes[pos : pos + len(gs)].tolist())))
+            pos += len(gs)
+        return pd.Series(out, dtype=object)
+
+    return _gh

@@ -17,6 +17,12 @@ Scale design (the part that matters at 100 TB):
 - N-grams are carried as BIGINT polynomial hashes
   (``functions.hashing``), not strings: an 8-byte fixed-width join key
   instead of a ~40-byte string, and bit-identical in the DuckDB oracle.
+- The shingle-hash staging column runs as the Arrow twin
+  (``functions.arrow_text.distinct_gram_hashes_udf``) of the
+  expression spec: Spark evaluates higher-order functions interpreted
+  (no codegen), and the vectorized numpy fold is bit-identical
+  (tests/test_arrow_text.py) at a fraction of the per-row cost — the
+  same trade the MinHash/SimHash hot paths make.
 - Per-doc shingle sets are deduplicated *before* the explode
   (``array_distinct``) so join multiplicity is exactly 0/1 per
   (doc, gram) and counts are set semantics, not bag.
@@ -60,7 +66,11 @@ def contamination_report(
     ``(id, n_shingles, n_contaminated, contamination_ratio,
     is_contaminated)``.
     """
-    grams = F.explode(doc_shingle_hashes(text_col, n)).alias("gram")
+    from ..functions.arrow_text import distinct_gram_hashes_udf
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    grams = F.explode(distinct_gram_hashes_udf(n)(F.col(text_col))).alias("gram")
     eval_grams = (
         docs.filter(eval_pred)
         .select(grams)

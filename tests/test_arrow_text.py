@@ -97,3 +97,28 @@ def test_token_hashes_bit_identical(spark):
         for r in df.select("doc_id", token_hashes_udf()(col("text")).alias("h")).collect()
     }
     assert expr_rows == arrow_rows
+
+
+def test_distinct_gram_hashes_bit_identical(spark):
+    from hdb_resale_price_data_pipeline_spark.functions.arrow_text import (
+        distinct_gram_hashes_udf,
+    )
+    from hdb_resale_price_data_pipeline_spark.operators.decontam import (
+        doc_shingle_hashes,
+    )
+
+    ensure_package_shipped(spark)
+    df = _frames(spark)
+    expr_rows = {
+        r.doc_id: list(r.g)
+        for r in df.select(
+            "doc_id", doc_shingle_hashes("text", SHINGLE_LEN).alias("g")
+        ).collect()
+    }
+    arrow_rows = {
+        r.doc_id: list(r.g)
+        for r in df.select(
+            "doc_id", distinct_gram_hashes_udf(SHINGLE_LEN)(col("text")).alias("g")
+        ).collect()
+    }
+    assert expr_rows == arrow_rows
