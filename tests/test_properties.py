@@ -80,3 +80,66 @@ def test_title_case_idempotent(spark):
     once = df.select(title_case_location(col("loc")).alias("o"))
     twice = once.select(title_case_location(col("o")).alias("o"))
     assert [r.o for r in once.collect()] == [r.o for r in twice.collect()]
+
+
+# --- Hilbert curve: pure-python/numpy properties (no Spark session) ---
+
+@given(st.integers(2, 8), st.data())
+@settings(max_examples=25, deadline=None)
+def test_hilbert_key_is_bijective_and_continuous(bits, data):
+    """For any grid size 2^bits: distinct cells map to distinct curve
+    positions, and walking the curve in order only ever moves between
+    grid-adjacent cells — the locality property the layout relies on."""
+    import numpy as np
+
+    from hdb_resale_price_data_pipeline_spark.sources.layout import (
+        _hilbert_index_np,
+    )
+
+    n = 1 << bits
+    # full grid for small sizes, a random window for big ones (keeps the
+    # bijection check exact per window without 2^16-cell examples)
+    if bits <= 5:
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        x, y = xs.ravel(), ys.ravel()
+        d = _hilbert_index_np(x, y, bits)
+        assert sorted(d) == list(range(n * n))
+        order = np.argsort(d)
+        steps = np.abs(np.diff(x[order])) + np.abs(np.diff(y[order]))
+        assert (steps == 1).all()
+    else:
+        k = data.draw(st.integers(0, n * n - 1))
+        # probe distinctness on a random sample of cells
+        idx = data.draw(
+            st.lists(
+                st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                min_size=2, max_size=64, unique=True,
+            )
+        )
+        x = np.array([p[0] for p in idx]); y = np.array([p[1] for p in idx])
+        d = _hilbert_index_np(x, y, bits)
+        assert len(set(d.tolist())) == len(idx)
+        assert (d >= 0).all() and (d < n * n).all() and k < n * n
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_arrow_fold_matches_python_fold(strings):
+    """The vectorized ragged fold (functions/arrow_text.py) must equal
+    the sequential python model of the expression spec for ARBITRARY
+    unicode strings — not just the corpus the fixture tests cover."""
+    from hdb_resale_price_data_pipeline_spark.functions.arrow_text import (
+        _flat_codes,
+        _fold_ragged,
+    )
+    from hdb_resale_price_data_pipeline_spark.functions.hashing import (
+        MERSENNE_31,
+    )
+
+    codes, starts, lens = _flat_codes(strings)
+    got = _fold_ragged(codes, starts, lens, 131, 7).tolist()
+    for s, g in zip(strings, got):
+        acc = 7
+        for ch in s:
+            acc = (acc * 131 + ord(ch)) % MERSENNE_31
+        assert acc == g
