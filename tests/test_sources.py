@@ -274,3 +274,41 @@ def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
         (r.k, str(r.day)): r.v for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_export_shards_are_deterministic_and_bounded(spark, tmp_path):
+    """Export: every row lands exactly once, shards stay near the row
+    target, the manifest agrees with the files, re-export replays the
+    IDENTICAL global permutation, and the order decorrelates from the
+    source order (it's a shuffle, not a copy)."""
+    from hdb_resale_price_data_pipeline_spark.sources.export import (
+        export_shuffled_shards,
+    )
+
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    n = docs.count()
+    out1, out2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    m1 = export_shuffled_shards(docs, out1, rows_per_shard=100)
+    m2 = export_shuffled_shards(docs, out2, rows_per_shard=100)
+
+    assert m1["total_rows"] == n
+    assert sum(s["rows"] for s in m1["shards"]) == n
+    assert m1["n_shards"] == (n + 99) // 100
+    # range partitioner samples, so allow slack — but no degenerate shards
+    assert all(20 <= s["rows"] <= 200 for s in m1["shards"])
+
+    def order(path):
+        import pyarrow.dataset as ds
+
+        ids = []
+        for frag in sorted(
+            ds.dataset(path, format="parquet").get_fragments(),
+            key=lambda f: f.path,
+        ):
+            ids.extend(frag.to_table(columns=["doc_id"])["doc_id"].to_pylist())
+        return ids
+
+    o1, o2 = order(out1), order(out2)
+    assert o1 == o2                      # reproducible permutation
+    assert sorted(o1) == sorted(r.doc_id for r in docs.select("doc_id").collect())
+    assert o1 != sorted(o1)              # actually shuffled
