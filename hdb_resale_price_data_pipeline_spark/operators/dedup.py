@@ -256,6 +256,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     shingle_len: int,
     threshold: float,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Blocked n-gram Jaccard via an INVERTED INDEX, not all-pairs:
     explode distinct grams to (gram, doc) postings, self-join postings
@@ -268,9 +269,9 @@ def ngram_jaccard_pairs(
     posting counts instead of |block|² array intersections — with
     distinctive shingles c_g ≈ 1 and the plan is join + count, entirely
     codegen. At 100 TB the posting join shuffles on the gram key, so
-    skew = hot shingles; AQE skew-join splits those, and a document-
-    frequency cap on pathological stop-grams is the standard relief
-    valve if a corpus needs one."""
+    skew = hot shingles; AQE skew-join splits those, and the
+    ``max_doc_freq`` cap drops pathological stop-grams entirely
+    (Jaccard then measured over the distinctive-gram space)."""
     assert threshold > 0.0, "inverted-index formulation requires threshold > 0"
     from ..functions.arrow_text import distinct_grams_udf
     from ..shipping import ensure_package_shipped
@@ -288,6 +289,22 @@ def ngram_jaccard_pairs(
     postings = base.select(
         "doc_id", "block", F.explode("grams").alias("gram")
     ).persist()
+    if max_doc_freq is not None:
+        # Document-frequency cap — the relief valve for hot shingles:
+        # a gram in c docs contributes c^2 join rows, so one boilerplate
+        # shingle shared by 1M docs is a 10^12-row posting join. Capping
+        # drops grams with within-block df > cap from BOTH numerator and
+        # denominator (standard stopword-removal semantics: Jaccard over
+        # the distinctive-gram space). The df agg shuffles on the same
+        # (block, gram) key the posting self-join uses, so the capped
+        # postings arrive at the join already co-partitioned.
+        keep = (
+            postings.groupBy("block", "gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(col("_df") <= max_doc_freq)
+            .select("block", "gram")
+        )
+        postings = postings.join(keep, ["block", "gram"], "left_semi").persist()
     counts = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = postings.alias("a")
     b = postings.alias("b")
