@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Plan-shape snapshots: record a physical-operator signature for every
+registered query into tests/plan_snapshots.json.
+
+The signature counts the operators that define scale behavior (join
+strategies, exchanges, group-limits, top-k, Python boundaries). A
+code or config change that silently degrades a plan — a broadcast
+becoming a SortMergeJoin, an extra shuffle, a codegen expression
+falling back to a Python eval — changes the signature and fails
+tests/test_plan_snapshots.py, even when sf0.01 timings hide it.
+
+Regenerate after an INTENTIONAL plan change:
+
+    python tools/plan_snapshot.py --update
+
+and review the JSON diff like any other code review.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SNAPSHOT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "plan_snapshots.json",
+)
+
+# Operators whose counts constitute the scale contract.
+SIGNATURE_PATTERNS = {
+    "broadcast_hash_join": r"BroadcastHashJoin",
+    "sort_merge_join": r"SortMergeJoin",
+    "shuffled_hash_join": r"ShuffledHashJoin",
+    "broadcast_nested_loop_join": r"BroadcastNestedLoopJoin",
+    "exchange_hash": r"Exchange hashpartitioning",
+    "exchange_range": r"Exchange rangepartitioning",
+    "exchange_single": r"Exchange SinglePartition",
+    "window_group_limit": r"WindowGroupLimit",
+    "take_ordered": r"TakeOrderedAndProject",
+    "python_eval": r"BatchEvalPython|ArrowEvalPython",
+    "map_in_pandas": r"MapInPandas",
+    "in_memory_scan": r"InMemoryTableScan",
+    "sort": r"(?m)^\s*[:+*]*-? ?Sort ",
+}
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a plan line = length of its box-drawing prefix."""
+    i = 0
+    while i < len(line) and line[i] in " :+-*":
+        i += 1
+    return i
+
+
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop everything UNDER InMemoryRelation nodes: how much of a
+    cached frame's build lineage the plan printer repeats depends on
+    cache registration/materialization state (session history), not on
+    the query under test. The signature covers the plan the query owns
+    — the cache boundary itself (in_memory_scan) stays counted."""
+    out = []
+    skip_below: int | None = None
+    for line in plan.splitlines():
+        d = _depth(line)
+        if skip_below is not None:
+            if d > skip_below:
+                continue
+            skip_below = None
+        out.append(line)
+        if "InMemoryRelation" in line:
+            skip_below = d
+    return "\n".join(out)
+
+
+def plan_signature(df) -> dict[str, int]:
+    plan = _strip_cached_subtrees(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    return {
+        key: len(re.findall(pat, plan))
+        for key, pat in SIGNATURE_PATTERNS.items()
+        if len(re.findall(pat, plan)) > 0
+    }
+
+
+def warm_index_caches(spark, sf_dir: str) -> None:
+    """Materialize the session-cached ANN indexes first: a persisted
+    frame prints a different (shorter) plan once materialized, so
+    signatures are only deterministic in the warm state — which is
+    also the steady state the caches exist to model."""
+    from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+    for name, spec in sorted(local_queries().items()):
+        if name.startswith("emb_"):
+            spec.fn(spark, sf_dir).count()
+
+
+def build_signatures(spark, sf_dir: str) -> dict[str, dict[str, int]]:
+    from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+    warm_index_caches(spark, sf_dir)
+    out = {}
+    for name, spec in sorted(local_queries().items()):
+        out[name] = plan_signature(spec.fn(spark, sf_dir))
+    return out
+
+
+def main() -> None:
+    from hdb_resale_price_data_pipeline_spark.session import get_spark_session
+
+    spark = get_spark_session(app_name="plan-snapshot")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    sigs = build_signatures(spark, sf_dir)
+    if "--update" in sys.argv:
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump(sigs, f, indent=1, sort_keys=True)
+        print(f"wrote {len(sigs)} signatures to {SNAPSHOT_PATH}")
+    else:
+        print(json.dumps(sigs, indent=1, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
