@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "emb_ivf_topk",
     "emb_near_dup_pairs",
     "emb_kmeans_clusters",
+    "emb_ivf_kmeans_topk",
+    "emb_quantize",
+    "text_pack_sequences",
     "events_asof_attribution",
     "events_salted_totals",
     "multimodal_features",
