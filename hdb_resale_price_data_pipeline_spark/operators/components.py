@@ -23,13 +23,22 @@ def connected_components(
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the
     connected component. Nodes appear iff they occur in an edge."""
+    # The edge list is re-joined every iteration and the label frame is
+    # both consumed and replaced per iteration: persist both, or each
+    # convergence check re-executes the ENTIRE growing lineage from the
+    # source — iteration k costs k times iteration 1 and the loop goes
+    # quadratic in jobs (same discipline as kmeans_fit's working set).
     sym = (
         edges.select(col(src).alias("a"), col(dst).alias("b"))
         .unionByName(edges.select(col(dst).alias("a"), col(src).alias("b")))
         .distinct()
+        .persist()
     )
-    labels = sym.select(col("a").alias("node")).distinct().withColumn(
-        "component", col("node")
+    labels = (
+        sym.select(col("a").alias("node"))
+        .distinct()
+        .withColumn("component", col("node"))
+        .persist()
     )
     for _ in range(max_iter):
         # each node pulls the smallest label among itself and neighbors
@@ -42,8 +51,10 @@ def connected_components(
             .unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .persist()
         )
-        # convergence check: any label changed?
+        # convergence check: any label changed? (materializes new_labels,
+        # so the persisted frame is reused by the next iteration's join)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), col("n.node") == col("o.node"))
@@ -51,9 +62,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 
