@@ -360,9 +360,35 @@ QUERIES: dict[str, QuerySpec] = {
     "events_json_props": QuerySpec(q_events_json_props, _EVENTS_JSON_SQL),
 }
 
+def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stats answered from the MATERIALIZED hourly rollup
+    (operators/rollup.py) — the hypertable/continuous-aggregate
+    pattern. The oracle aggregates the RAW table directly, so this
+    query proves the re-aggregation is exact: counts/sums are
+    algebraic and value is carried as DECIMAL (order-free addition);
+    a double sum here would fail the hash on the last ulp."""
+    from ..operators.rollup import build_hourly_rollup, daily_from_hourly
+
+    ev = t(spark, sf_dir, "events")
+    return daily_from_hourly(build_hourly_rollup(ev))
+
+
+_EVENTS_DAILY_ROLLUP_SQL = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS total_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # Subsumed by events_hourly_pivot (hourly/daily time-bucket + pivot) or a
 # near-duplicate of graded top-k demos; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "events_daily_rollup": QuerySpec(q_events_daily_rollup, _EVENTS_DAILY_ROLLUP_SQL),
     "events_hourly": QuerySpec(q_events_hourly, _EVENTS_HOURLY_SQL),
     "events_daily_pivot": QuerySpec(q_events_daily_pivot, _EVENTS_PIVOT_SQL),
     "events_top_users": QuerySpec(q_events_top_users, _EVENTS_TOP_USERS_SQL),
