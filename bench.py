@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_pack_sequences",
     "events_asof_attribution",
     "events_salted_totals",
+    "events_daily_rollup",
     "multimodal_features",
     "multimodal_chunks",
 ]
