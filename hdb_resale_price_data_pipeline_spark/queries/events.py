@@ -385,9 +385,67 @@ GROUP BY 1, 2
 """
 
 
+def q_events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join
+    (streaming/events.stream_view_purchase_join): every (purchase, view)
+    pair by the same user with the view in the 30 minutes before the
+    purchase. Equi-join on user_id with a residual time-range predicate
+    — one shuffle on the join key; the time bound is applied post-match,
+    which AQE can skew-split if one user dominates. The streaming
+    variant is the scale path for unbounded data (bounded state via
+    watermark + range condition); this twin gives the family an exact
+    oracle."""
+    from ..streaming.events import ATTRIBUTION_HORIZON_MIN
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.where(col("event_type") == "view").select(
+        col("event_id").alias("view_id"),
+        col("user_id"),
+        col("ts").alias("view_ts"),
+    )
+    purchases = ev.where(col("event_type") == "purchase").select(
+        col("event_id").alias("purchase_id"),
+        col("user_id").alias("p_user_id"),
+        col("ts").alias("purchase_ts"),
+    )
+    return views.join(
+        purchases,
+        (col("user_id") == col("p_user_id"))
+        & (col("purchase_ts") >= col("view_ts"))
+        & (
+            col("purchase_ts")
+            <= col("view_ts") + F.expr(f"interval {ATTRIBUTION_HORIZON_MIN} minutes")
+        ),
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros(col("purchase_ts")) - F.unix_micros(col("view_ts"))).alias(
+            "micros_to_purchase"
+        ),
+    )
+
+
+_EVENTS_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       v.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS micros_to_purchase
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTES
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 # Subsumed by events_hourly_pivot (hourly/daily time-bucket + pivot) or a
 # near-duplicate of graded top-k demos; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "events_attribution_join": QuerySpec(
+        q_events_attribution_join, _EVENTS_ATTRIBUTION_SQL
+    ),
     "events_daily_rollup": QuerySpec(q_events_daily_rollup, _EVENTS_DAILY_ROLLUP_SQL),
     "events_hourly": QuerySpec(q_events_hourly, _EVENTS_HOURLY_SQL),
     "events_daily_pivot": QuerySpec(q_events_daily_pivot, _EVENTS_PIVOT_SQL),

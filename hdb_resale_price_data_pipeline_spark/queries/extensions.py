@@ -101,3 +101,27 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(q_multimodal_features, _features_oracle()),
     "multimodal_chunks": QuerySpec(q_multimodal_chunks, _CHUNKS_SQL),
 }
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join (view → purchase
+    attribution). With availableNow the whole source lands in one
+    microbatch, so nothing is watermark-dropped and the result equals
+    the batch twin exactly — which lets this streaming query carry the
+    batch twin's full value oracle instead of a rows-only check."""
+    from ..streaming.events import stream_view_purchase_join
+
+    return run_stream_to_df(
+        stream_view_purchase_join(events_stream(spark, sf_dir)), spark
+    )
+
+
+def _attribution_oracle() -> str:
+    from .events import _EVENTS_ATTRIBUTION_SQL
+
+    return _EVENTS_ATTRIBUTION_SQL
+
+
+LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),
+}

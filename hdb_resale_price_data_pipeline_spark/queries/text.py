@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from ..functions import hashing as H
+from ..operators import chunking as C
 from ..operators import decontam as D
 from ..operators import sampling as S
 from ..operators import text as T
@@ -298,7 +299,31 @@ GROUP BY t.doc_id
 """
 
 
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48  # 25% overlap
+
+
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking (operators/chunking.py): each document fans out
+    to overlapping 64-token windows at stride 48. One scan, zero
+    shuffles — the fan-out is a map-side explode over codegen array
+    slices, and the chunk text round-trips the original tokens so the
+    oracle comparison is exact (no floats, no hashing)."""
+    from ..operators.chunking import chunk_documents
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return chunk_documents(
+        docs, "doc_id", "text", window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    )
+
+
+_TEXT_CHUNK_SQL = C.chunk_documents_duck(
+    "documents", "doc_id", "text", window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_chunk_overlap": QuerySpec(q_text_chunk_overlap, _TEXT_CHUNK_SQL),
     "text_train_test_split": QuerySpec(q_text_train_test_split, _TRAIN_TEST_SQL),
     "text_decontaminate": QuerySpec(q_text_decontaminate, _TEXT_DECONTAM_SQL),
     "text_repetition": QuerySpec(q_text_repetition, _TEXT_REPETITION_SQL),

@@ -230,13 +230,16 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "lineitem_filter_suite": QuerySpec(q_lineitem_filter_suite, _FILTER_SUITE_SQL),
-    "approx_stats": QuerySpec(q_approx_stats, None),
 }
 
 # Subsumed by lineitem_filter_suite (q6/q14/q19) or near-duplicate of
 # graded demos (q22 = scalar subquery + anti join, both graded elsewhere);
-# still oracle-verified by tests/test_correctness.py.
+# still oracle-verified by tests/test_correctness.py. approx_stats is
+# rows-only for the driver (sketch internals differ across engines), so
+# its graded slot went to an exact-oracle query; tests/test_approx.py
+# still error-bounds it every run.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "approx_stats": QuerySpec(q_approx_stats, None),
     "q18_large_orders": QuerySpec(q18_large_orders, _Q18_SQL),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, _Q6_SQL),
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, _Q14_SQL),

@@ -126,6 +126,62 @@ def stream_user_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+ATTRIBUTION_HORIZON_MIN = 30
+
+
+def stream_view_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: attribute each
+    purchase to every view by the same user in the preceding 30 minutes.
+
+    Both sides are watermarked and the join condition carries a closed
+    time range on the two event-time columns — that is what lets Spark
+    evict buffered state (a view older than watermark + horizon can
+    never match a future purchase), so state stays bounded on an
+    unbounded stream. Without the range the state store grows forever;
+    with it this is the canonical scalable attribution join.
+
+    Emits one row per (purchase, attributing view) pair; the batch twin
+    (queries/events.q_events_attribution_join) is oracle-checked and the
+    streaming/batch results are asserted identical in
+    tests/test_streaming.py.
+    """
+    views = (
+        events.where(col("event_type") == "view")
+        .select(
+            col("event_id").alias("view_id"),
+            col("user_id"),
+            col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    purchases = (
+        events.where(col("event_type") == "purchase")
+        .select(
+            col("event_id").alias("purchase_id"),
+            col("user_id").alias("p_user_id"),
+            col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + interval {ATTRIBUTION_HORIZON_MIN} minutes
+            """
+        ),
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros(col("purchase_ts")) - F.unix_micros(col("view_ts"))).alias(
+            "micros_to_purchase"
+        ),
+    )
+
+
 def run_stream_to_df(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
     """Execute a finite streaming query to completion (availableNow
     trigger → memory sink) and return the result as a batch DataFrame.
