@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "emb_near_dup_pairs",
     "emb_kmeans_clusters",
     "emb_ivf_kmeans_topk",
+    "emb_pq_topk",
     "emb_quantize",
     "text_pack_sequences",
     "events_asof_attribution",

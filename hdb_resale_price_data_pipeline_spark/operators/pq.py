@@ -1,0 +1,178 @@
+"""Product quantization (PQ) for embedding compression + ANN.
+
+The memory-scale path for similarity search: IVF (operators/ivf.py)
+prunes which vectors to score; PQ shrinks what a score costs. Each
+D-dim vector is split into M contiguous subvectors; each subspace gets
+its own ksub-centroid k-means codebook (operators/kmeans.py — the same
+deterministic Lloyd trainer); a vector is stored as M small codes. At
+M=8, ksub=16 a 64-dim float32 vector (256 B) becomes 8 nibble codes
+(4 B) — 64× compression, which is what lets a 100 TB corpus's index
+live in cluster RAM while the raw vectors stay on disk.
+
+Query-time scoring is the classic asymmetric distance computation
+(ADC, Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011): build an M×ksub lookup table of exact
+query-subvector→centroid distances once per query, then every
+candidate's approximate distance is M table lookups + a sum — no
+per-candidate float math at all. The Spark shape:
+
+- encode: ONE shuffle-free Arrow ``pandas_udf`` pass (all M codebooks
+  ride the closure — M×ksub×(D/M) = D×ksub floats, broadcast-sized);
+- score: the LUT (M×ksub doubles) rides the closure of a second
+  vectorized ``pandas_udf``; top-k is TakeOrderedAndProject;
+- refine: production PQ re-ranks the top R ≫ k ADC candidates with
+  exact distances — here the candidate filter + exact cosine stays
+  fully distributed (the encoded frame keeps the raw vector column
+  locally; at scale the re-rank joins codes→vectors by id against the
+  vector store).
+
+PQ distances are approximations — there is no SQL oracle; quality is
+gated by recall-vs-brute-force tests (tests/test_similarity_recall.py),
+the same contract as the trained-IVF index.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, pandas_udf
+
+
+def pq_train(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 3,
+) -> list[list[list[float]]]:
+    """Train M per-subspace codebooks; returns ``codebooks[m][j] ->
+    centroid (D/M floats)``.
+
+    Each subspace is a ``kmeans_fit`` over a sliced column — M small
+    deterministic Lloyd fits. Dim must divide evenly by ``m``. At real
+    scale you fit on a sample (PQ codebooks need ~100k vectors, not the
+    corpus); the fit dataflow is already the shuffle-free partial-sums
+    shape, so sampling is a ``.sample()`` away.
+    """
+    from .kmeans import kmeans_fit
+    from .similarity import embedding_dim
+
+    dim = embedding_dim(df, emb_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    codebooks: list[list[list[float]]] = []
+    for i in range(m):
+        sliced = df.select(
+            col(id_col),
+            F.expr(f"slice({emb_col}, {i * sub + 1}, {sub})").alias("_sub"),
+        )
+        cb = kmeans_fit(sliced, "_sub", id_col, k=ksub, max_iter=max_iter)
+        codebooks.append([cent for _, cent in sorted(cb)])
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame, emb_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Append ``pq_code`` (array<int>, length M): per-subspace nearest
+    centroid. One Arrow pass, no shuffle."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    cents = [[list(map(float, c)) for c in cb] for cb in codebooks]
+    m = len(cents)
+    sub = len(cents[0][0])
+
+    @pandas_udf("array<int>")
+    def _encode(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        codes = np.empty((mat.shape[0], m), dtype="int32")
+        for i in range(m):
+            c = np.asarray(cents[i])  # ksub × sub
+            e = mat[:, i * sub : (i + 1) * sub]  # n × sub
+            # |e−c|² argmin ≡ (|c|² − 2⟨e,c⟩) argmin
+            d = (c * c).sum(axis=1)[None, :] - 2.0 * (e @ c.T)
+            codes[:, i] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn("pq_code", _encode(col(emb_col)))
+
+
+def adc_lut(q_vec: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Per-query lookup table: LUT[m][j] = |q_sub(m) − c_mj|²."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = np.asarray([float(v) for v in q_vec])
+    lut = []
+    for i in range(m):
+        c = np.asarray(codebooks[i])
+        diff = c - q[i * sub : (i + 1) * sub][None, :]
+        lut.append((diff * diff).sum(axis=1).tolist())
+    return lut
+
+
+def adc_score(encoded: DataFrame, lut: list[list[float]]) -> DataFrame:
+    """Append ``adc_dist``: Σ_m LUT[m][code[m]] — M lookups per row,
+    vectorized across the Arrow batch. No float math touches the
+    vectors; the scan can read ONLY the code column (4 B/row)."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(encoded.sparkSession)
+    table = [list(map(float, row)) for row in lut]
+
+    @pandas_udf("double")
+    def _score(codes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        lut_m = np.asarray(table)  # M × ksub
+        cm = np.stack(codes.to_numpy()).astype("int64")  # n × M
+        scores = lut_m[np.arange(lut_m.shape[0])[None, :], cm].sum(axis=1)
+        return pd.Series(scores)
+
+    return encoded.withColumn("adc_dist", _score(col("pq_code")))
+
+
+def pq_topk_refined(
+    encoded: DataFrame,
+    q_vec: list[float],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """ADC shortlist (top refine_factor×k by PQ distance,
+    TakeOrderedAndProject) re-ranked by EXACT cosine — the standard
+    PQ serving pipeline. Returns (id, label, cosine) like the exact
+    top-k queries so recall is directly comparable."""
+    from .similarity import cosine_expr
+
+    dim = len(q_vec)
+    shortlist = (
+        adc_score(encoded, adc_lut(q_vec, codebooks))
+        .orderBy(col("adc_dist").asc(), col(id_col))
+        .limit(refine_factor * k)
+    )
+    q_lit = F.array(*[F.lit(float(v)) for v in q_vec]).cast("array<float>")
+    return (
+        shortlist.withColumn("q_emb", q_lit)
+        .select(
+            id_col,
+            "label",
+            cosine_expr(emb_col, "q_emb", dim=dim).alias("cosine"),
+        )
+        .orderBy(col("cosine").desc(), col(id_col))
+        .limit(k)
+    )

@@ -508,10 +508,61 @@ SELECT * FROM ranked WHERE rank <= {BATCH_TOP_K}
 """
 
 
+PQ_M = 8
+PQ_KSUB = 16
+PQ_REFINE = 4
+
+# PQ index cache: same (applicationId, sf_dir) build/probe split as the
+# IVF caches. The build trains M per-subspace codebooks and encodes the
+# corpus once; queries touch only the persisted encoded frame.
+_PQ_INDEX_CACHE: dict[tuple[str, str, int, int], tuple[list, DataFrame]] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    from ..operators import pq as P
+
+    key = (S.session_cache_key(spark), sf_dir, PQ_M, PQ_KSUB)
+    hit = _PQ_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = t(spark, sf_dir, "embeddings")
+    codebooks = P.pq_train(emb, "embedding", "vec_id", m=PQ_M, ksub=PQ_KSUB, max_iter=2)
+    encoded = P.pq_encode(widen(emb), "embedding", codebooks).persist()
+    _PQ_INDEX_CACHE[key] = (codebooks, encoded)
+    return codebooks, encoded
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 64×-compressed codes
+    scored by ADC lookup tables, top 4k shortlist re-ranked with exact
+    cosine. Codebook training is iterative k-means → rows-only driver
+    check; recall vs brute force gated in
+    tests/test_similarity_recall.py."""
+    codebooks, encoded = _pq_index(spark, sf_dir)
+    from ..operators.pq import pq_topk_refined
+
+    emb = t(spark, sf_dir, "embeddings")
+    q_vec = [
+        float(v)
+        for v in emb.filter(col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    return pq_topk_refined(
+        encoded.filter(col("vec_id") != QUERY_VEC_ID),
+        q_vec,
+        codebooks,
+        k=TOP_K,
+        refine_factor=PQ_REFINE,
+    )
+
+
 # Not driver-registered: emb_ann_lsh_topk exercises the same bucketing
 # expression end-to-end, and label centroids are the same posexplode +
 # group-reduction shape as kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "emb_pq_topk": QuerySpec(q_pq_topk, None),
     "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),
     "emb_label_centroids": QuerySpec(q_label_centroids, _LABEL_CENTROIDS_SQL),
     "emb_quantize": QuerySpec(q_emb_quantize, _EMB_QUANTIZE_SQL),

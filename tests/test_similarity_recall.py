@@ -22,6 +22,35 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def test_pq_refined_recall_vs_brute_force(spark):
+    exact = set(_topk_ids(spark, "emb_cosine_topk"))
+    approx = set(_topk_ids(spark, "emb_pq_topk"))
+    recall = len(exact & approx) / len(exact)
+    # 64x-compressed codes + 4k exact re-rank: the shortlist should
+    # recover most of the true top-k
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_pq_codes_shape(spark):
+    """Every vector gets M codes in [0, ksub)."""
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        _pq_index,
+    )
+
+    _, encoded = _pq_index(spark, TEST_SF_DIR)
+    from pyspark.sql import functions as F
+
+    bad = encoded.filter(
+        (F.size("pq_code") != PQ_M)
+        | (F.array_min("pq_code") < 0)
+        | (F.array_max("pq_code") >= PQ_KSUB)
+    ).count()
+    assert bad == 0
+    assert encoded.count() == encoded.select("vec_id").distinct().count()
+
+
 def test_ivf_kmeans_matches_sampled_ivf_shape(spark):
     """Same output schema and k as the sampled-codebook IVF — the
     trained index is a drop-in replacement."""
