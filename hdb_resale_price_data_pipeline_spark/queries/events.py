@@ -442,10 +442,45 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 
 # Subsumed by events_hourly_pivot (hourly/daily time-bucket + pivot) or a
 # near-duplicate of graded top-k demos; oracle-verified locally.
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read via the VARIANT type (Spark 4): ``parse_json``
+    ingests ``props`` once into a binary variant, fields are extracted
+    with ``variant_get`` path expressions — no StructType declared
+    anywhere, the 100 TB answer to schema-drifting telemetry (new keys
+    need no reader change, unlike the ``from_json``/``get_json_object``
+    twins which re-parse text per access). Per-type distinct-key count +
+    typed extraction, both engines on their native JSON paths."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json(col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(col("k")).alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(col("k").isNull(), 1)).alias("n_null_k"),
+        )
+    )
+
+
+_EVENTS_VARIANT_SQL = """
+SELECT event_type,
+       count(DISTINCT k) AS n_distinct_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       count(*) FILTER (k IS NULL) AS n_null_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY 1
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "events_attribution_join": QuerySpec(
         q_events_attribution_join, _EVENTS_ATTRIBUTION_SQL
     ),
+    "events_variant_props": QuerySpec(q_events_variant_props, _EVENTS_VARIANT_SQL),
     "events_daily_rollup": QuerySpec(q_events_daily_rollup, _EVENTS_DAILY_ROLLUP_SQL),
     "events_hourly": QuerySpec(q_events_hourly, _EVENTS_HOURLY_SQL),
     "events_daily_pivot": QuerySpec(q_events_daily_pivot, _EVENTS_PIVOT_SQL),

@@ -149,8 +149,13 @@ def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     token asc). The explode-shuffle-agg shape that dominates corpus
     statistics at scale; partial aggregation keeps the shuffle small."""
     docs = widen(t(spark, sf_dir, "documents"))
+    # explode-then-filter, not filter(...)-then-explode: ArrayFilter is a
+    # CodegenFallback HOF, while explode + a row predicate keeps the whole
+    # stage in WholeStageCodegen (identical results — the dropped empty
+    # fragments are dropped either way).
     return (
-        docs.select(F.explode(T.tokens_expr("text")).alias("token"))
+        docs.select(F.explode(F.split(F.lower(col("text")), " ")).alias("token"))
+        .where(col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(col("n").desc(), col("token"))
