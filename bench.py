@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "emb_ann_lsh_topk",
     "emb_ivf_topk",
     "emb_near_dup_pairs",
+    "emb_near_dup_lsh",
     "emb_kmeans_clusters",
     "emb_ivf_kmeans_topk",
     "emb_pq_topk",

@@ -508,6 +508,50 @@ SELECT * FROM ranked WHERE rank <= {BATCH_TOP_K}
 """
 
 
+def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with LSH-bucket blocking — the label-free
+    version of ``emb_near_dup_pairs``: real corpora have no label column
+    to block on, so the hyperplane bucket IS the blocking key. The
+    quadratic term is bounded per bucket (expected n/2^planes vectors),
+    the bucket id is the shuffle key at scale, and similar vectors that
+    land in different buckets are the standard LSH recall trade-off
+    (mitigated in production by multiple tables — emb_ann_lsh_topk's
+    cache makes extra tables cheap). Exact oracle: the bucket expression
+    is deterministic in both engines."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    bucketed, _ = _lsh_index(spark, sf_dir)
+    base = bucketed.select("vec_id", "label", "bucket", "embedding")
+    a = base.alias("a")
+    b = base.alias("b")
+    pair_cos = S.pair_cosine_udf()
+    return (
+        a.join(b, (col("a.bucket") == col("b.bucket")) & (col("a.vec_id") < col("b.vec_id")))
+        .select(
+            col("a.vec_id").alias("vec_a"),
+            col("b.vec_id").alias("vec_b"),
+            col("a.bucket").alias("bucket"),
+            F.round(pair_cos(col("a.embedding"), col("b.embedding")), 6).alias("cosine"),
+        )
+        .filter(col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+def _near_dup_lsh_oracle() -> str:
+    bucket = S.hyperplane_bucket("embedding", N_PLANES)[1]
+    cos = S.cosine("a.embedding", "b.embedding")[1]
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket, {cos} AS cosine
+FROM bucketed a
+JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {NEAR_DUP_COSINE}
+"""
+
+
 PQ_M = 8
 PQ_KSUB = 16
 PQ_REFINE = 4
@@ -563,6 +607,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group-reduction shape as kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_pq_topk": QuerySpec(q_pq_topk, None),
+    "emb_near_dup_lsh": QuerySpec(q_near_dup_lsh, _near_dup_lsh_oracle()),
     "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),
     "emb_label_centroids": QuerySpec(q_label_centroids, _LABEL_CENTROIDS_SQL),
     "emb_quantize": QuerySpec(q_emb_quantize, _EMB_QUANTIZE_SQL),

@@ -227,6 +227,8 @@ def probe_docs(spark) -> None:
         "emb_ann_lsh_topk",
         "emb_ivf_topk",
         "emb_kmeans_clusters",
+        "emb_pq_topk",
+        "emb_near_dup_lsh",
     ]
     for name in names:
         fn = registry[name].fn
