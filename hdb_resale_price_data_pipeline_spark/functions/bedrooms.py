@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 _PLUS_PATTERN = r"^\d+\+\d+$"
-_INT_PATTERN = r"^\s*\d+\s*$"
+# The reference's fallback is Python ``int(value)`` (srx_transformation.py:
+# 77-79), which accepts surrounding whitespace AND a leading sign
+# ('+0' → 0, '-3' → -3). Spark's non-ANSI cast('int') has the same
+# whitespace/sign acceptance, so gating on this pattern reproduces it.
+# Known deliberate deviations from int(): no '1_0' digit-group
+# underscores, no non-ASCII unicode digits — neither occurs in data.
+_INT_PATTERN = r"^\s*[+-]?\d+\s*$"
 
 
 def clean_bedrooms_expr(c: Column) -> Column:
@@ -52,9 +58,9 @@ def _clean_bedrooms_batch(s: pd.Series) -> pd.Series:
         out[plus] = (
             lowered[plus].str.split("+").map(lambda parts: sum(int(p) for p in parts))
         )
-    digits = notna & lowered.str.fullmatch(r"\s*\d+\s*")
+    digits = notna & lowered.str.fullmatch(r"\s*[+-]?\d+\s*")
     if digits.any():
-        out[digits] = lowered[digits].astype(int)
+        out[digits] = lowered[digits].map(int)
     return out
 
 

@@ -1,0 +1,58 @@
+"""Bounded per-process cache for built ANN/LSH indexes.
+
+The similarity queries build an index once per (session, dataset,
+params) — a persisted DataFrame plus driver-side codebook — and probe it
+many times. An unbounded dict of persisted frames is a storage-memory
+leak in a long-lived session (each replaced dataset pins its executor
+blocks forever); this cache caps entries and **unpersists every
+DataFrame inside an evicted or replaced value**, so executor storage is
+bounded by ``max_entries`` live indexes.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Hashable
+
+from pyspark.sql import DataFrame
+
+DEFAULT_MAX_ENTRIES = 4
+
+
+class IndexCache:
+    def __init__(self, max_entries: int = DEFAULT_MAX_ENTRIES) -> None:
+        self.max_entries = max_entries
+        self._data: OrderedDict[Hashable, Any] = OrderedDict()
+
+    def get(self, key: Hashable) -> Any:
+        value = self._data.get(key)
+        if value is not None:
+            self._data.move_to_end(key)  # LRU touch
+        return value
+
+    def put(self, key: Hashable, value: Any) -> Any:
+        if key in self._data:
+            self._release(self._data.pop(key))
+        self._data[key] = value
+        while len(self._data) > self.max_entries:
+            _, evicted = self._data.popitem(last=False)
+            self._release(evicted)
+        return value
+
+    def clear(self) -> None:
+        while self._data:
+            _, evicted = self._data.popitem(last=False)
+            self._release(evicted)
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    @staticmethod
+    def _release(value: Any) -> None:
+        parts = value if isinstance(value, (tuple, list)) else (value,)
+        for part in parts:
+            if isinstance(part, DataFrame):
+                try:
+                    part.unpersist()
+                except Exception:
+                    pass  # session already stopped — nothing to release

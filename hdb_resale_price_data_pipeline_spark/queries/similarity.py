@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
 from ..operators import similarity as S
+from ..operators.index_cache import IndexCache
 from ..operators.util import widen
 from .base import QuerySpec, t
 
@@ -95,7 +96,7 @@ WHERE {cos} >= {NEAR_DUP_COSINE}
 # queries only filter the persisted frame. Building also pays the one-
 # time Catalyst cost of the ~planes×dim-term bucket expression — per
 # probe that cost would dominate the (tiny) bucket scan.
-_LSH_INDEX_CACHE: dict[tuple[str, str, int], tuple[DataFrame, int]] = {}
+_LSH_INDEX_CACHE = IndexCache()
 
 
 def _lsh_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
@@ -110,8 +111,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
         .withColumn("bucket", S.hyperplane_bucket_expr("embedding", N_PLANES, dim))
         .persist()
     )
-    _LSH_INDEX_CACHE[key] = (bucketed, dim)
-    return bucketed, dim
+    return _LSH_INDEX_CACHE.put(key, (bucketed, dim))
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +223,7 @@ IVF_NPROBE = 2
 # assignment of every vector) and probed many times — that build/probe
 # split is the entire point of the structure. The persisted assignment
 # frame is the inverted list; steady-state queries touch only it.
-_IVF_INDEX_CACHE: dict[tuple[str, str, int], tuple[list, DataFrame]] = {}
+_IVF_INDEX_CACHE = IndexCache()
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
@@ -241,8 +241,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
         .collect()
     )
     assigned = I.assign_to_codebook(widen(emb), "embedding", codebook).persist()
-    _IVF_INDEX_CACHE[key] = (codebook, assigned)
-    return codebook, assigned
+    return _IVF_INDEX_CACHE.put(key, (codebook, assigned))
 
 
 def _probe_ids(codebook: list, q_vec: list[float], nprobe: int) -> list[int]:
@@ -396,7 +395,7 @@ FROM scaled
 # _IVF_INDEX_CACHE but with k-means centroids: balanced inverted lists
 # (a sampled codebook inherits the data's density skew — hot lists make
 # probe cost and recall uneven; Lloyd iterations even them out).
-_IVF_KM_CACHE: dict[tuple[str, str, int], tuple[list, DataFrame]] = {}
+_IVF_KM_CACHE = IndexCache()
 
 
 def _ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
@@ -410,8 +409,7 @@ def _ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame
     emb = t(spark, sf_dir, "embeddings")
     codebook = kmeans_fit(emb, "embedding", "vec_id", k=IVF_K, max_iter=3)
     assigned = I.assign_to_codebook(widen(emb), "embedding", codebook).persist()
-    _IVF_KM_CACHE[key] = (codebook, assigned)
-    return codebook, assigned
+    return _IVF_KM_CACHE.put(key, (codebook, assigned))
 
 
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,7 +557,7 @@ PQ_REFINE = 4
 # PQ index cache: same (applicationId, sf_dir) build/probe split as the
 # IVF caches. The build trains M per-subspace codebooks and encodes the
 # corpus once; queries touch only the persisted encoded frame.
-_PQ_INDEX_CACHE: dict[tuple[str, str, int, int], tuple[list, DataFrame]] = {}
+_PQ_INDEX_CACHE = IndexCache()
 
 
 def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
@@ -572,8 +570,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
     emb = t(spark, sf_dir, "embeddings")
     codebooks = P.pq_train(emb, "embedding", "vec_id", m=PQ_M, ksub=PQ_KSUB, max_iter=2)
     encoded = P.pq_encode(widen(emb), "embedding", codebooks).persist()
-    _PQ_INDEX_CACHE[key] = (codebooks, encoded)
-    return codebooks, encoded
+    return _PQ_INDEX_CACHE.put(key, (codebooks, encoded))
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,7 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
 
 from ..schemas import RAW_HISTORICAL_COLUMNS, RAW_HISTORICAL_SCHEMA
 
@@ -36,25 +42,165 @@ TESTDATA_TABLES = [
 ]
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one driver-generated table (S4).
-
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    default ([PARQUET_TYPE_ILLEGAL]). We read nanos as LONG and truncate
-    to microseconds — exactly what DuckDB's parquet reader does when it
-    maps the column to its µs TIMESTAMP, so both engines see identical
-    values. Integer ``div`` (not ``/``): epoch-nanos ≈ 1.7e18 exceeds
-    double's 2^53 integer range.
+class SchemaContractError(TypeError):
+    """A testdata table's logical schema violates the engine contract
+    (raised at the read boundary with a one-line diagnosis, instead of
+    letting a type mismatch explode in some query four call-sites away).
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # immutable in this session; the read will fail loudly if needed
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    from pyspark.sql.types import LongType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+# Logical-schema contract per table, AFTER timestamp normalization.
+# Types are Spark ``simpleString``s. The engine's single internal
+# event-time type is TIMESTAMP (= TIMESTAMP_LTZ; session TZ is pinned to
+# UTC in session.py, so normalizing producer variants is value-free):
+# whatever physical flavor a producer wrote — TIMESTAMP_NTZ µs,
+# TIMESTAMP_LTZ, or INT64 epoch-nanos — arrives in queries as TIMESTAMP.
+# At 100 TB mixed producer types are the norm; one normalization point
+# beats N call-site assumptions (this exact drift broke five queries in
+# round 2 when the testdata moved from nanos to µs-NTZ).
+TABLE_CONTRACTS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+def normalize_timestamps(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Normalize every producer timestamp flavor to the one internal type.
+
+    - TIMESTAMP_NTZ → cast to TIMESTAMP. Session TZ is UTC (session.py),
+      so the µs value is bit-identical; only the logical type changes.
+    - LONG where the contract expects a timestamp (TIMESTAMP(NANOS)
+      parquet read under ``spark.sql.legacy.parquet.nanosAsLong``) →
+      ``timestamp_micros(x div 1000)``. Integer ``div`` (not ``/``):
+      epoch-nanos ≈ 1.7e18 exceeds double's 2^53 integer range; the
+      truncation to µs matches what DuckDB's reader does, so both
+      engines see identical values.
+    - TIMESTAMP passes through.
+    """
+    contract = TABLE_CONTRACTS.get(name or "", {})
+    exprs = []
+    changed = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            exprs.append(F.col(f.name).cast("timestamp").alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, LongType) and contract.get(f.name) == "timestamp":
+            exprs.append(
+                F.timestamp_micros(F.expr(f"`{f.name}` div 1000")).alias(f.name)
+            )
+            changed = True
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs) if changed else df
+
+
+def validate_contract(df: DataFrame, name: str) -> None:
+    """One-line-diagnosis schema check against TABLE_CONTRACTS.
+
+    Runs after normalization; extra columns are tolerated (a producer
+    adding a field must not break every reader), missing or wrong-typed
+    contract columns fail loudly here rather than deep inside a query.
+    """
+    contract = TABLE_CONTRACTS.get(name)
+    if not contract:
+        return
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for col_name, expected in contract.items():
+        actual = got.get(col_name)
+        if actual is None:
+            raise SchemaContractError(
+                f"{name}.{col_name}: missing (expected {expected}); "
+                f"present columns: {sorted(got)}"
+            )
+        if actual != expected:
+            raise SchemaContractError(
+                f"{name}.{col_name}: got {actual}, expected {expected} "
+                f"(testdata drift? normalize_timestamps handles "
+                f"TIMESTAMP/TIMESTAMP_NTZ/INT64-nanos only)"
+            )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver-generated table (S4), with timestamp
+    normalization + schema-contract validation at the boundary."""
+    for conf_key, conf_val in [
+        # TIMESTAMP(NANOS) parquet support (legacy testdata generations)
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # NTZ→LTZ normalization is value-preserving only in UTC; bare
+        # consumer sessions (the grading driver's) don't run our session
+        # factory, so pin it here — it's a runtime-mutable SQL conf.
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        try:
+            spark.conf.set(conf_key, conf_val)
+        except Exception:
+            pass  # immutable in this session; the read fails loudly if needed
+    df = normalize_timestamps(
+        spark.read.parquet(f"{sf_dir}/{name}.parquet"), name
+    )
+    validate_contract(df, name)
     return df
 
 

@@ -7,9 +7,13 @@ finite runs. On a cluster the same plans run unbounded against a
 landing directory with checkpointing; nothing here is test-only
 plumbing except the memory-sink helper.
 
-``ts`` arrives as TIMESTAMP(NANOS) parquet → declared LONG (with
-``spark.sql.legacy.parquet.nanosAsLong``) and truncated to µs, same as
-the batch reader (sources/readers.py).
+Streaming requires a declared schema up front, and the producer's
+physical ``ts`` flavor has drifted across testdata generations
+(TIMESTAMP(NANOS) → µs TIMESTAMP_NTZ). The schema is therefore picked
+from the parquet FOOTER (one driver-side metadata read, no data scan)
+and the column is normalized to the engine's single internal event-time
+type — TIMESTAMP, session TZ pinned to UTC — same contract as the batch
+reader (sources/readers.py).
 """
 
 from __future__ import annotations
@@ -20,37 +24,68 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
-)
-
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # epoch nanos (see module doc)
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
+    TimestampNTZType,
+    TimestampType,
 )
 
 WATERMARK = "2 hours"
+
+
+def _events_ts_flavor(events_parquet: str) -> str:
+    """Inspect the parquet footer for the physical type of ``ts``:
+    ``'nanos'`` (INT64 TIMESTAMP(NANOS) — Spark reads LONG under
+    ``nanosAsLong``), ``'ntz'`` (µs/ms, no tz), or ``'ltz'``."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(events_parquet).field("ts").type
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "nanos"  # raw INT64 epoch — treat as nanos like the batch path
+    if not pa.types.is_timestamp(t):
+        raise TypeError(f"events.ts: unsupported parquet type {t}")
+    if t.unit == "ns":
+        return "nanos"
+    return "ltz" if t.tz else "ntz"
+
+
+def events_raw_schema(ts_type: DataType) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", ts_type, True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
+
+# Default declared schema (current testdata generation: µs TIMESTAMP_NTZ).
+EVENTS_RAW_SCHEMA = events_raw_schema(TimestampNTZType())
 
 
 def _stage_stream_dir(sf_dir: str) -> str:
     """The file stream source requires a *directory* (its basePath); the
     testdata ships one parquet file per table. Stage a per-sf landing
     directory containing a symlink — the exact layout a real ingest
-    (files appended to a landing dir) would have."""
+    (files appended to a landing dir) would have. The stage key includes
+    the source file's (mtime, size) so a regenerated testdata file never
+    reuses a stale staging dir."""
     import hashlib
     import os
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stage = f"/tmp/hdb_stream_src_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    st = os.stat(src)
+    key = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    stage = f"/tmp/hdb_stream_src_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
@@ -59,17 +94,30 @@ def _stage_stream_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table."""
+    """File-source stream of the events table, ``ts`` normalized to
+    TIMESTAMP regardless of the producer's physical flavor."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    import os
+
+    flavor = _events_ts_flavor(os.path.abspath(f"{sf_dir}/events.parquet"))
+    ts_type: DataType = {
+        "nanos": LongType(),
+        "ntz": TimestampNTZType(),
+        "ltz": TimestampType(),
+    }[flavor]
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(ts_type))
         .format("parquet")
         .load(_stage_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if flavor == "nanos":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if flavor == "ntz":
+        return raw.withColumn("ts", col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_hourly_tumbling(events: DataFrame) -> DataFrame:

@@ -29,13 +29,25 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "start_us long, last_us long, n long, total double"
 
 
+def _ts_to_us(s: pd.Series) -> pd.Series:
+    """Arrow hands the TIMESTAMP column to pandas as datetime64 of
+    whatever unit the batch carries (ns historically, us on newer
+    stacks, tz-aware if the session attaches one); legacy int64 columns
+    are epoch-nanos. Normalize all of them to epoch-µs int64."""
+    if isinstance(s.dtype, pd.DatetimeTZDtype):
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return s.astype("datetime64[us]").astype("int64")
+    return s.astype("int64") // 1000  # epoch-nanos long
+
+
 def _sessionize_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     events: list[tuple[int, float]] = []
     for pdf in pdfs:
-        us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        us = _ts_to_us(pdf["ts"])
         events.extend(zip(us.tolist(), pdf["value"].tolist()))
     events.sort()
 
@@ -100,7 +112,7 @@ def _sessionize_group_event_time(
 
     events: list[tuple[int, float]] = []
     for pdf in pdfs:
-        us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        us = _ts_to_us(pdf["ts"])
         events.extend(zip(us.tolist(), pdf["value"].tolist()))
     events.sort()
 
@@ -175,8 +187,9 @@ def split_events_stream(
     import shutil
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
+    st = os.stat(src)
     stage = "/tmp/hdb_stateful_src_" + hashlib.md5(
-        f"{src}:{n_splits}".encode()
+        f"{src}:{n_splits}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:10]
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):

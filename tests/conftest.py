@@ -7,7 +7,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from hypothesis import settings as _hyp_settings
+
 from hdb_resale_price_data_pipeline_spark.session import get_spark_session
+
+# Deterministic property tests: the suite's pass/fail counts must be
+# reproducible run-to-run (seed-dependent flakes misdirected round 2's
+# failure tally).
+_hyp_settings.register_profile("ci", derandomize=True)
+_hyp_settings.load_profile("ci")
 
 # Tests default to the correctness SF the driver uses for its oracle gate.
 TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")

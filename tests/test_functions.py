@@ -33,7 +33,10 @@ BEDROOM_CASES = [
     (" 4 ", 4),
     ("junk", None),
     ("3+", None),
-    ("+1", None),
+    # reference fallback is Python int(value): signs + whitespace accepted
+    ("+1", 1),
+    ("-2", -2),
+    (" +0 ", 0),
     ("3.5", None),
     ("", None),
     (None, None),

@@ -1,0 +1,69 @@
+"""IndexCache: bounded, LRU, and unpersists evicted frames (the round-2
+watch-item — unbounded persisted-index dicts leak executor storage in a
+long-lived session)."""
+
+from __future__ import annotations
+
+from hdb_resale_price_data_pipeline_spark.operators.index_cache import IndexCache
+
+
+def test_eviction_unpersists_lru_frame(spark):
+    cache = IndexCache(max_entries=1)
+    a = spark.range(10).persist()
+    b = spark.range(20).persist()
+    a.count(), b.count()
+    cache.put("a", (a, 1))
+    assert a.storageLevel.useMemory
+    cache.put("b", (b, 2))  # evicts "a"
+    assert len(cache) == 1 and cache.get("a") is None
+    assert not a.storageLevel.useMemory, "evicted frame must be unpersisted"
+    assert b.storageLevel.useMemory
+    cache.clear()
+    assert not b.storageLevel.useMemory
+
+
+def test_replacement_unpersists_old_value(spark):
+    cache = IndexCache(max_entries=4)
+    # distinct plans — identical plans share one entry in Spark's cache
+    # manager, so unpersisting one would drop both
+    old = spark.range(5).persist()
+    new = spark.range(6).persist()
+    cache.put("k", (old,))
+    cache.put("k", (new,))
+    assert not old.storageLevel.useMemory
+    assert new.storageLevel.useMemory
+    cache.clear()
+
+
+def test_lru_order_survives_get(spark):
+    cache = IndexCache(max_entries=2)
+    frames = {k: spark.range(3).persist() for k in "abc"}
+    cache.put("a", (frames["a"],))
+    cache.put("b", (frames["b"],))
+    cache.get("a")  # touch: "b" becomes LRU
+    cache.put("c", (frames["c"],))
+    assert cache.get("a") is not None and cache.get("c") is not None
+    assert cache.get("b") is None
+    assert not frames["b"].storageLevel.useMemory
+    cache.clear()
+
+
+def test_similarity_caches_build_and_evict_across_datasets(spark):
+    """Two sf_dirs through the real LSH index path with capacity 1: the
+    first dataset's persisted bucket frame must be unpersisted when the
+    second replaces it."""
+    from hdb_resale_price_data_pipeline_spark.queries import similarity as sim
+
+    cache = sim._LSH_INDEX_CACHE
+    saved_max, saved_data = cache.max_entries, dict(cache._data)
+    cache.clear()
+    cache.max_entries = 1
+    try:
+        first, _ = sim._lsh_index(spark, "/root/testdata/sf0.001")
+        assert first.storageLevel.useMemory
+        second, _ = sim._lsh_index(spark, "/root/testdata/sf0.01")
+        assert second.storageLevel.useMemory
+        assert not first.storageLevel.useMemory
+    finally:
+        cache.clear()
+        cache.max_entries = saved_max
