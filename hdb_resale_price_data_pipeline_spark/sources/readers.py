@@ -231,15 +231,18 @@ def _peek_csv_header(spark: SparkSession, path: str) -> list[str]:
         raise FileNotFoundError(f"no CSV files under {path}")
     stream = fs.open(first)
     try:
-        buf = bytearray()
-        while len(buf) < 1 << 20:
-            b = stream.read()
-            if b < 0 or b == 0x0A:  # EOF or \n
-                break
-            buf.append(b if b >= 0 else 0)
+        # One buffered JVM-side read of the first ≤1 MiB (py4j passes
+        # byte[] BY VALUE, so a read(arr) fill is invisible to Python
+        # and a byte-per-call loop costs one JVM round-trip per char —
+        # instead bound the stream JVM-side and ship the bytes once).
+        gw = spark.sparkContext._gateway
+        bounded = gw.jvm.org.apache.commons.io.input.BoundedInputStream(
+            stream, 1 << 20
+        )
+        head = bytes(gw.jvm.org.apache.commons.io.IOUtils.toByteArray(bounded))
     finally:
         stream.close()
-    line = buf.decode("utf-8").rstrip("\r")
+    line = head.split(b"\n", 1)[0].decode("utf-8").rstrip("\r")
     return next(csv.reader(io.StringIO(line)))
 
 

@@ -30,8 +30,28 @@ def test_stream_hourly_matches_batch_on_finalized_windows(spark):
         key = (r.window_start, r.event_type)
         assert key in batch, f"stream window {key} missing from batch"
         assert (r.n_events, r.total_value) == batch[key]
-    # only the trailing watermark horizon may be unemitted
-    assert len(stream_out) >= len(batch) - 3 * 5  # ≤3 hours × 5 event types
+    # EXACT cardinality: append mode must emit precisely the windows the
+    # final watermark (max ts − 2 h) finalized — a zero-row or
+    # half-emitted run can never read as "pass" again (round-2 failure
+    # class). Boundary windows (end == watermark) may legitimately land
+    # either side, so bound both ways.
+    import datetime
+
+    max_ts = read_table(spark, TEST_SF_DIR, "events").agg(F.max("ts")).first()[0]
+    wm = max_ts - datetime.timedelta(hours=2)
+    finalized_strict = sum(
+        1
+        for (hour_start, _t) in batch
+        if datetime.datetime.fromisoformat(hour_start) + datetime.timedelta(hours=1) < wm
+    )
+    finalized_lenient = sum(
+        1
+        for (hour_start, _t) in batch
+        if datetime.datetime.fromisoformat(hour_start) + datetime.timedelta(hours=1) <= wm
+    )
+    assert finalized_strict <= len(stream_out) <= finalized_lenient or (
+        finalized_strict == finalized_lenient == len(stream_out)
+    ), (len(stream_out), finalized_strict, finalized_lenient)
 
 
 def test_stream_dedup_matches_batch_distinct(spark):
