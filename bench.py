@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_incremental",
+    "curation_report",
     "text_domain_mix",
     "emb_batch_topk",
     "text_fingerprint",

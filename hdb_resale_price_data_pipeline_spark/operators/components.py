@@ -18,16 +18,70 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 
+# Edge-count bound for the driver-side path. Near-dup pair lists are
+# corpus-relative tiny but not absolutely tiny at 100 TB — the bound
+# keeps the collect O(1)-ish (≤ ~3 MB of longs) regardless of corpus
+# size; larger graphs take the distributed iterative path.
+DRIVER_CC_MAX_EDGES = 200_000
+
+
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 10
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 10,
+    driver_threshold: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the
-    connected component. Nodes appear iff they occur in an edge."""
-    # The edge list is re-joined every iteration and the label frame is
-    # both consumed and replaced per iteration: persist both, or each
-    # convergence check re-executes the ENTIRE growing lineage from the
-    # source — iteration k costs k times iteration 1 and the loop goes
-    # quadratic in jobs (same discipline as kmeans_fit's working set).
+    connected component. Nodes appear iff they occur in an edge.
+
+    Hybrid execution: a bounded ``limit(threshold+1).collect()`` probes
+    the edge-list size; within the bound, union-find runs on the driver
+    (near-dup graphs are pairs-of-near-duplicates — tiny next to the
+    corpus, and the iterative path's per-round job overhead dominates
+    its actual work there). Past the bound, the distributed min-label
+    propagation below runs unchanged; the collect can never scale with
+    corpus size because the bound caps it."""
+    probe = edges.select(col(src), col(dst)).limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in probe:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(node, find(node)) for node in parent]
+        return edges.sparkSession.createDataFrame(
+            labels, "node bigint, component bigint"
+        )
+    return _connected_components_iterative(edges, src, dst, max_iter)
+
+
+def _connected_components_iterative(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 10
+) -> DataFrame:
+    """Distributed min-label propagation + pointer jumping (the
+    big-graph path).
+
+    Two disciplines that iterative Spark REQUIRES:
+
+    - ``localCheckpoint`` (not just persist) per iteration: each round's
+      plan must be TRUNCATED, or round k's logical plan nests rounds
+      1..k-1 — analysis cost grows exponentially and the driver OOMs on
+      deep graphs long before any executor does real work.
+    - Pointer jumping (each node adopts its label's label) on top of
+      neighbor-min propagation: label distance halves per round, so a
+      path of diameter d converges in O(log d) rounds instead of O(d).
+    """
     sym = (
         edges.select(col(src).alias("a"), col(dst).alias("b"))
         .unionByName(edges.select(col(dst).alias("a"), col(src).alias("b")))
@@ -38,23 +92,33 @@ def connected_components(
         sym.select(col("a").alias("node"))
         .distinct()
         .withColumn("component", col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # each node pulls the smallest label among itself and neighbors
-        neighbor_labels = (
-            sym.join(labels, sym.b == labels.node)
-            .select(col("a").alias("node"), col("component"))
-        )
-        new_labels = (
-            labels.select("node", "component")
-            .unionByName(neighbor_labels)
+        propagated = (
+            labels.unionByName(
+                sym.join(labels, sym.b == labels.node).select(
+                    col("a").alias("node"), col("component")
+                )
+            )
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
         )
-        # convergence check: any label changed? (materializes new_labels,
-        # so the persisted frame is reused by the next iteration's join)
+        # pointer jump: adopt the label of your label (path halving)
+        parents = propagated.select(
+            col("node").alias("p_node"), col("component").alias("p_comp")
+        )
+        new_labels = (
+            propagated.join(parents, propagated.component == parents.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    col("component"), F.coalesce(col("p_comp"), col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage; materializes eagerly
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), col("n.node") == col("o.node"))
@@ -62,7 +126,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -1,0 +1,214 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+The individual operators (quality scoring, exact dedup, MinHash-LSH
+near-dup + connected components, benchmark decontamination, hash split)
+are each oracle-checked in isolation; this plan composes them in the
+order a real pretraining-data pipeline runs them, with per-stage
+accounting:
+
+    raw corpus (eval holdout excluded)
+      → quality filter              (score ≥ QUALITY_MIN)
+      → exact dedup                 (min doc_id per normalized text)
+      → near-dup removal            (MinHash bands → Jaccard ≥ 0.5 →
+                                     connected components → keep the
+                                     component's min id)
+      → decontamination             (drop docs sharing ≥1 word 5-gram
+                                     with the eval holdout)
+      → train/val/test split        (content-hash mod 100: 80/10/10)
+
+Scale shape (100 TB reading):
+- Stages 1-2 are a scan + one window shuffle on the text key.
+- Near-dup pairs come from the bucket-aggregated MinHash formulation
+  (operators/dedup.py) — no all-pairs join; components iterate on the
+  pair list only (tiny next to the corpus), O(diameter) rounds.
+- The component→survivor map and the eval n-gram set are both corpus-
+  independent small frames → broadcast joins; the corpus is never
+  shuffled after stage 2.
+- Split is a pure map. A real deployment would checkpoint the exact-
+  survivor frame after stage 2 (every later stage consumes it); here the
+  lineage is recomputed per count, which the one-action report tolerates.
+
+Everything is oracle-expressible, including the iterative component
+stage: the DuckDB twin computes reachability with a recursive CTE
+(exact on the small verified-pair graphs near-dup produces), so the
+whole composed pipeline is value-checked end to end — see
+queries/dedup.py::curation_report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from ..operators import text as T
+from ..operators.components import connected_components
+from ..operators.decontam import doc_shingle_hashes
+from ..operators.dedup import minhash_band_pairs, verify_jaccard_pairs
+
+QUALITY_MIN = 0.4
+EVAL_MOD = 10  # doc_id % 10 == 0 → eval holdout (same as text_decontaminate)
+NEARDUP_SHINGLE = 3
+NEARDUP_BANDS = 4
+NEARDUP_ROWS = 2
+NEARDUP_THRESHOLD = 0.5
+DECONTAM_N = 5
+SPLIT_TRAIN = 80  # fingerprint % 100 < 80 → train
+SPLIT_VAL = 90  # < 90 → val, else test
+
+
+def eval_predicate() -> Column:
+    return col("doc_id") % EVAL_MOD == 0
+
+
+def curate_stages(docs: DataFrame) -> dict[str, DataFrame]:
+    """Run the pipeline, returning every intermediate stage keyed by
+    name (the data products; ``curation_report`` aggregates them)."""
+    corpus = docs.filter(~eval_predicate()).select("doc_id", "text", "lang")
+
+    quality = corpus.filter(T.quality_score("text") >= QUALITY_MIN)
+
+    w = Window.partitionBy(F.lower(col("text"))).orderBy("doc_id")
+    exact = (
+        quality.withColumn("_rk", F.row_number().over(w))
+        .filter(col("_rk") == 1)
+        .drop("_rk")
+    )
+
+    pairs = minhash_band_pairs(
+        exact, "doc_id", "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS
+    )
+    verified = verify_jaccard_pairs(
+        pairs, exact, "doc_id", "text", NEARDUP_THRESHOLD
+    )
+    components = connected_components(verified)  # (node, component), tiny
+    neardup = (
+        exact.join(
+            F.broadcast(components), exact.doc_id == components.node, "left"
+        )
+        .filter(col("component").isNull() | (col("component") == col("doc_id")))
+        .select("doc_id", "text", "lang")
+    )
+
+    eval_grams = (
+        docs.filter(eval_predicate())
+        .select(F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        neardup.select("doc_id", F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = neardup.join(contaminated, "doc_id", "left_anti")
+
+    bucket = T.fingerprint("text") % 100
+    split = clean.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test"),
+    )
+
+    return {
+        "raw": corpus,
+        "quality": quality,
+        "exact": exact,
+        "neardup": neardup,
+        "clean": clean,
+        "split": split,
+    }
+
+
+def curation_flags(docs: DataFrame) -> DataFrame:
+    """One row per corpus doc with a boolean per pipeline stage — the
+    lineage-accounting form of the pipeline. Unlike chaining filtered
+    frames (``curate_stages``), every stage verdict lands in ONE frame,
+    so the whole report needs one aggregation over one pass of the
+    corpus scan (plus two corpus-independent SMALL side products — the
+    near-dup loser set and the contaminated-id set — broadcast back).
+    ``exact_pass`` ranks within (text key, quality_pass) so survivors
+    are chosen among quality passers only, identical to filtering first.
+    """
+    corpus = docs.filter(~eval_predicate()).select("doc_id", "text", "lang")
+    w = Window.partitionBy(F.lower(col("text")), col("quality_pass")).orderBy(
+        "doc_id"
+    )
+    flagged = corpus.withColumn(
+        "quality_pass", T.quality_score("text") >= QUALITY_MIN
+    ).withColumn(
+        "exact_pass", col("quality_pass") & (F.row_number().over(w) == 1)
+    )
+
+    exact = flagged.filter(col("exact_pass")).select("doc_id", "text")
+    pairs = minhash_band_pairs(
+        exact, "doc_id", "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS
+    )
+    verified = verify_jaccard_pairs(
+        pairs, exact, "doc_id", "text", NEARDUP_THRESHOLD
+    )
+    # losers: every node whose component canonical is some other doc —
+    # bounded by the number of near-duplicates, tiny next to the corpus
+    losers = (
+        connected_components(verified)
+        .filter(col("component") != col("node"))
+        .select(col("node").alias("doc_id"), F.lit(1).alias("_lose"))
+    )
+    flagged = flagged.join(F.broadcast(losers), "doc_id", "left").withColumn(
+        "neardup_pass", col("exact_pass") & col("_lose").isNull()
+    )
+
+    eval_grams = (
+        docs.filter(eval_predicate())
+        .select(F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        flagged.filter(col("neardup_pass"))
+        .select(
+            "doc_id", F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram")
+        )
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_dirty", F.lit(1))
+    )
+    bucket = T.fingerprint("text") % 100
+    return (
+        flagged.join(F.broadcast(contaminated), "doc_id", "left")
+        .withColumn("clean_pass", col("neardup_pass") & col("_dirty").isNull())
+        .withColumn(
+            "split",
+            F.when(~col("clean_pass"), F.lit(None).cast("string"))
+            .when(bucket < SPLIT_TRAIN, "train")
+            .when(bucket < SPLIT_VAL, "val")
+            .otherwise("test"),
+        )
+        .drop("_lose", "_dirty")
+    )
+
+
+def curation_report(docs: DataFrame) -> DataFrame:
+    """Per-stage survivor counts — the acceptance artifact of a curation
+    run. One conditional aggregation over the flags frame (stage counts
+    + split bands in a single action), unpivoted to (stage, n_docs)."""
+    flags = curation_flags(docs)
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    one = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        cnt(col("quality_pass")).alias("n1"),
+        cnt(col("exact_pass")).alias("n2"),
+        cnt(col("neardup_pass")).alias("n3"),
+        cnt(col("clean_pass")).alias("n4"),
+        cnt(col("split") == "train").alias("n5"),
+        cnt(col("split") == "val").alias("n6"),
+        cnt(col("split") == "test").alias("n7"),
+    )
+    return one.selectExpr(
+        """stack(8,
+           '0_raw', n0, '1_quality', n1, '2_exact_dedup', n2,
+           '3_near_dup', n3, '4_decontaminated', n4,
+           '5_train', n5, '6_val', n6, '7_test', n7) AS (stage, n_docs)"""
+    )

@@ -198,8 +198,109 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(verified)
 
 
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline (plans/curation.py): quality
+    filter → exact dedup → MinHash near-dup w/ connected components →
+    benchmark decontamination → hash train/val/test split, reported as
+    per-stage survivor counts. Unlike ``dedup_clusters`` (rows-only),
+    the whole composition has an exact DuckDB oracle — the iterative
+    component stage is mirrored by a recursive-CTE reachability query,
+    exact on the small verified-pair graphs near-dup emits."""
+    from ..plans.curation import curation_report
+
+    docs = t(spark, sf_dir, "documents")
+    return curation_report(docs)
+
+
+def _curation_oracle() -> str:
+    from ..operators import text as T
+    from ..operators.decontam import doc_shingle_hashes_duck
+    from ..plans import curation as P
+
+    bands = H.band_keys(
+        H.shingles(H.tokens("text"), P.NEARDUP_SHINGLE),
+        P.NEARDUP_BANDS,
+        P.NEARDUP_ROWS,
+    )
+    melted = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {i} AS band_id, {duck} AS band_key FROM exact"
+        for i, (_, duck) in enumerate(bands)
+    )
+    dtoks = H.distinct_tokens("text")[1]
+    grams = doc_shingle_hashes_duck("text", P.DECONTAM_N)
+    fp = T.fingerprint_duck("text")
+    return f"""
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, text, lang FROM documents WHERE doc_id % {P.EVAL_MOD} <> 0
+), quality AS (
+    SELECT * FROM corpus WHERE {T.quality_score_duck("text")} >= {P.QUALITY_MIN}
+), exact AS (
+    SELECT doc_id, text, lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY lower(text) ORDER BY doc_id) AS rk
+        FROM quality
+    ) WHERE rk = 1
+), melted AS (
+{melted}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM melted a
+    JOIN melted b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+), toks AS (
+    SELECT doc_id, {dtoks} AS toks FROM exact
+), verified AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                     / (len(ta.toks) + len(tb.toks)
+                        - len(list_intersect(ta.toks, tb.toks))),
+                     4) AS jaccard
+        FROM cand
+        JOIN toks ta ON ta.doc_id = doc_a
+        JOIN toks tb ON tb.doc_id = doc_b
+    ) WHERE jaccard >= {P.NEARDUP_THRESHOLD}
+), sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    UNION
+    SELECT doc_b, doc_a FROM verified
+), reach AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+    SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+), neardup AS (
+    SELECT e.doc_id, e.text, e.lang
+    FROM exact e LEFT JOIN comp c ON e.doc_id = c.node
+    WHERE c.node IS NULL OR c.component = e.doc_id
+), eval_grams AS (
+    SELECT DISTINCT unnest({grams}) AS gram
+    FROM documents WHERE doc_id % {P.EVAL_MOD} = 0
+), contaminated AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({grams}) AS gram FROM neardup
+    ) tr JOIN eval_grams e ON tr.gram = e.gram
+), clean AS (
+    SELECT n.doc_id, n.text
+    FROM neardup n LEFT JOIN contaminated c ON n.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+), split AS (
+    SELECT ({fp}) % 100 AS bucket FROM clean
+)
+SELECT '0_raw' AS stage, count(*) AS n_docs FROM corpus
+UNION ALL SELECT '1_quality', count(*) FROM quality
+UNION ALL SELECT '2_exact_dedup', count(*) FROM exact
+UNION ALL SELECT '3_near_dup', count(*) FROM neardup
+UNION ALL SELECT '4_decontaminated', count(*) FROM clean
+UNION ALL SELECT '5_train', count(*) FILTER (bucket < {P.SPLIT_TRAIN}) FROM split
+UNION ALL SELECT '6_val', count(*) FILTER (bucket >= {P.SPLIT_TRAIN}
+                                       AND bucket < {P.SPLIT_VAL}) FROM split
+UNION ALL SELECT '7_test', count(*) FILTER (bucket >= {P.SPLIT_VAL}) FROM split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
-    "dedup_clusters": QuerySpec(q_dedup_clusters, None),
+    "curation_report": QuerySpec(q_curation_report, _curation_oracle()),
     "dedup_exact": QuerySpec(q_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_least_nulls": QuerySpec(q_dedup_least_nulls, _DEDUP_LEAST_NULLS_SQL),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_oracle()),
@@ -245,4 +346,8 @@ WHERE c.fp IS NULL
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(q_dedup_incremental, _incremental_oracle()),
+    # demoted from the driver window in favor of curation_report, which
+    # exercises the same components code WITH a full oracle; still
+    # union-find-verified in tests/test_components.py
+    "dedup_clusters": QuerySpec(q_dedup_clusters, None),
 }

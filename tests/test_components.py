@@ -43,6 +43,25 @@ def test_connected_components_on_synthetic(spark):
     assert got == _union_find(edges)
 
 
+def test_iterative_path_matches_driver_path(spark):
+    """Both execution paths of the hybrid (driver union-find under the
+    edge bound, distributed min-label propagation above it) must agree —
+    forced via driver_threshold=0 — including on a long path graph
+    (worst diameter for label propagation) and a cross-linked clique."""
+    edges = (
+        [(i, i + 1) for i in range(100, 112)]  # 12-hop path
+        + [(200, 201), (201, 202), (200, 202)]  # triangle
+        + [(7, 300), (300, 8), (8, 301)]  # bridges
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    driver = {r.node: r.component for r in connected_components(df).collect()}
+    distributed = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0, max_iter=20).collect()
+    }
+    assert driver == distributed == _union_find(edges)
+
+
 def test_dedup_clusters_match_union_find(spark):
     docs = read_table(spark, TEST_SF_DIR, "documents")
     pairs = minhash_band_pairs(docs, "doc_id", "text", SHINGLE_LEN, NUM_BANDS, ROWS_PER_BAND)
