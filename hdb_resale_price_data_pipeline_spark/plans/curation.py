@@ -42,10 +42,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 from pyspark.sql.window import Window
 
+from ..functions import hashing as H
 from ..operators import text as T
 from ..operators.components import connected_components
 from ..operators.decontam import doc_shingle_hashes
-from ..operators.dedup import minhash_band_pairs, verify_jaccard_pairs
+from ..operators.dedup import (
+    minhash_band_pairs,
+    verify_jaccard_pairs,
+    with_band_keys,
+)
 
 QUALITY_MIN = 0.4
 EVAL_MOD = 10  # doc_id % 10 == 0 → eval holdout (same as text_decontaminate)
@@ -190,11 +195,153 @@ def curation_flags(docs: DataFrame) -> DataFrame:
     )
 
 
-def curation_report(docs: DataFrame) -> DataFrame:
-    """Per-stage survivor counts — the acceptance artifact of a curation
-    run. One conditional aggregation over the flags frame (stage counts
-    + split bands in a single action), unpivoted to (stage, n_docs)."""
-    flags = curation_flags(docs)
+INC_REMAINDER = 1  # doc_id % EVAL_MOD == 1 → today's increment batch
+
+
+def increment_predicate() -> Column:
+    return col("doc_id") % EVAL_MOD == INC_REMAINDER
+
+
+def curate_increment_report(docs: DataFrame) -> DataFrame:
+    """Incremental curation: today's batch curated AGAINST the existing
+    corpus — the daily shape of a crawl pipeline, where re-running
+    global curation is O(corpus) but the increment plan is O(batch)
+    plus corpus *scans* (never corpus shuffles):
+
+      batch (doc_id % 10 == 1)
+        → quality filter
+        → exact-new: drop batch docs whose text-hash collides with the
+          corpus (batch keys BROADCAST into a semi-join against the
+          corpus scan) or with a smaller-id batch doc
+        → near-dup-new: batch LSH band keys broadcast against the
+          corpus's banding scan → candidate (batch, corpus) pairs →
+          exact Jaccard verify; batch-internal near-dups drop the
+          larger id (no component pass — an increment drops on ANY
+          match, chains don't matter)
+        → decontamination vs the eval holdout's n-grams (broadcast)
+        → train/val/test hash split
+
+    Corpus cost: three scans (exact keys, band keys, candidate token
+    arrays), zero shuffles — every join broadcasts a batch-sized side.
+    Same per-stage report shape as ``curation_report``.
+    """
+    eval_docs = docs.filter(eval_predicate())
+    batch = docs.filter(increment_predicate()).select("doc_id", "text", "lang")
+    corpus = docs.filter(~increment_predicate() & ~eval_predicate()).select(
+        "doc_id", "text"
+    )
+
+    key = F.expr(H.string_hash("lower(text)")[0])
+    w = Window.partitionBy(key, col("quality_pass")).orderBy("doc_id")
+    flagged = batch.withColumn(
+        "quality_pass", T.quality_score("text") >= QUALITY_MIN
+    ).withColumn(
+        "_first_in_batch", F.row_number().over(w) == 1
+    )
+    corpus_hits = (
+        corpus.select(key.alias("k"))
+        .join(
+            F.broadcast(flagged.select(key.alias("k")).distinct()), "k", "left_semi"
+        )
+        .distinct()
+        .withColumn("_corpus_dup", F.lit(1))
+    )
+    flagged = flagged.join(
+        F.broadcast(corpus_hits), key == col("k"), "left"
+    ).withColumn(
+        "exact_pass",
+        col("quality_pass") & col("_first_in_batch") & col("_corpus_dup").isNull(),
+    ).drop("k", "_first_in_batch", "_corpus_dup")
+
+    exact = flagged.filter(col("exact_pass")).select("doc_id", "text")
+    batch_bands = with_band_keys(
+        exact, "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS, id_col="doc_id"
+    )
+    corpus_bands = with_band_keys(
+        corpus, "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS, id_col="doc_id"
+    )
+    stack_args = ", ".join(f"{i}, band_{i}" for i in range(NEARDUP_BANDS))
+    melt = f"stack({NEARDUP_BANDS}, {stack_args}) AS (band_id, band_key)"
+    batch_melted = batch_bands.selectExpr("doc_id AS batch_id", melt)
+    corpus_melted = corpus_bands.selectExpr("doc_id AS corpus_id", melt)
+    cross_candidates = (
+        corpus_melted.join(
+            F.broadcast(batch_melted), ["band_id", "band_key"]
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    toks = F.expr(H.distinct_tokens("text")[0])
+    corpus_toks = corpus.select(col("doc_id").alias("corpus_id"), toks.alias("c_toks"))
+    batch_toks = exact.select(col("doc_id").alias("batch_id"), toks.alias("b_toks"))
+    inter = F.size(F.array_intersect(col("b_toks"), col("c_toks"))).cast("double")
+    union = (
+        (F.size(col("b_toks")) + F.size(col("c_toks"))).cast("double") - inter
+    )
+    cross_drops = (
+        corpus_toks.join(F.broadcast(cross_candidates), "corpus_id")
+        .join(F.broadcast(batch_toks), "batch_id")
+        .filter(F.round(inter / union, 4) >= NEARDUP_THRESHOLD)
+        .select(col("batch_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_cross_dup", F.lit(1))
+    )
+    self_drops = (
+        verify_jaccard_pairs(
+            minhash_band_pairs(
+                exact, "doc_id", "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS
+            ),
+            exact,
+            "doc_id",
+            "text",
+            NEARDUP_THRESHOLD,
+        )
+        .select(col("doc_b").alias("doc_id"))  # doc_a < doc_b: larger id drops
+        .distinct()
+        .withColumn("_self_dup", F.lit(1))
+    )
+    flagged = (
+        flagged.join(F.broadcast(cross_drops), "doc_id", "left")
+        .join(F.broadcast(self_drops), "doc_id", "left")
+        .withColumn(
+            "neardup_pass",
+            col("exact_pass") & col("_cross_dup").isNull() & col("_self_dup").isNull(),
+        )
+        .drop("_cross_dup", "_self_dup")
+    )
+
+    eval_grams = (
+        eval_docs.select(
+            F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram")
+        ).distinct()
+    )
+    contaminated = (
+        flagged.filter(col("neardup_pass"))
+        .select(
+            "doc_id", F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram")
+        )
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_dirty", F.lit(1))
+    )
+    bucket = T.fingerprint("text") % 100
+    flags = (
+        flagged.join(F.broadcast(contaminated), "doc_id", "left")
+        .withColumn("clean_pass", col("neardup_pass") & col("_dirty").isNull())
+        .withColumn(
+            "split",
+            F.when(~col("clean_pass"), F.lit(None).cast("string"))
+            .when(bucket < SPLIT_TRAIN, "train")
+            .when(bucket < SPLIT_VAL, "val")
+            .otherwise("test"),
+        )
+        .drop("_dirty")
+    )
+    return _report_from_flags(flags, raw_stage="0_batch")
+
+
+def _report_from_flags(flags: DataFrame, raw_stage: str = "0_raw") -> DataFrame:
     cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
     one = flags.agg(
         F.count(F.lit(1)).alias("n0"),
@@ -207,8 +354,41 @@ def curation_report(docs: DataFrame) -> DataFrame:
         cnt(col("split") == "test").alias("n7"),
     )
     return one.selectExpr(
-        """stack(8,
-           '0_raw', n0, '1_quality', n1, '2_exact_dedup', n2,
+        f"""stack(8,
+           '{raw_stage}', n0, '1_quality', n1, '2_exact_dedup', n2,
            '3_near_dup', n3, '4_decontaminated', n4,
            '5_train', n5, '6_val', n6, '7_test', n7) AS (stage, n_docs)"""
     )
+
+
+def curation_report(docs: DataFrame) -> DataFrame:
+    """Per-stage survivor counts — the acceptance artifact of a curation
+    run. One conditional aggregation over the flags frame (stage counts
+    + split bands in a single action), unpivoted to (stage, n_docs)."""
+    return _report_from_flags(curation_flags(docs))
+
+
+def export_curated(
+    docs: DataFrame, path: str, rows_per_shard: int = 100_000
+) -> dict[str, dict]:
+    """Terminal stage: materialize the curated corpus as training
+    shards — per split, deterministically hash-shuffled, size-bounded
+    parquet with a manifest (sources/export.py). The flags frame is
+    persisted for the duration (each split filter re-reads it; at a
+    real deployment this is the checkpoint a curation run would land
+    anyway) and unpersisted after. Returns per-split manifests."""
+    from ..sources.export import export_shuffled_shards
+
+    flags = curation_flags(docs).persist()
+    try:
+        manifests = {}
+        for split in ("train", "val", "test"):
+            part = flags.filter(col("split") == split).select(
+                "doc_id", "text", "lang"
+            )
+            manifests[split] = export_shuffled_shards(
+                part, f"{path}/{split}", rows_per_shard
+            )
+        return manifests
+    finally:
+        flags.unpersist()

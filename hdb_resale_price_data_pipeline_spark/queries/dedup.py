@@ -344,7 +344,125 @@ WHERE c.fp IS NULL
 """
 
 
+def q_curation_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation (plans/curation.curate_increment_report):
+    today's batch curated against the existing corpus with zero corpus
+    shuffles — every join broadcasts a batch-sized side."""
+    from ..plans.curation import curate_increment_report
+
+    docs = t(spark, sf_dir, "documents")
+    return curate_increment_report(docs)
+
+
+def _curation_increment_oracle() -> str:
+    from ..operators import text as T
+    from ..operators.decontam import doc_shingle_hashes_duck
+    from ..plans import curation as P
+
+    key = H.string_hash("lower(text)")[1]
+    bands = H.band_keys(
+        H.shingles(H.tokens("text"), P.NEARDUP_SHINGLE),
+        P.NEARDUP_BANDS,
+        P.NEARDUP_ROWS,
+    )
+
+    def melt(rel: str) -> str:
+        return "\n    UNION ALL\n".join(
+            f"    SELECT doc_id, {i} AS band_id, {duck} AS band_key FROM {rel}"
+            for i, (_, duck) in enumerate(bands)
+        )
+
+    dtoks = H.distinct_tokens("text")[1]
+    grams = doc_shingle_hashes_duck("text", P.DECONTAM_N)
+    fp = T.fingerprint_duck("text")
+    jac = (
+        "round(len(list_intersect(bt.toks, ct.toks))::DOUBLE"
+        " / (len(bt.toks) + len(ct.toks)"
+        " - len(list_intersect(bt.toks, ct.toks))), 4)"
+    )
+    return f"""
+WITH batch AS (
+    SELECT doc_id, text, lang FROM documents
+    WHERE doc_id % {P.EVAL_MOD} = {P.INC_REMAINDER}
+), corpus AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % {P.EVAL_MOD} <> {P.INC_REMAINDER}
+      AND doc_id % {P.EVAL_MOD} <> 0
+), quality AS (
+    SELECT * FROM batch WHERE {T.quality_score_duck("text")} >= {P.QUALITY_MIN}
+), bkeys AS (
+    SELECT doc_id, text, {key} AS k,
+           row_number() OVER (PARTITION BY {key} ORDER BY doc_id) AS rk
+    FROM quality
+), ckeys AS (
+    SELECT DISTINCT {key} AS k FROM corpus
+), exact AS (
+    SELECT b.doc_id, b.text
+    FROM bkeys b LEFT JOIN ckeys c ON b.k = c.k
+    WHERE b.rk = 1 AND c.k IS NULL
+), bmelt AS (
+{melt("exact")}
+), cmelt AS (
+{melt("corpus")}
+), btoks AS (
+    SELECT doc_id, {dtoks} AS toks FROM exact
+), ctoks AS (
+    SELECT doc_id, {dtoks} AS toks FROM corpus
+), cross_drops AS (
+    SELECT DISTINCT cc.batch_id AS doc_id
+    FROM (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bmelt b JOIN cmelt c
+          ON b.band_id = c.band_id AND b.band_key = c.band_key
+    ) cc
+    JOIN btoks bt ON bt.doc_id = cc.batch_id
+    JOIN ctoks ct ON ct.doc_id = cc.corpus_id
+    WHERE {jac} >= {P.NEARDUP_THRESHOLD}
+), self_drops AS (
+    SELECT DISTINCT sc.doc_b AS doc_id
+    FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bmelt a JOIN bmelt b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ) sc
+    JOIN btoks bt ON bt.doc_id = sc.doc_a
+    JOIN btoks ct ON ct.doc_id = sc.doc_b
+    WHERE {jac} >= {P.NEARDUP_THRESHOLD}
+), neardup AS (
+    SELECT e.doc_id, e.text
+    FROM exact e
+    LEFT JOIN cross_drops cd ON e.doc_id = cd.doc_id
+    LEFT JOIN self_drops sd ON e.doc_id = sd.doc_id
+    WHERE cd.doc_id IS NULL AND sd.doc_id IS NULL
+), eval_grams AS (
+    SELECT DISTINCT unnest({grams}) AS gram
+    FROM documents WHERE doc_id % {P.EVAL_MOD} = 0
+), contaminated AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({grams}) AS gram FROM neardup
+    ) tr JOIN eval_grams e ON tr.gram = e.gram
+), clean AS (
+    SELECT n.doc_id, n.text
+    FROM neardup n LEFT JOIN contaminated c ON n.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+), split AS (
+    SELECT ({fp}) % 100 AS bucket FROM clean
+)
+SELECT '0_batch' AS stage, count(*) AS n_docs FROM batch
+UNION ALL SELECT '1_quality', count(*) FROM quality
+UNION ALL SELECT '2_exact_dedup', count(*) FROM exact
+UNION ALL SELECT '3_near_dup', count(*) FROM neardup
+UNION ALL SELECT '4_decontaminated', count(*) FROM clean
+UNION ALL SELECT '5_train', count(*) FILTER (bucket < {P.SPLIT_TRAIN}) FROM split
+UNION ALL SELECT '6_val', count(*) FILTER (bucket >= {P.SPLIT_TRAIN}
+                                       AND bucket < {P.SPLIT_VAL}) FROM split
+UNION ALL SELECT '7_test', count(*) FILTER (bucket >= {P.SPLIT_VAL}) FROM split
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "curation_increment": QuerySpec(q_curation_increment, _curation_increment_oracle()),
     "dedup_incremental": QuerySpec(q_dedup_incremental, _incremental_oracle()),
     # demoted from the driver window in favor of curation_report, which
     # exercises the same components code WITH a full oracle; still

@@ -58,3 +58,81 @@ def test_eval_holdout_never_enters_the_corpus(spark):
     s = curate_stages(docs)
     raw_ids = [r.doc_id for r in s["raw"].select("doc_id").collect()]
     assert all(i % 10 != 0 for i in raw_ids)
+
+
+def test_increment_report_invariants(spark):
+    from hdb_resale_price_data_pipeline_spark.plans.curation import (
+        curate_increment_report,
+    )
+
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    report = {r.stage: r.n_docs for r in curate_increment_report(docs).collect()}
+    chain = ["0_batch", "1_quality", "2_exact_dedup", "3_near_dup", "4_decontaminated"]
+    counts = [report[s] for s in chain]
+    assert counts == sorted(counts, reverse=True), report
+    assert counts[-1] > 0
+    assert sum(report[s] for s in ("5_train", "6_val", "7_test")) == report[
+        "4_decontaminated"
+    ]
+
+
+def test_export_curated_matches_report_and_is_deterministic(spark, tmp_path, report):
+    """curate → shard export: per-split shard rows must sum to the
+    report's split counts, and a re-export must replay the identical
+    global permutation (manifest + first shard's leading ids equal)."""
+    import pyarrow.parquet as pq
+
+    from hdb_resale_price_data_pipeline_spark.plans.curation import export_curated
+
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    m1 = export_curated(docs, str(tmp_path / "e1"), rows_per_shard=100)
+    assert m1["train"]["total_rows"] == report["5_train"]
+    assert m1["val"]["total_rows"] == report["6_val"]
+    assert m1["test"]["total_rows"] == report["7_test"]
+    for split, manifest in m1.items():
+        assert sum(s["rows"] for s in manifest["shards"]) == manifest["total_rows"]
+
+    m2 = export_curated(docs, str(tmp_path / "e2"), rows_per_shard=100)
+    assert [s["rows"] for s in m2["train"]["shards"]] == [
+        s["rows"] for s in m1["train"]["shards"]
+    ]
+    first1 = pq.read_table(m1["train"]["shards"][0]["path"], columns=["doc_id"])
+    first2 = pq.read_table(m2["train"]["shards"][0]["path"], columns=["doc_id"])
+    assert first1.column("doc_id").to_pylist()[:20] == first2.column(
+        "doc_id"
+    ).to_pylist()[:20]
+
+
+def test_increment_drops_corpus_near_dups(spark):
+    """A batch doc that verbatim-duplicates a corpus doc must fall at
+    the exact stage; a lightly-perturbed copy must fall at near-dup."""
+    from pyspark.sql import Row
+
+    from hdb_resale_price_data_pipeline_spark.plans.curation import (
+        curate_increment_report,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight while stars shine brightly"
+    )
+    rows = []
+    # corpus docs (doc_id % 10 not in {0, 1})
+    rows.append(Row(doc_id=2, text=base, lang="en", source="s", n_chars=len(base)))
+    filler = "completely unrelated corpus text about spark query engines"
+    rows.append(Row(doc_id=3, text=filler, lang="en", source="s", n_chars=len(filler)))
+    # batch docs (doc_id % 10 == 1)
+    rows.append(Row(doc_id=11, text=base, lang="en", source="s", n_chars=len(base)))  # exact dup
+    near = base.replace("tonight", "today")
+    rows.append(Row(doc_id=21, text=near, lang="en", source="s", n_chars=len(near)))  # near dup
+    fresh = (
+        "an entirely different document discussing distributed joins "
+        "broadcast strategies and adaptive execution in modern engines"
+    )
+    rows.append(Row(doc_id=31, text=fresh, lang="en", source="s", n_chars=len(fresh)))
+    docs = spark.createDataFrame(rows)
+    report = {r.stage: r.n_docs for r in curate_increment_report(docs).collect()}
+    assert report["0_batch"] == 3
+    assert report["2_exact_dedup"] == 2, report  # doc 11 dropped as exact dup
+    assert report["3_near_dup"] == 1, report  # doc 21 dropped as near dup
+    assert report["4_decontaminated"] == 1  # doc 31 survives

@@ -48,6 +48,37 @@ def test_pricing_summary_pushdown_and_pruning(spark):
     assert "partial_sum" in plan
 
 
+def test_incremental_curation_never_sort_merge_joins(spark):
+    """curate_increment_report joins the corpus only against batch-sized
+    sides — every join must plan as broadcast (a SortMergeJoin would
+    mean the corpus is being shuffled for a batch-sized probe)."""
+    plan = _plan(LOCAL_REGISTRY["curation_increment"].fn(spark, TEST_SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_timestamp_normalization_is_pushdown_transparent(spark):
+    """The read-boundary NTZ→TIMESTAMP cast (sources/readers.py) must
+    not cost scan pruning: Catalyst unwraps the cast out of comparisons
+    (UnwrapCastInBinaryComparison), so a filter on the normalized column
+    still reaches the parquet scan, and column pruning still holds. At
+    100 TB this IS the feature — normalization that blocked pushdown
+    would trade a correctness fix for a full-scan regression."""
+    from hdb_resale_price_data_pipeline_spark.sources import read_table
+    from pyspark.sql.functions import col
+
+    ev = (
+        read_table(spark, TEST_SF_DIR, "events")
+        .filter(col("ts") >= "2024-01-02 00:00:00")
+        .select("event_id")
+    )
+    plan = _plan(ev)
+    scan = plan[plan.index("FileScan") :]
+    assert re.search(r"DataFilters: \[[^\]]*\(ts#\d+ >=", scan), scan[:400]
+    m = re.search(r"ReadSchema: struct<([^>]*)", scan)
+    assert m and "props" not in m.group(1) and "value" not in m.group(1)
+
+
 def test_window_queries_single_shuffle(spark):
     plan = _plan(LOCAL_REGISTRY["top_customers_per_nation"].fn(spark, TEST_SF_DIR))
     assert _shuffles(plan) == 1  # the window partitionBy only
