@@ -141,10 +141,19 @@ def curation_flags(docs: DataFrame) -> DataFrame:
     w = Window.partitionBy(F.lower(col("text")), col("quality_pass")).orderBy(
         "doc_id"
     )
-    flagged = corpus.withColumn(
-        "quality_pass", T.quality_score("text") >= QUALITY_MIN
-    ).withColumn(
-        "exact_pass", col("quality_pass") & (F.row_number().over(w) == 1)
+    # LAZY localCheckpoint right after the expensive prefix (scan +
+    # interpreted quality HOFs + dedup window): THREE downstream
+    # branches consume it — the near-dup pair probe, the decontam
+    # probe, and the final flags/aggregation — and without the
+    # checkpoint each re-executes the prefix (measured ~3× the corpus
+    # cost at 80k docs). Blocks free on GC; a cluster deployment lands
+    # this frame as a table (reliable checkpoint) instead.
+    flagged = (
+        corpus.withColumn("quality_pass", T.quality_score("text") >= QUALITY_MIN)
+        .withColumn(
+            "exact_pass", col("quality_pass") & (F.row_number().over(w) == 1)
+        )
+        .localCheckpoint(eager=False)
     )
 
     exact = flagged.filter(col("exact_pass")).select("doc_id", "text")
@@ -246,12 +255,20 @@ def curate_increment_report(docs: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("_corpus_dup", F.lit(1))
     )
-    flagged = flagged.join(
-        F.broadcast(corpus_hits), key == col("k"), "left"
-    ).withColumn(
-        "exact_pass",
-        col("quality_pass") & col("_first_in_batch") & col("_corpus_dup").isNull(),
-    ).drop("k", "_first_in_batch", "_corpus_dup")
+    # checkpoint after the corpus_hits join: every downstream branch
+    # (band/token/self-pair probes, decontam, final agg) would otherwise
+    # re-execute the corpus key scan embedded in this broadcast
+    flagged = (
+        flagged.join(F.broadcast(corpus_hits), key == col("k"), "left")
+        .withColumn(
+            "exact_pass",
+            col("quality_pass")
+            & col("_first_in_batch")
+            & col("_corpus_dup").isNull(),
+        )
+        .drop("k", "_first_in_batch", "_corpus_dup")
+        .localCheckpoint(eager=False)
+    )
 
     exact = flagged.filter(col("exact_pass")).select("doc_id", "text")
     batch_bands = with_band_keys(
@@ -363,8 +380,9 @@ def _report_from_flags(flags: DataFrame, raw_stage: str = "0_raw") -> DataFrame:
 
 def curation_report(docs: DataFrame) -> DataFrame:
     """Per-stage survivor counts — the acceptance artifact of a curation
-    run. One conditional aggregation over the flags frame (stage counts
-    + split bands in a single action), unpivoted to (stage, n_docs)."""
+    run. One conditional aggregation over the flags frame, unpivoted to
+    (stage, n_docs). The expensive lineage prefix is checkpointed once
+    inside ``curation_flags`` — see the comment there."""
     return _report_from_flags(curation_flags(docs))
 
 

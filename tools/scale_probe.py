@@ -196,6 +196,22 @@ def stage_docs(spark) -> None:
                         + (_ALPHA[rot:] + _ALPHA[:rot]).upper(),
                     ),
                 )
+            if table == "embeddings":
+                # Same density lesson as the Caesar rotation: verbatim
+                # vector replicas put `copies` exact duplicates in every
+                # LSH bucket and pair expansion goes quadratic in copy
+                # count (measured: 49s / 4.8M pairs at 16 copies).
+                # Cyclically rotating the array per copy preserves the
+                # norm and in-copy neighbor structure but decorrelates
+                # across copies — candidate volume scales linearly.
+                off = i % 63 + 1  # dim 64 → 63 distinct non-identity rotations
+                rep = rep.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {off} + 1, "
+                        f"size(embedding) - {off}), slice(embedding, 1, {off}))"
+                    ),
+                )
             out = out.unionByName(rep)
         out.repartition(32).write.mode("overwrite").parquet(
             f"{DOCS_STAGE}/{table}.parquet"
@@ -229,6 +245,8 @@ def probe_docs(spark) -> None:
         "emb_kmeans_clusters",
         "emb_pq_topk",
         "emb_near_dup_lsh",
+        "curation_report",
+        "curation_increment",
     ]
     for name in names:
         fn = registry[name].fn
