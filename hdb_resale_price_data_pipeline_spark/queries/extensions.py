@@ -122,6 +122,26 @@ def _attribution_oracle() -> str:
     return _EVENTS_ATTRIBUTION_SQL
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (streaming/events.py): streaming
+    events enriched against the static nation dim. No watermark and no
+    aggregation, so append mode emits every row and the batch-equality
+    oracle is exact."""
+    from ..streaming.events import stream_static_enrich
+
+    return run_stream_to_df(
+        stream_static_enrich(events_stream(spark, sf_dir), t(spark, sf_dir, "nation")),
+        spark,
+    )
+
+
+_STREAM_STATIC_SQL = """
+SELECT event_id, user_id, n_name AS nation
+FROM events JOIN nation ON user_id % 25 = n_nationkey
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),
+    "stream_static_enrich": QuerySpec(q_stream_static_enrich, _STREAM_STATIC_SQL),
 }

@@ -228,6 +228,109 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders in a window having at
+    least one lineitem shipped after the order date. Spark has no
+    EXISTS in the DataFrame API; the decorrelated form IS the plan the
+    optimizer would produce: a LEFT SEMI join carrying the non-equi
+    correlation predicate, then the grouped count. At scale the semi
+    join shuffles both sides on l_orderkey once — same as the SQL form."""
+    o = t(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01"))
+        & (col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (col("o_orderkey") == col("l_orderkey"))
+            & (col("l_shipdate") > col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated SCALAR subquery — revenue of
+    lineitems whose quantity is below half their part's average.
+    Decorrelated: the per-part average becomes a grouped aggregate
+    joined back on the key. The brand filter semi-restricts the
+    aggregate's input FIRST (broadcast), so the avg shuffle carries
+    only the brand's parts — the correlated form computes per-part
+    averages the outer query then discards."""
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_items = li.join(
+        broadcast(part), col("l_partkey") == col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    half_avg = brand_items.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        brand_items.join(half_avg, "l_partkey")
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def q21_stuck_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS on the same child table —
+    orders with a late shipment (≥ 2000) and no early one (< 1996).
+    Decorrelated: LEFT SEMI then LEFT ANTI on l_orderkey. Both joins
+    shuffle on the same key, so the second reuses the first's
+    partitioning (one extra exchange for the filtered anti side only)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.filter(col("l_shipdate") >= F.lit("2000-01-01"))
+    early = li.filter(col("l_shipdate") < F.lit("1996-01-01"))
+    return (
+        o.join(late, col("o_orderkey") == late.l_orderkey, "left_semi")
+        .join(early, col("o_orderkey") == early.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q21_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= TIMESTAMP '2000-01-01')
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate < TIMESTAMP '1996-01-01')
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "lineitem_filter_suite": QuerySpec(q_lineitem_filter_suite, _FILTER_SUITE_SQL),
 }
@@ -240,6 +343,9 @@ QUERIES: dict[str, QuerySpec] = {
 # still error-bounds it every run.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "approx_stats": QuerySpec(q_approx_stats, None),
+    "q4_order_priority": QuerySpec(q4_order_priority, _Q4_SQL),
+    "q17_small_quantity": QuerySpec(q17_small_quantity, _Q17_SQL),
+    "q21_stuck_orders": QuerySpec(q21_stuck_orders, _Q21_SQL),
     "q18_large_orders": QuerySpec(q18_large_orders, _Q18_SQL),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, _Q6_SQL),
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, _Q14_SQL),

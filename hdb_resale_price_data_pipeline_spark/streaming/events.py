@@ -174,6 +174,27 @@ def stream_user_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(events: DataFrame, nation: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: each streaming event joins a
+    STATIC dimension (the nation table, keyed by ``user_id % 25``) —
+    the third join class Structured Streaming supports next to
+    stream-stream and self-joins. The static side is re-read per
+    microbatch (so a dim update between batches is picked up) and
+    broadcast — the stream side is never shuffled and no state store is
+    involved, which is what makes this the cheapest enrichment shape on
+    an unbounded stream. Pure row enrichment (no agg, no watermark) ⇒
+    append mode emits every joined row, so the result equals the batch
+    twin exactly and carries its full value oracle."""
+    dim = nation.select(
+        col("n_nationkey").cast("int").alias("nk"), col("n_name")
+    )
+    return (
+        events.withColumn("nk", (col("user_id") % 25).cast("int"))
+        .join(F.broadcast(dim), "nk")
+        .select("event_id", "user_id", col("n_name").alias("nation"))
+    )
+
+
 ATTRIBUTION_HORIZON_MIN = 30
 
 

@@ -54,6 +54,32 @@ def test_stream_hourly_matches_batch_on_finalized_windows(spark):
     ), (len(stream_out), finalized_strict, finalized_lenient)
 
 
+def test_stream_static_join_matches_batch(spark):
+    """Stream-static broadcast enrichment must equal the batch join
+    row-for-row (no watermark, no agg ⇒ nothing can be held back)."""
+    from hdb_resale_price_data_pipeline_spark.streaming.events import (
+        stream_static_enrich,
+    )
+
+    nation = read_table(spark, TEST_SF_DIR, "nation")
+    got = run_stream_to_df(
+        stream_static_enrich(events_stream(spark, TEST_SF_DIR), nation), spark
+    )
+    ev = read_table(spark, TEST_SF_DIR, "events")
+    want = (
+        ev.withColumn("nk", (F.col("user_id") % 25).cast("int"))
+        .join(
+            nation.select(
+                F.col("n_nationkey").cast("int").alias("nk"), "n_name"
+            ),
+            "nk",
+        )
+        .select("event_id", "user_id", F.col("n_name").alias("nation"))
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_stream_dedup_matches_batch_distinct(spark):
     out = run_stream_to_df(stream_user_dedup(events_stream(spark, TEST_SF_DIR)), spark)
     batch_distinct = (
