@@ -149,20 +149,30 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
-def pii_counts(text_col: str) -> list[Column]:
-    """One ``n_<kind>`` count column per PII pattern (pre-redaction)."""
+def pii_counts_on(c: Column) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern (pre-redaction),
+    over an arbitrary string expression."""
     return [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
         for kind, pat, _ in PII_PATTERNS
     ]
 
 
-def redact_pii(text_col: str) -> Column:
-    """Replace every PII match with its type token, in pattern order."""
-    out = F.col(text_col)
+def pii_counts(text_col: str) -> list[Column]:
+    return pii_counts_on(F.col(text_col))
+
+
+def redact_pii_col(c: Column) -> Column:
+    """Replace every PII match with its type token, in pattern order,
+    over an arbitrary string expression."""
+    out = c
     for _, pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def redact_pii(text_col: str) -> Column:
+    return redact_pii_col(F.col(text_col))
 
 
 def redact_pii_duck(text_col: str) -> str:

@@ -904,10 +904,59 @@ QUERIES: dict[str, QuerySpec] = {
     "date_conform": QuerySpec(q_date_conform, _DATE_CONFORM_SQL),
 }
 
+def q_orders_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-FRAME family (SURVEY §2.7 'frames'): bounded moving
+    average (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) next to ntile /
+    percent_rank / lead over one per-customer ordering — everything
+    computes in a single window exchange (one shuffle on o_custkey)."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    order_cols = [col("o_orderdate"), col("o_orderkey")]
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(-3, Window.currentRow)
+    )
+    wr = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    # moving SUM, not avg: windowed double avg differs in the last ulp
+    # across engines (running-sum retraction vs recompute), and even an
+    # exact-DECIMAL-sum ÷ count hits .xx5 rounding ties the two engines
+    # break differently. The DECIMAL frame-sum is order-free and exact —
+    # the rollup operator's discipline — and loses nothing the frame
+    # demo needs (sum and count determine the avg).
+    frame_sum = (
+        F.sum(col("o_totalprice").cast("decimal(18,2)")).over(wf).cast("double")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(frame_sum, 2).alias("movsum4"),
+        F.ntile(4).over(wr).alias("quartile"),
+        F.round(F.percent_rank().over(wr), 4).alias("pct_rank"),
+        F.lead("o_totalprice", 1).over(wr).alias("next_price"),
+    )
+
+
+_ORDERS_WINDOW_FRAMES_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE),
+             2) AS movsum4,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       lead(o_totalprice, 1) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # Oracle-verified locally (tests/test_correctness.py) but not registered
 # with the driver: each is subsumed by a merged entry above or is a
 # near-duplicate of a graded demo.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "orders_window_frames": QuerySpec(q_orders_window_frames, _ORDERS_WINDOW_FRAMES_SQL),
     "active_customers_semi": QuerySpec(q_active_customers_semi, _ACTIVE_SEMI_SQL),
     "customers_without_orders": QuerySpec(
         q_customers_without_orders, _CUSTOMERS_WITHOUT_ORDERS_SQL

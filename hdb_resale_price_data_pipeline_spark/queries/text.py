@@ -391,7 +391,50 @@ def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_DOMAIN_MIX_SQL = S.sample_domain_mixture_duck(MIX_BUDGET_TOKENS)
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/text.py pattern chain). The
+    corpus text is word salad with no PII, so each doc is SALTED with
+    deterministic synthetic PII derived from its own doc_id (an email,
+    a URL, a phone number) — both engines construct the identical
+    string, so the counts and the redacted output get a real value
+    oracle instead of an all-zeros one."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    salted = F.concat(
+        col("text"),
+        F.lit(" contact user"),
+        col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.org/d/"),
+        col("doc_id").cast("string"),
+        F.lit(" or +65 9123 45"),
+        F.lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        *[c for c in T.pii_counts_on(salted)],
+        T.redact_pii_col(salted).alias("redacted"),
+    )
+
+
+def _pii_oracle() -> str:
+    salted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com via https://ex.org/d/' || CAST(doc_id AS VARCHAR)"
+        " || ' or +65 9123 45' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    )
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all({salted}, '{pat}')) AS INT) AS n_{kind}"
+        for kind, pat, _ in T.PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       {counts},
+       {T.redact_pii_duck(salted)} AS redacted
+FROM documents
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "text_pii_redact": QuerySpec(q_text_pii_redact, _pii_oracle()),
     "text_domain_mix": QuerySpec(q_text_domain_mix, _TEXT_DOMAIN_MIX_SQL),
     "text_stats": QuerySpec(q_text_stats, _TEXT_STATS_SQL),
     "text_quality": QuerySpec(q_text_quality, _TEXT_QUALITY_SQL),
