@@ -126,6 +126,49 @@ def test_streaming_flavor_detection(flavor_dirs):
         assert _events_ts_flavor(f"{d}/events.parquet") == flavor
 
 
+def test_streaming_runs_identically_on_every_flavor(spark, tmp_path_factory):
+    """End-to-end streaming over each physical ts flavor: the watermarked
+    tumbling-window query must emit the SAME non-empty finalized windows
+    for µs-NTZ, LTZ, and nanos files (round 2's silent failure was the
+    streaming reader mis-declaring the flavor and emitting 0 rows)."""
+    from hdb_resale_price_data_pipeline_spark.streaming import (
+        events_stream,
+        run_stream_to_df,
+        stream_hourly_tumbling,
+    )
+
+    root = tmp_path_factory.mktemp("stream_flavors")
+    # 8 hours of events → with the 2-hour watermark, hours 0..5 finalize
+    span_us = [1_700_000_000_000_000 + h * 3_600_000_000 for h in range(9)]
+    outs = {}
+    for flavor, ts_type in [
+        ("ntz", pa.timestamp("us")),
+        ("ltz", pa.timestamp("us", tz="UTC")),
+        ("nanos", pa.timestamp("ns")),
+    ]:
+        d = root / flavor
+        d.mkdir()
+        scale = 1000 if ts_type.unit == "ns" else 1
+        cols = _base_columns(len(span_us))
+        table = pa.table(
+            {
+                "event_id": pa.array(range(len(span_us)), pa.int64()),
+                "ts": pa.array([u * scale for u in span_us], ts_type),
+                "user_id": cols["user_id"],
+                "event_type": cols["event_type"],
+                "value": pa.array([1.0] * len(span_us), pa.float64()),
+                "props": cols["props"],
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        result = run_stream_to_df(
+            stream_hourly_tumbling(events_stream(spark, str(d))), spark
+        )
+        outs[flavor] = sorted(map(tuple, result.collect()))
+    assert len(outs["ntz"]) > 0, "no finalized windows emitted"
+    assert outs["ntz"] == outs["ltz"] == outs["nanos"]
+
+
 def test_unnormalizable_drift_fails_at_boundary_with_diagnosis(
     spark, tmp_path
 ):
