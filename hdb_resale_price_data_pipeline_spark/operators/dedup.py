@@ -283,12 +283,15 @@ def ngram_jaccard_pairs(
         distinct_grams_udf(shingle_len)(col(text_col)).alias("grams"),
     )
     # The shingle table is used three times (both join sides + counts):
-    # persist it so extraction runs once. At 100 TB this is the
-    # materialized intermediate a pipeline would checkpoint anyway —
-    # recomputing tokenization per consumer is the real cost.
+    # materialize it once via LAZY localCheckpoint. Not .persist():
+    # Spark's CacheManager holds persisted plans by strong reference, so
+    # an operator-internal persist with no unpersist hook leaks executor
+    # storage per invocation; checkpoint blocks are released by the
+    # ContextCleaner when the frame is GC'd. At 100 TB this is the
+    # materialized intermediate a pipeline would land as a table anyway.
     postings = base.select(
         "doc_id", "block", F.explode("grams").alias("gram")
-    ).persist()
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         # Document-frequency cap — the relief valve for hot shingles:
         # a gram in c docs contributes c^2 join rows, so one boilerplate
@@ -304,7 +307,9 @@ def ngram_jaccard_pairs(
             .filter(col("_df") <= max_doc_freq)
             .select("block", "gram")
         )
-        postings = postings.join(keep, ["block", "gram"], "left_semi").persist()
+        postings = postings.join(keep, ["block", "gram"], "left_semi").localCheckpoint(
+            eager=False
+        )
     counts = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = postings.alias("a")
     b = postings.alias("b")
