@@ -22,53 +22,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hdb_resale_price_data_pipeline_spark.queries import local_queries
 from hdb_resale_price_data_pipeline_spark.session import get_spark_session
 
-# Headline suite: the scan/join/agg/window/dedup/similarity workloads that
-# dominate at scale, plus the reference pipeline's cleaning semantics
-# (hdb_cleaning_semantics) as the pipeline-shaped workload at data scale.
-BENCH_QUERIES = [
-    "pricing_summary",
-    "avg_revenue_by_region_year",
-    "region_nation_revenue",
-    "shipping_priority_top10",
-    "customer_windows",
-    "orders_cube",
-    "hdb_cleaning_semantics",
-    "events_hourly_pivot",
-    "events_sessionize",
-    "events_range_join",
-    "events_above_median",
-    "events_json_props",
-    "dedup_exact",
-    "dedup_least_nulls",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+# The suite: EVERY driver-graded query (all_queries — so BENCH_r{N}
+# carries a number for each CORRECTNESS_r{N} row, streaming included:
+# availableNow runs bounded and times fine), plus the locally-graded
+# scale operators that would otherwise go unmeasured.
+from hdb_resale_price_data_pipeline_spark.queries import all_queries
+
+EXTRA_LOCAL_QUERIES = [
     "dedup_incremental",
-    "curation_report",
     "text_domain_mix",
     "emb_batch_topk",
-    "text_fingerprint",
-    "text_top_tokens",
-    "text_profile",
-    "text_repetition",
-    "text_bpe_tokens",
-    "text_decontaminate",
-    "emb_cosine_topk",
-    "emb_ann_lsh_topk",
-    "emb_ivf_topk",
-    "emb_near_dup_pairs",
     "emb_near_dup_lsh",
-    "emb_kmeans_clusters",
     "emb_ivf_kmeans_topk",
     "emb_pq_topk",
     "emb_quantize",
     "text_pack_sequences",
-    "events_asof_attribution",
-    "events_salted_totals",
     "events_daily_rollup",
-    "multimodal_features",
-    "multimodal_chunks",
 ]
+
+BENCH_QUERIES = list(all_queries()) + EXTRA_LOCAL_QUERIES
 
 # Machine timing variance on this box is large (±2×): report the MEDIAN
 # of REPEATS timed runs after one warm run so round-over-round
@@ -170,8 +142,13 @@ def main() -> None:
     }
     # Per-query failures are recorded in the JSON (not an exit code):
     # the artifact must stay parseable and rc=0 even on a partial run.
+    # "partial" marks the headline total as NOT comparable to a full
+    # run — summing only the surviving queries would otherwise make a
+    # regression that kills a query read as a speedup.
     if errors:
         out["errors"] = errors
+        out["partial"] = True
+        out["n_failed"] = len(errors)
     print(json.dumps(out))
     spark.stop()
 

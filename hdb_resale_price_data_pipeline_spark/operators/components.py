@@ -42,7 +42,14 @@ def connected_components(
     its actual work there). Past the bound, the distributed min-label
     propagation below runs unchanged; the collect can never scale with
     corpus size because the bound caps it."""
-    probe = edges.select(col(src), col(dst)).limit(driver_threshold + 1).collect()
+    # One materialization for BOTH the probe and whichever path runs:
+    # the upstream lineage (MinHash banding + Jaccard verification) is
+    # the expensive part, and without the checkpoint the iterative
+    # fallback would recompute it from scratch exactly on the large
+    # graphs where it costs most. Lazy → materialized by the probe
+    # action; GC-managed, so no explicit unpersist bookkeeping.
+    edges = edges.select(col(src), col(dst)).localCheckpoint(eager=False)
+    probe = edges.limit(driver_threshold + 1).collect()
     if len(probe) <= driver_threshold:
         parent: dict[int, int] = {}
 

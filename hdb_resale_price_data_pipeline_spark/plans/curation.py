@@ -127,7 +127,9 @@ def curate_stages(docs: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def curation_flags(docs: DataFrame) -> DataFrame:
+def curation_flags(
+    docs: DataFrame, verified_pairs: DataFrame | None = None
+) -> DataFrame:
     """One row per corpus doc with a boolean per pipeline stage — the
     lineage-accounting form of the pipeline. Unlike chaining filtered
     frames (``curate_stages``), every stage verdict lands in ONE frame,
@@ -136,7 +138,18 @@ def curation_flags(docs: DataFrame) -> DataFrame:
     near-dup loser set and the contaminated-id set — broadcast back).
     ``exact_pass`` ranks within (text key, quality_pass) so survivors
     are chosen among quality passers only, identical to filtering first.
-    """
+
+    ``verified_pairs``: an optional PRE-VERIFIED MinHash pair list over
+    the WHOLE documents table (doc_a, doc_b, jaccard — the exact output
+    of ``dedup_minhash_lsh``, session-cached at the query layer).
+    Band keys are per-document, so candidate collisions among the
+    exact-dedup survivors are precisely the all-docs collisions whose
+    BOTH endpoints survive — restricting the shared pair list (two
+    broadcast semi-joins on a ≤2·|pairs| id set) is value-identical to
+    re-banding the survivors, and skips the second Arrow MinHash pass +
+    bucket shuffle when the same corpus was already banded this session.
+    Requires the pair list's verify threshold ≤ NEARDUP_THRESHOLD and
+    identical banding params (asserted at the caller)."""
     corpus = docs.filter(~eval_predicate()).select("doc_id", "text", "lang")
     w = Window.partitionBy(F.lower(col("text")), col("quality_pass")).orderBy(
         "doc_id"
@@ -157,12 +170,38 @@ def curation_flags(docs: DataFrame) -> DataFrame:
     )
 
     exact = flagged.filter(col("exact_pass")).select("doc_id", "text")
-    pairs = minhash_band_pairs(
-        exact, "doc_id", "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS
-    )
-    verified = verify_jaccard_pairs(
-        pairs, exact, "doc_id", "text", NEARDUP_THRESHOLD
-    )
+    if verified_pairs is None:
+        pairs = minhash_band_pairs(
+            exact, "doc_id", "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS
+        )
+        verified = verify_jaccard_pairs(
+            pairs, exact, "doc_id", "text", NEARDUP_THRESHOLD
+        )
+    else:
+        # Restrict the shared all-docs pair list to surviving endpoints:
+        # one corpus scan against the BROADCAST (tiny) endpoint-id set,
+        # then two broadcast semi-joins on the (even tinier) pair list.
+        pair_ids = (
+            verified_pairs.select(col("doc_a").alias("doc_id"))
+            .unionByName(verified_pairs.select(col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        surviving_ids = exact.select("doc_id").join(
+            F.broadcast(pair_ids), "doc_id", "left_semi"
+        )
+        verified = (
+            verified_pairs.filter(col("jaccard") >= NEARDUP_THRESHOLD)
+            .join(
+                F.broadcast(surviving_ids.withColumnRenamed("doc_id", "doc_a")),
+                "doc_a",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(surviving_ids.withColumnRenamed("doc_id", "doc_b")),
+                "doc_b",
+                "left_semi",
+            )
+        )
     # losers: every node whose component canonical is some other doc —
     # bounded by the number of near-duplicates, tiny next to the corpus
     losers = (
@@ -240,18 +279,27 @@ def curate_increment_report(docs: DataFrame) -> DataFrame:
         "doc_id", "text"
     )
 
-    key = F.expr(H.string_hash("lower(text)")[0])
-    w = Window.partitionBy(key, col("quality_pass")).orderBy("doc_id")
+    # Exact-dedup key: a PAIR of independent-seed polynomial hashes of
+    # lower(text). One 31-bit hash alone makes birthday collisions (and
+    # therefore silent false drops) expected around ~50-65k distinct
+    # keys — guaranteed at the 100 TB framing; requiring BOTH hashes to
+    # collide pushes that to ~2⁻⁶², while the broadcast side stays two
+    # BIGINTs per doc instead of the full text (the full-corpus pipeline
+    # ``curation_flags`` groups on lower(text) itself — it owns the
+    # shuffle anyway — so the two pipelines now agree on which docs are
+    # exact dups up to a 2⁻⁶² event).
+    key1 = F.expr(H.string_hash("lower(text)")[0])
+    key2 = F.expr(H.string_hash("lower(text)", a=137, b=13)[0])
+    w = Window.partitionBy(key1, key2, col("quality_pass")).orderBy("doc_id")
     flagged = batch.withColumn(
         "quality_pass", T.quality_score("text") >= QUALITY_MIN
     ).withColumn(
         "_first_in_batch", F.row_number().over(w) == 1
     )
+    batch_keys = flagged.select(key1.alias("k1"), key2.alias("k2")).distinct()
     corpus_hits = (
-        corpus.select(key.alias("k"))
-        .join(
-            F.broadcast(flagged.select(key.alias("k")).distinct()), "k", "left_semi"
-        )
+        corpus.select(key1.alias("k1"), key2.alias("k2"))
+        .join(F.broadcast(batch_keys), ["k1", "k2"], "left_semi")
         .distinct()
         .withColumn("_corpus_dup", F.lit(1))
     )
@@ -259,14 +307,18 @@ def curate_increment_report(docs: DataFrame) -> DataFrame:
     # (band/token/self-pair probes, decontam, final agg) would otherwise
     # re-execute the corpus key scan embedded in this broadcast
     flagged = (
-        flagged.join(F.broadcast(corpus_hits), key == col("k"), "left")
+        flagged.join(
+            F.broadcast(corpus_hits),
+            (key1 == col("k1")) & (key2 == col("k2")),
+            "left",
+        )
         .withColumn(
             "exact_pass",
             col("quality_pass")
             & col("_first_in_batch")
             & col("_corpus_dup").isNull(),
         )
-        .drop("k", "_first_in_batch", "_corpus_dup")
+        .drop("k1", "k2", "_first_in_batch", "_corpus_dup")
         .localCheckpoint(eager=False)
     )
 
@@ -378,12 +430,15 @@ def _report_from_flags(flags: DataFrame, raw_stage: str = "0_raw") -> DataFrame:
     )
 
 
-def curation_report(docs: DataFrame) -> DataFrame:
+def curation_report(
+    docs: DataFrame, verified_pairs: DataFrame | None = None
+) -> DataFrame:
     """Per-stage survivor counts — the acceptance artifact of a curation
     run. One conditional aggregation over the flags frame, unpivoted to
     (stage, n_docs). The expensive lineage prefix is checkpointed once
-    inside ``curation_flags`` — see the comment there."""
-    return _report_from_flags(curation_flags(docs))
+    inside ``curation_flags`` — see the comment there; ``verified_pairs``
+    is the optional shared MinHash pair list (see ``curation_flags``)."""
+    return _report_from_flags(curation_flags(docs, verified_pairs=verified_pairs))
 
 
 def export_curated(

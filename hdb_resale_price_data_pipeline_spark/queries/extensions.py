@@ -1,9 +1,30 @@
 """Streaming + multimodal query registrations.
 
 Streaming entries execute a real ``readStream`` plan to completion
-(availableNow → memory sink) and return the result frame — incremental
-execution has no DuckDB twin, so these are rows-only checks (oracle
-None). The multimodal feature extraction DOES carry an oracle: its
+(availableNow → memory sink) and return the result frame. Unlike round
+3 (rows-only checks), every streaming entry now carries a FULL DuckDB
+value oracle: availableNow runs are deterministic, so the append-mode
+emission rule is SQL-expressible once the watermark arithmetic is
+pinned (empirically verified at sf0.001/sf0.01/sf0.1 in
+tests/test_streaming.py::TestStreamOracles):
+
+- final watermark ``wm_ms = epoch_us(max ts) // 1000 - delay_ms``
+  (Spark tracks event-time stats in floor-divided milliseconds);
+- a tumbling window is emitted iff its END (whole hour, exact in ms)
+  ``<= wm_ms``;
+- native session windows merge on STRICT overlap (an event exactly
+  ``gap`` after the previous one starts a NEW session — the window
+  interval is half-open) and emit iff ``(last_event_us + gap_us) //
+  1000 <= wm_ms``;
+- ``applyInPandasWithState`` (NoTimeout) emits every CLOSED session —
+  i.e. all sessions except each user's last — with ``<= gap`` merge
+  semantics, matching the batch sessionizer.
+
+``stream_user_dedup`` is the one genuinely order-dependent output
+(dropDuplicates keeps whichever row a partition iterates first), so its
+entry emits the deterministic projection — the deduped KEY SET, each
+key flagged for whether the emitted event_id really belongs to it —
+instead of the raw rows. The multimodal feature extraction oracle: its
 Pandas-UDF polynomial fold over payload bytes equals the char-code fold
 in SQL for ASCII payloads (operators/multimodal.py).
 """
@@ -38,7 +59,33 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_stream_to_df(stream_user_dedup(events_stream(spark, sf_dir)), spark)
+    """Streaming dropDuplicates, projected to its deterministic part.
+
+    The emitted ``event_id`` per key is whichever row the state-store
+    partition iterated first — shuffle-order-dependent, so not
+    hash-checkable. What IS deterministic: the emitted KEY SET equals
+    the distinct (user_id, event_type) pairs, each key is emitted
+    exactly once, and the event_id attached to a key is one of that
+    key's real event ids. This query emits exactly that: one row per
+    deduped key with a validity flag, so any dropped key, duplicated
+    key, or fabricated event_id breaks the hash. Both joins broadcast
+    the (small, ≈|keys|) streaming result — the raw events table is
+    never shuffled."""
+    from pyspark.sql import functions as F
+
+    s = run_stream_to_df(stream_user_dedup(events_stream(spark, sf_dir)), spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    triple = ["event_id", "user_id", "event_type"]
+    matched = (
+        ev.join(F.broadcast(s), triple)
+        .select(*triple)
+        .withColumn("valid", F.lit(1))
+    )
+    return s.join(F.broadcast(matched), triple, "left").select(
+        "user_id",
+        "event_type",
+        F.coalesce("valid", F.lit(0)).alias("valid_event_id"),
+    )
 
 
 def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,6 +96,79 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(
         stateful_sessions(split_events_stream(spark, sf_dir)), spark
     )
+
+
+# Emission rule (pinned empirically, see module docstring): windows /
+# sessions are emitted iff finalized under the END-OF-STREAM watermark
+# wm_ms = epoch_us(max ts) // 1000 - 7_200_000 (WATERMARK = 2 hours).
+_STREAM_HOURLY_SQL = """
+WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events)
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events, wm
+GROUP BY 1, 2, wm.wm_ms
+HAVING epoch_ms(date_trunc('hour', min(ts)) + INTERVAL 1 HOUR) <= wm.wm_ms
+"""
+
+# Native session windows: STRICT-overlap merge (diff >= gap starts a new
+# session — the per-event window [ts, ts+gap) is half-open), emitted iff
+# (last_event + gap) in floor-ms <= the end-of-stream watermark.
+_STREAM_SESSION_SQL = """
+WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events),
+e AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+  FROM events
+),
+g AS (
+  SELECT user_id, ts, us,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(us) AS end_us,
+         count(*) AS n_events
+  FROM g GROUP BY 1, 2
+)
+SELECT CAST(session_start AS VARCHAR) AS session_start, user_id, n_events
+FROM sess, wm
+WHERE (end_us + 1800000000) // 1000 <= wm.wm_ms
+"""
+
+# Deterministic projection of streaming dropDuplicates: the key set,
+# each key exactly once, emitted event_id validated against the table.
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type, 1 AS valid_event_id
+FROM events
+"""
+
+# applyInPandasWithState NoTimeout sessionizer: every CLOSED session
+# (the open tail per user stays in GroupState at end-of-stream), merge
+# on <= gap like the batch sessionizer, totals folded in ts order.
+_STREAM_STATEFUL_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+  FROM events
+),
+g AS (
+  SELECT user_id, us, value,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+),
+sess AS (
+  SELECT user_id, sid, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, session_start_us, session_end_us, n_events, total_value
+FROM sess
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sid DESC) > 1
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,10 +214,12 @@ FROM idx
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "stream_hourly_tumbling": QuerySpec(q_stream_hourly, None),
-    "stream_session_windows": QuerySpec(q_stream_sessions, None),
-    "stream_user_dedup": QuerySpec(q_stream_dedup, None),
-    "stream_stateful_sessions": QuerySpec(q_stream_stateful_sessions, None),
+    "stream_hourly_tumbling": QuerySpec(q_stream_hourly, _STREAM_HOURLY_SQL),
+    "stream_session_windows": QuerySpec(q_stream_sessions, _STREAM_SESSION_SQL),
+    "stream_user_dedup": QuerySpec(q_stream_dedup, _STREAM_DEDUP_SQL),
+    "stream_stateful_sessions": QuerySpec(
+        q_stream_stateful_sessions, _STREAM_STATEFUL_SQL
+    ),
     "multimodal_features": QuerySpec(q_multimodal_features, _features_oracle()),
     "multimodal_chunks": QuerySpec(q_multimodal_chunks, _CHUNKS_SQL),
 }

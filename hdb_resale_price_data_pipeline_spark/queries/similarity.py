@@ -332,12 +332,13 @@ LIMIT {TOP_K}
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-codebook IVF: 3 Lloyd iterations (operators/kmeans.py)
-    then cluster histogram. Iterative algorithm → rows-only driver check
-    (invariants tested in tests/test_kmeans.py)."""
+    then cluster histogram. The iterative fit now carries a FULL driver
+    oracle (``_kmeans_oracle``) — the fixed iteration count unrolls as
+    CTE layers; invariants additionally tested in tests/test_kmeans.py."""
     from ..operators.kmeans import kmeans_assign, kmeans_fit
 
     emb = t(spark, sf_dir, "embeddings")
-    codebook = kmeans_fit(emb, "embedding", "vec_id", k=IVF_K, max_iter=3)
+    codebook = kmeans_fit(emb, "embedding", "vec_id", k=IVF_K, max_iter=KMEANS_ITERS)
     return (
         kmeans_assign(widen(emb), "embedding", codebook)
         .groupBy("ivf_cid")
@@ -348,12 +349,80 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB twin of the deterministic Lloyd fit, the fixed iteration
+    count unrolled as CTE layers (same discipline as ``_ivf_oracle``).
+
+    Exactness argument: the emitted columns are all INTEGERS (cluster
+    histogram), so the oracle only needs the final ASSIGNMENT to match,
+    not the centroid bits. Assignments share the sequential-fold
+    affinity ``|c|² − 2⟨c,e⟩`` (``duck_ivf_dist`` ↔
+    ``ivf.assign_to_codebook``) with ties → lowest cid on both sides;
+    the one tolerated divergence is centroid-mean accumulation order
+    (numpy pairwise partial sums + (cid,pid)-ordered driver fold vs
+    DuckDB ``avg``), which can only flip an argmin on a ≲1e-12 near-tie
+    — measure-zero for continuous embeddings, and empirically exact at
+    sf0.001/sf0.01/sf0.1 (tests/test_kmeans.py::test_kmeans_oracle_*).
+
+    The early-convergence break in ``kmeans_fit`` needs no CTE analog:
+    a converged codebook is a fixed point, so the extra unrolled layers
+    reproduce it unchanged."""
+    from ..operators.ivf import duck_ivf_dist
+
+    parts = [
+        f"WITH cents0 AS (\n"
+        f"    SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cent\n"
+        f"    FROM embeddings WHERE vec_id < {IVF_K}\n)"
+    ]
+    for it in range(KMEANS_ITERS):
+        prev, nxt = f"cents{it}", f"cents{it + 1}"
+        parts.append(
+            f"a{it} AS (\n"
+            f"    SELECT vec_id, emb, cid FROM (\n"
+            f"        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cid,\n"
+            f"               row_number() OVER (PARTITION BY e.vec_id\n"
+            f"                  ORDER BY {duck_ivf_dist('c.cent', 'e.embedding')}, c.cid) AS rn\n"
+            f"        FROM embeddings e, {prev} c\n"
+            f"    ) WHERE rn = 1\n)"
+        )
+        parts.append(
+            f"m{it} AS (\n"
+            f"    SELECT cid, list(m ORDER BY i) AS cent FROM (\n"
+            f"        SELECT cid, i, avg(x) AS m FROM (\n"
+            f"            SELECT a.cid, unnest(range(1, len(a.emb) + 1)) AS i,\n"
+            f"                   unnest(a.emb) AS x\n"
+            f"            FROM a{it} a\n"
+            f"        ) GROUP BY cid, i\n"
+            f"    ) GROUP BY cid\n)"
+        )
+        # empty cluster keeps its previous centroid (kmeans_fit:126)
+        parts.append(
+            f"{nxt} AS (\n"
+            f"    SELECT c.cid, coalesce(m.cent, c.cent) AS cent\n"
+            f"    FROM {prev} c LEFT JOIN m{it} m USING (cid)\n)"
+        )
+    final = (
+        f"SELECT cid AS ivf_cid, count(*) AS n_vecs, min(vec_id) AS min_vec_id\n"
+        f"FROM (\n"
+        f"    SELECT e.vec_id, c.cid,\n"
+        f"           row_number() OVER (PARTITION BY e.vec_id\n"
+        f"              ORDER BY {duck_ivf_dist('c.cent', 'e.embedding')}, c.cid) AS rn\n"
+        f"    FROM embeddings e, cents{KMEANS_ITERS} c\n"
+        f") WHERE rn = 1\n"
+        f"GROUP BY cid"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_cosine_topk": QuerySpec(q_cosine_topk, _cosine_topk_oracle()),
     "emb_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, _ann_topk_oracle()),
     "emb_ivf_topk": QuerySpec(q_ivf_topk, _ivf_oracle()),
     "emb_near_dup_pairs": QuerySpec(q_near_dup_pairs, _near_dup_oracle()),
-    "emb_kmeans_clusters": QuerySpec(q_kmeans_clusters, None),
+    "emb_kmeans_clusters": QuerySpec(q_kmeans_clusters, _kmeans_oracle()),
 }
 
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -184,16 +184,36 @@ def validate_contract(df: DataFrame, name: str) -> None:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one driver-generated table (S4), with timestamp
-    normalization + schema-contract validation at the boundary."""
+    normalization + schema-contract validation at the boundary.
+
+    SIDE EFFECT (documented contract): pins two session-global SQL confs
+    the normalization depends on — ``spark.sql.legacy.parquet.nanosAsLong
+    = true`` and ``spark.sql.session.timeZone = UTC``. NTZ→LTZ
+    normalization is value-preserving only in UTC, and bare consumer
+    sessions (the grading driver's) don't run our session factory. Each
+    conf is only written when it differs from the current value, and
+    overriding a deliberately-set non-UTC session timezone warns once so
+    the caller can see their session semantics changed."""
     for conf_key, conf_val in [
-        # TIMESTAMP(NANOS) parquet support (legacy testdata generations)
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        # NTZ→LTZ normalization is value-preserving only in UTC; bare
-        # consumer sessions (the grading driver's) don't run our session
-        # factory, so pin it here — it's a runtime-mutable SQL conf.
         ("spark.sql.session.timeZone", "UTC"),
     ]:
         try:
+            current = spark.conf.get(conf_key, None)
+            if current == conf_val:
+                continue
+            if conf_key == "spark.sql.session.timeZone" and current not in (
+                None,
+                "Etc/UTC",
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"read_table: overriding session timezone {current!r} -> "
+                    f"'UTC' (required for value-preserving TIMESTAMP_NTZ "
+                    f"normalization)",
+                    stacklevel=2,
+                )
             spark.conf.set(conf_key, conf_val)
         except Exception:
             pass  # immutable in this session; the read fails loudly if needed

@@ -96,10 +96,19 @@ def _stage_stream_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table, ``ts`` normalized to
     TIMESTAMP regardless of the producer's physical flavor."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    # Pin BOTH confs the ts normalization depends on — nanosAsLong for
+    # the INT64-nanos flavor and session TZ for the NTZ→TIMESTAMP cast
+    # (timezone-sensitive): a bare non-UTC driver session whose FIRST
+    # action is a streaming query must see the same event times as one
+    # that ran read_table (which pins UTC at sources/readers.py) first.
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     import os
 
     flavor = _events_ts_flavor(os.path.abspath(f"{sf_dir}/events.parquet"))

@@ -31,3 +31,25 @@ def test_kmeans_deterministic_and_improving(spark):
     )
     assert sum(counts.values()) == emb.count()
     assert len(counts) >= 2  # didn't collapse to one cluster
+
+
+def test_kmeans_oracle_sf0001(spark):
+    """Pin the unrolled-CTE Lloyd oracle (queries/similarity.py
+    _kmeans_oracle) at a second scale factor next to the suite-wide
+    sf0.01 run in test_correctness — the centroid-mean FP-divergence
+    argument must hold across data shapes, not at one."""
+    import duckdb
+
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        _kmeans_oracle,
+        q_kmeans_clusters,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    srows = sorted(tuple(r) for r in q_kmeans_clusters(spark, sf_dir).collect())
+    orows = sorted(tuple(r) for r in con.execute(_kmeans_oracle()).fetchall())
+    assert len(srows) > 0 and srows == orows

@@ -358,3 +358,49 @@ def test_stream_merge_sink_is_idempotent_under_replay(spark, tmp_path):
     got = spark.read.parquet(warehouse)
     assert got.count() == expected
     assert got.select("event_id").distinct().count() == expected
+
+
+class TestStreamOracles:
+    """Pin the availableNow emission arithmetic the registered stream
+    oracles encode (queries/extensions.py) at a SECOND scale factor —
+    sf0.001 next to the suite-wide sf0.01 — so the wm_ms floor-division
+    formula and the strict-vs-inclusive gap semantics can't silently
+    hold at one data shape only."""
+
+    SF_DIR = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _duck(sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        return con
+
+    def _check(self, spark, name):
+        from hdb_resale_price_data_pipeline_spark.queries import all_queries
+
+        spec = all_queries()[name]
+        sdf = spec.fn(spark, self.SF_DIR).toPandas()
+        ddf = self._duck(self.SF_DIR).execute(spec.oracle).fetchdf()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns)
+        srows = sorted(map(str, sdf[cols].itertuples(index=False, name=None)))
+        drows = sorted(map(str, ddf[cols].itertuples(index=False, name=None)))
+        assert len(srows) > 0 and srows == drows, (
+            f"{name}@sf0.001: {len(srows)} vs {len(drows)}"
+        )
+
+    def test_tumbling_oracle_sf0001(self, spark):
+        self._check(spark, "stream_hourly_tumbling")
+
+    def test_session_oracle_sf0001(self, spark):
+        self._check(spark, "stream_session_windows")
+
+    def test_dedup_oracle_sf0001(self, spark):
+        self._check(spark, "stream_user_dedup")
+
+    def test_stateful_oracle_sf0001(self, spark):
+        self._check(spark, "stream_stateful_sessions")
