@@ -45,8 +45,24 @@ def _package_zip() -> str:
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
-    key = id(spark.sparkContext)
+    """Idempotently ship the package zip to executors.
+
+    Classic sessions go through ``sc.addPyFile`` (py4j gateway). Under
+    Spark Connect the client has no SparkContext, so the artifact API
+    (``spark.addArtifacts(..., pyfile=True)``) ships the same zip."""
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        sc = None  # Spark Connect client: no gateway-side context
+    if sc is not None:
+        key = id(sc)
+        if key in _SHIPPED_SESSIONS:
+            return
+        sc.addPyFile(_package_zip())
+        _SHIPPED_SESSIONS.add(key)
+        return
+    key = id(spark)
     if key in _SHIPPED_SESSIONS:
         return
-    spark.sparkContext.addPyFile(_package_zip())
+    spark.addArtifacts(_package_zip(), pyfile=True)
     _SHIPPED_SESSIONS.add(key)

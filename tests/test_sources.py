@@ -312,3 +312,68 @@ def test_export_shards_are_deterministic_and_bounded(spark, tmp_path):
     assert o1 == o2                      # reproducible permutation
     assert sorted(o1) == sorted(r.doc_id for r in docs.select("doc_id").collect())
     assert o1 != sorted(o1)              # actually shuffled
+
+
+class TestSparkConnectFallbacks:
+    """The two py4j-gateway touchpoints must work when the gateway is
+    absent (Spark Connect client): header peek via a pure-API one-row
+    text read, package shipping via the artifact API."""
+
+    class _NoGatewaySession:
+        """Proxy that hides the classic-session JVM surface: attribute
+        access mimics a Spark Connect client session (no ``_jvm``, no
+        ``sparkContext``), everything else delegates."""
+
+        def __init__(self, real, artifact_log):
+            self._real = real
+            self._artifact_log = artifact_log
+
+        def addArtifacts(self, *paths, pyfile=False):
+            self._artifact_log.append((paths, pyfile))
+
+        def __getattr__(self, name):
+            if name in ("_jvm", "_jsc", "sparkContext"):
+                raise AttributeError(name)
+            return getattr(self._real, name)
+
+    def test_header_peek_without_gateway_matches_jvm_path(self, spark, tmp_path):
+        import fixtures
+
+        from hdb_resale_price_data_pipeline_spark.sources.readers import (
+            _peek_csv_header,
+        )
+
+        csv_dir = fixtures.write_historical_csvs(str(tmp_path))
+        jvm_cols = _peek_csv_header(spark, csv_dir)
+        no_gw_cols = _peek_csv_header(
+            self._NoGatewaySession(spark, []), csv_dir
+        )
+        assert no_gw_cols == jvm_cols and len(jvm_cols) > 0
+
+    def test_csv_pipeline_without_gateway(self, spark, tmp_path):
+        import fixtures
+
+        from hdb_resale_price_data_pipeline_spark.sources.readers import (
+            read_historical_csv_dir,
+        )
+
+        csv_dir = fixtures.write_historical_csvs(str(tmp_path))
+        expected = read_historical_csv_dir(spark, csv_dir)
+        got = read_historical_csv_dir(self._NoGatewaySession(spark, []), csv_dir)
+        assert got.columns == expected.columns
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+
+    def test_shipping_uses_artifact_api_without_gateway(self, spark):
+        from hdb_resale_price_data_pipeline_spark import shipping
+
+        log = []
+        proxy = self._NoGatewaySession(spark, log)
+        shipping.ensure_package_shipped(proxy)
+        assert len(log) == 1
+        (paths, pyfile) = log[0]
+        assert pyfile is True and paths[0].endswith(".zip")
+        # idempotent per session object
+        shipping.ensure_package_shipped(proxy)
+        assert len(log) == 1

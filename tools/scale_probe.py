@@ -161,6 +161,46 @@ EMB_COPIES = 64  # 2k vecs → 128k
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
+def stage_docs_at(spark, dest: str, doc_copies: int, emb_copies: int) -> None:
+    """Parameterized staging of rotated doc/embedding replicas (see
+    ``stage_docs`` for why replicas are rotated, not verbatim)."""
+    if os.path.exists(f"{dest}/_done"):
+        return
+    for table, key, copies in (
+        ("documents", "doc_id", doc_copies),
+        ("embeddings", "vec_id", emb_copies),
+    ):
+        base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        out = base
+        for i in range(1, copies):
+            rep = base.withColumn(key, col(key) + F.lit(i * 10_000_000))
+            if table == "documents":
+                rot = i % 26
+                rep = rep.withColumn(
+                    "text",
+                    F.translate(
+                        "text",
+                        _ALPHA + _ALPHA.upper(),
+                        _ALPHA[rot:] + _ALPHA[:rot]
+                        + (_ALPHA[rot:] + _ALPHA[:rot]).upper(),
+                    ),
+                )
+            if table == "embeddings":
+                off = i % 63 + 1
+                rep = rep.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {off} + 1, "
+                        f"size(embedding) - {off}), slice(embedding, 1, {off}))"
+                    ),
+                )
+            out = out.unionByName(rep)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{dest}/{table}.parquet"
+        )
+    open(f"{dest}/_done", "w").close()
+
+
 def stage_docs(spark) -> None:
     """Replicate the sf0.1 text/embedding tables (80k docs / 128k
     vectors), laid out like an sf dir so the registered query fns run
@@ -256,6 +296,96 @@ def probe_docs(spark) -> None:
         print(f"{name}: {time.perf_counter() - t0:.2f}s ({rows:,} rows)")
 
 
+SCALING_COPIES = (1, 4, 16)  # 5k→80k docs, 2k→32k vectors (≈ sf1.6)
+
+SCALING_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_incremental",
+    "curation_report",
+    "curation_increment",
+    "emb_ivf_topk",
+    "emb_pq_topk",
+    "emb_near_dup_lsh",
+]
+
+
+def _clear_index_caches() -> None:
+    """Drop every session IndexCache so a timed run prices the BUILD,
+    not a cache probe — the build is the scale-sensitive part, and a
+    warm-cache timing would report an artificially flat exponent."""
+    from hdb_resale_price_data_pipeline_spark.queries import dedup as QD
+    from hdb_resale_price_data_pipeline_spark.queries import similarity as QS
+
+    for cache in (
+        QD._MINHASH_PAIR_CACHE,
+        QS._LSH_INDEX_CACHE,
+        QS._IVF_INDEX_CACHE,
+        QS._IVF_KM_CACHE,
+    ):
+        cache.clear()
+
+
+def probe_scaling(spark) -> None:
+    """Wall-vs-rows scaling for the scale-sensitive dedup/ANN/curation
+    queries: run each at 1×/4×/16× the sf0.1 corpus COLD (index caches
+    cleared before every timed run), fit the log-log slope, and print a
+    markdown table for BENCH_history.md. Slope ≈ 1 → linear in rows;
+    a quadratic tail shows up as slope → 2 between the last two points.
+
+    Protocol: one untimed suite pass at the smallest scale first (JIT /
+    codegen / Arrow warmup shared by all cells), then per (query, scale)
+    two cold runs, min reported (cold-vs-cold; min damps scheduler
+    noise on this ±2× box)."""
+    from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+    registry = local_queries()
+    dirs: dict[int, str] = {}
+    for c in SCALING_COPIES:
+        if c == 1:
+            dirs[c] = SF_DIR
+            continue
+        dest = f"/tmp/docs_scale_c{c}"
+        stage_docs_at(spark, dest, doc_copies=c, emb_copies=c)
+        dirs[c] = dest
+    n_docs = {
+        c: spark.read.parquet(f"{d}/documents.parquet").count()
+        for c, d in dirs.items()
+    }
+    print(f"scales: {n_docs} docs (embeddings scale identically)")
+
+    # shared warmup
+    for name in SCALING_QUERIES:
+        registry[name].fn(spark, dirs[1]).count()
+
+    import math
+
+    results: dict[str, dict[int, float]] = {}
+    for name in SCALING_QUERIES:
+        fn = registry[name].fn
+        results[name] = {}
+        for c in SCALING_COPIES:
+            runs = []
+            for _ in range(2):
+                _clear_index_caches()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, dirs[c]).count()
+                runs.append(time.perf_counter() - t0)
+            results[name][c] = min(runs)
+
+    print("\n| query | t@1x | t@4x | t@16x | slope(1→16) | slope(4→16) |")
+    print("|---|---|---|---|---|---|")
+    for name, r in results.items():
+        s_all = math.log(r[16] / r[1]) / math.log(16)
+        s_tail = math.log(r[16] / r[4]) / math.log(4)
+        print(
+            f"| {name} | {r[1]:.2f}s | {r[4]:.2f}s | {r[16]:.2f}s "
+            f"| {s_all:.2f} | {s_tail:.2f} |"
+        )
+
+
 def probe_layout(spark) -> None:
     """Layout probe at 16×: natural vs linear-sort vs z-order layouts of
     the replicated lineitem, judged by (a) fraction of row groups a 2-D
@@ -333,6 +463,10 @@ def main() -> None:
         return
     if "--docs" in sys.argv:
         probe_docs(spark)
+        spark.stop()
+        return
+    if "--scaling" in sys.argv:
+        probe_scaling(spark)
         spark.stop()
         return
     stage(spark)
