@@ -120,8 +120,12 @@ _DIM_CACHE: dict[tuple[str, str], int] = {}
 
 def session_cache_key(spark) -> str:
     """Stable per-session cache key: applicationId (unique per started
-    SparkContext) — unlike ``id()``, never reused after GC."""
-    return str(spark.sparkContext.applicationId)
+    SparkContext) — unlike ``id()``, never reused after GC. Under Spark
+    Connect the server-side app id comes from the conf instead."""
+    try:
+        return str(spark.sparkContext.applicationId)
+    except Exception:
+        return str(spark.conf.get("spark.app.id", f"session-{id(spark)}"))
 
 
 def embedding_dim(df, col_name: str = "embedding") -> int:

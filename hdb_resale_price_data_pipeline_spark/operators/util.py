@@ -16,7 +16,13 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     and this is a no-op. The round-robin shuffle it inserts is tiny
     relative to the per-row work it parallelizes.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        default_par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no client-side context
+        default_par = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    target = min_partitions or default_par
     try:
         # cheap: source-file count (a derived frame reports its scans'
         # files). Fewer files than cores → the scan is narrow. The

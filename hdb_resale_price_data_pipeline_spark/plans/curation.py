@@ -45,7 +45,7 @@ from pyspark.sql.window import Window
 from ..functions import hashing as H
 from ..operators import text as T
 from ..operators.components import connected_components
-from ..operators.decontam import doc_shingle_hashes
+from ..operators.decontam import doc_shingle_hashes  # noqa: F401 — oracle twin spec
 from ..operators.dedup import (
     minhash_band_pairs,
     verify_jaccard_pairs,
@@ -61,6 +61,24 @@ NEARDUP_THRESHOLD = 0.5
 DECONTAM_N = 5
 SPLIT_TRAIN = 80  # fingerprint % 100 < 80 → train
 SPLIT_VAL = 90  # < 90 → val, else test
+
+
+def _grams() -> Column:
+    """Distinct hashed word DECONTAM_N-grams, staged through the Arrow
+    pass (``functions.arrow_text.distinct_gram_hashes_udf``) rather than
+    the interpreted HOF expression (``decontam.doc_shingle_hashes``) —
+    value-identical (tests/test_arrow_text.py) but ~10× cheaper per row:
+    the decontam explode was the single most expensive stage of
+    curation_report (3.3s of 7.1s at sf0.1) under the interpreted form.
+    The DuckDB oracles keep using the expression spec
+    (``doc_shingle_hashes_duck``), unchanged."""
+    from ..functions.arrow_text import distinct_gram_hashes_udf
+    from ..shipping import ensure_package_shipped
+
+    active = SparkSession.getActiveSession()
+    if active is not None:  # the UDF closure needs this package on workers
+        ensure_package_shipped(active)
+    return distinct_gram_hashes_udf(DECONTAM_N)(col("text"))
 
 
 def eval_predicate() -> Column:
@@ -98,11 +116,11 @@ def curate_stages(docs: DataFrame) -> dict[str, DataFrame]:
 
     eval_grams = (
         docs.filter(eval_predicate())
-        .select(F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram"))
+        .select(F.explode(_grams()).alias("gram"))
         .distinct()
     )
     contaminated = (
-        neardup.select("doc_id", F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram"))
+        neardup.select("doc_id", F.explode(_grams()).alias("gram"))
         .join(F.broadcast(eval_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
@@ -215,13 +233,13 @@ def curation_flags(
 
     eval_grams = (
         docs.filter(eval_predicate())
-        .select(F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram"))
+        .select(F.explode(_grams()).alias("gram"))
         .distinct()
     )
     contaminated = (
         flagged.filter(col("neardup_pass"))
         .select(
-            "doc_id", F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram")
+            "doc_id", F.explode(_grams()).alias("gram")
         )
         .join(F.broadcast(eval_grams), "gram", "left_semi")
         .select("doc_id")
@@ -250,7 +268,9 @@ def increment_predicate() -> Column:
     return col("doc_id") % EVAL_MOD == INC_REMAINDER
 
 
-def curate_increment_report(docs: DataFrame) -> DataFrame:
+def curate_increment_report(
+    docs: DataFrame, verified_pairs: DataFrame | None = None
+) -> DataFrame:
     """Incremental curation: today's batch curated AGAINST the existing
     corpus — the daily shape of a crawl pipeline, where re-running
     global curation is O(corpus) but the increment plan is O(batch)
@@ -272,7 +292,16 @@ def curate_increment_report(docs: DataFrame) -> DataFrame:
     Corpus cost: three scans (exact keys, band keys, candidate token
     arrays), zero shuffles — every join broadcasts a batch-sized side.
     Same per-stage report shape as ``curation_report``.
-    """
+
+    ``verified_pairs``: the optional session-cached all-docs MinHash
+    pair list (see ``curation_flags``). Batch/corpus/eval membership is
+    pure doc_id arithmetic, so BOTH near-dup stages fall out of the
+    shared list by endpoint classification: cross drops = pairs with
+    one exact-surviving batch endpoint and one corpus endpoint; self
+    drops = pairs with two exact-surviving batch endpoints (larger id
+    drops). Value-identical to re-banding (band keys are per-doc), and
+    the warm-session increment touches the corpus ONLY for the exact-key
+    scan — the near-dup corpus scans disappear entirely."""
     eval_docs = docs.filter(eval_predicate())
     batch = docs.filter(increment_predicate()).select("doc_id", "text", "lang")
     corpus = docs.filter(~increment_predicate() & ~eval_predicate()).select(
@@ -323,52 +352,106 @@ def curate_increment_report(docs: DataFrame) -> DataFrame:
     )
 
     exact = flagged.filter(col("exact_pass")).select("doc_id", "text")
-    batch_bands = with_band_keys(
-        exact, "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS, id_col="doc_id"
-    )
-    corpus_bands = with_band_keys(
-        corpus, "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS, id_col="doc_id"
-    )
-    stack_args = ", ".join(f"{i}, band_{i}" for i in range(NEARDUP_BANDS))
-    melt = f"stack({NEARDUP_BANDS}, {stack_args}) AS (band_id, band_key)"
-    batch_melted = batch_bands.selectExpr("doc_id AS batch_id", melt)
-    corpus_melted = corpus_bands.selectExpr("doc_id AS corpus_id", melt)
-    cross_candidates = (
-        corpus_melted.join(
-            F.broadcast(batch_melted), ["band_id", "band_key"]
+    if verified_pairs is None:
+        batch_bands = with_band_keys(
+            exact, "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS, id_col="doc_id"
         )
-        .select("batch_id", "corpus_id")
-        .distinct()
-    )
-    toks = F.expr(H.distinct_tokens("text")[0])
-    corpus_toks = corpus.select(col("doc_id").alias("corpus_id"), toks.alias("c_toks"))
-    batch_toks = exact.select(col("doc_id").alias("batch_id"), toks.alias("b_toks"))
-    inter = F.size(F.array_intersect(col("b_toks"), col("c_toks"))).cast("double")
-    union = (
-        (F.size(col("b_toks")) + F.size(col("c_toks"))).cast("double") - inter
-    )
-    cross_drops = (
-        corpus_toks.join(F.broadcast(cross_candidates), "corpus_id")
-        .join(F.broadcast(batch_toks), "batch_id")
-        .filter(F.round(inter / union, 4) >= NEARDUP_THRESHOLD)
-        .select(col("batch_id").alias("doc_id"))
-        .distinct()
-        .withColumn("_cross_dup", F.lit(1))
-    )
-    self_drops = (
-        verify_jaccard_pairs(
-            minhash_band_pairs(
-                exact, "doc_id", "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS
-            ),
-            exact,
-            "doc_id",
-            "text",
-            NEARDUP_THRESHOLD,
+        corpus_bands = with_band_keys(
+            corpus, "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS, id_col="doc_id"
         )
-        .select(col("doc_b").alias("doc_id"))  # doc_a < doc_b: larger id drops
-        .distinct()
-        .withColumn("_self_dup", F.lit(1))
-    )
+        stack_args = ", ".join(f"{i}, band_{i}" for i in range(NEARDUP_BANDS))
+        melt = f"stack({NEARDUP_BANDS}, {stack_args}) AS (band_id, band_key)"
+        batch_melted = batch_bands.selectExpr("doc_id AS batch_id", melt)
+        corpus_melted = corpus_bands.selectExpr("doc_id AS corpus_id", melt)
+        cross_candidates = (
+            corpus_melted.join(
+                F.broadcast(batch_melted), ["band_id", "band_key"]
+            )
+            .select("batch_id", "corpus_id")
+            .distinct()
+        )
+        toks = F.expr(H.distinct_tokens("text")[0])
+        corpus_toks = corpus.select(col("doc_id").alias("corpus_id"), toks.alias("c_toks"))
+        batch_toks = exact.select(col("doc_id").alias("batch_id"), toks.alias("b_toks"))
+        inter = F.size(F.array_intersect(col("b_toks"), col("c_toks"))).cast("double")
+        union = (
+            (F.size(col("b_toks")) + F.size(col("c_toks"))).cast("double") - inter
+        )
+        cross_drops = (
+            corpus_toks.join(F.broadcast(cross_candidates), "corpus_id")
+            .join(F.broadcast(batch_toks), "batch_id")
+            .filter(F.round(inter / union, 4) >= NEARDUP_THRESHOLD)
+            .select(col("batch_id").alias("doc_id"))
+            .distinct()
+            .withColumn("_cross_dup", F.lit(1))
+        )
+        self_drops = (
+            verify_jaccard_pairs(
+                minhash_band_pairs(
+                    exact, "doc_id", "text", NEARDUP_SHINGLE, NEARDUP_BANDS, NEARDUP_ROWS
+                ),
+                exact,
+                "doc_id",
+                "text",
+                NEARDUP_THRESHOLD,
+            )
+            .select(col("doc_b").alias("doc_id"))  # doc_a < doc_b: larger id drops
+            .distinct()
+            .withColumn("_self_dup", F.lit(1))
+        )
+    else:
+        # Endpoint classification over the shared pair list: membership
+        # is doc_id arithmetic, so no text/banding work at all. The
+        # batch endpoint must additionally be an exact survivor — same
+        # broadcast-semi restriction discipline as curation_flags.
+        vp = verified_pairs.filter(col("jaccard") >= NEARDUP_THRESHOLD)
+        a_m, b_m = col("doc_a") % EVAL_MOD, col("doc_b") % EVAL_MOD
+
+        def _is_corpus(m: Column) -> Column:
+            return (m != 0) & (m != INC_REMAINDER)
+
+        pair_batch_ids = (
+            vp.filter(a_m == INC_REMAINDER).select(col("doc_a").alias("doc_id"))
+            .unionByName(
+                vp.filter(b_m == INC_REMAINDER).select(col("doc_b").alias("doc_id"))
+            )
+            .distinct()
+        )
+        surv = exact.select("doc_id").join(
+            F.broadcast(pair_batch_ids), "doc_id", "left_semi"
+        )
+        cross_drops = (
+            vp.withColumn(
+                "bid",
+                F.when((a_m == INC_REMAINDER) & _is_corpus(b_m), col("doc_a"))
+                .when((b_m == INC_REMAINDER) & _is_corpus(a_m), col("doc_b")),
+            )
+            .filter(col("bid").isNotNull())
+            .join(
+                F.broadcast(surv.withColumnRenamed("doc_id", "bid")),
+                "bid",
+                "left_semi",
+            )
+            .select(col("bid").alias("doc_id"))
+            .distinct()
+            .withColumn("_cross_dup", F.lit(1))
+        )
+        self_drops = (
+            vp.filter((a_m == INC_REMAINDER) & (b_m == INC_REMAINDER))
+            .join(
+                F.broadcast(surv.withColumnRenamed("doc_id", "doc_a")),
+                "doc_a",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(surv.withColumnRenamed("doc_id", "doc_b")),
+                "doc_b",
+                "left_semi",
+            )
+            .select(col("doc_b").alias("doc_id"))  # doc_a < doc_b: larger id drops
+            .distinct()
+            .withColumn("_self_dup", F.lit(1))
+        )
     flagged = (
         flagged.join(F.broadcast(cross_drops), "doc_id", "left")
         .join(F.broadcast(self_drops), "doc_id", "left")
@@ -381,13 +464,13 @@ def curate_increment_report(docs: DataFrame) -> DataFrame:
 
     eval_grams = (
         eval_docs.select(
-            F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram")
+            F.explode(_grams()).alias("gram")
         ).distinct()
     )
     contaminated = (
         flagged.filter(col("neardup_pass"))
         .select(
-            "doc_id", F.explode(doc_shingle_hashes("text", DECONTAM_N)).alias("gram")
+            "doc_id", F.explode(_grams()).alias("gram")
         )
         .join(F.broadcast(eval_grams), "gram", "left_semi")
         .select("doc_id")

@@ -118,8 +118,10 @@ _MINHASH_PAIR_CACHE = IndexCache()
 
 
 def verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import session_cache_key
+
     key = (
-        spark.sparkContext.applicationId,
+        session_cache_key(spark),
         sf_dir,
         SHINGLE_LEN,
         NUM_BANDS,
@@ -386,10 +388,19 @@ def q_curation_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental curation (plans/curation.curate_increment_report):
     today's batch curated against the existing corpus with zero corpus
     shuffles — every join broadcasts a batch-sized side."""
+    from ..plans import curation as P
     from ..plans.curation import curate_increment_report
 
+    assert (P.NEARDUP_SHINGLE, P.NEARDUP_BANDS, P.NEARDUP_ROWS) == (
+        SHINGLE_LEN,
+        NUM_BANDS,
+        ROWS_PER_BAND,
+    )
+    assert P.NEARDUP_THRESHOLD >= MINHASH_VERIFY_THRESHOLD
     docs = t(spark, sf_dir, "documents")
-    return curate_increment_report(docs)
+    return curate_increment_report(
+        docs, verified_pairs=verified_minhash_pairs(spark, sf_dir)
+    )
 
 
 def _curation_increment_oracle() -> str:

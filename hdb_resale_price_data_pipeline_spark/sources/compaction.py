@@ -42,7 +42,18 @@ class CompactionStats:
 
 def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(file_count, total_bytes) of a table directory via the Hadoop
-    FileSystem API — works for any supported scheme (file/hdfs/s3a)."""
+    FileSystem API — works for any supported scheme (file/hdfs/s3a).
+    Without a gateway (Spark Connect client) falls back to the scan's
+    own file list plus driver-local stat — local paths only, which is
+    what this maintenance utility is tested against."""
+    if getattr(spark, "_jvm", None) is None:
+        import os
+
+        files = [
+            f.removeprefix("file://")
+            for f in spark.read.parquet(path).inputFiles()
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

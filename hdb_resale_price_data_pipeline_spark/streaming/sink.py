@@ -79,9 +79,17 @@ def stream_to_day_partitioned_merge(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(jpath):  # first batch bootstraps the table
+        if getattr(spark, "_jvm", None) is not None:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            exists = fs.exists(jpath)
+        else:  # Spark Connect server-side session without gateway access
+            try:
+                spark.read.parquet(path).schema
+                exists = True
+            except Exception:
+                exists = False
+        if not exists:  # first batch bootstraps the table
             load_day_partitioned(batch_df, path, partition_col)
             return
         merge_upsert(spark, path, batch_df, key_cols, partition_col)

@@ -136,3 +136,28 @@ def test_increment_drops_corpus_near_dups(spark):
     assert report["2_exact_dedup"] == 2, report  # doc 11 dropped as exact dup
     assert report["3_near_dup"] == 1, report  # doc 21 dropped as near dup
     assert report["4_decontaminated"] == 1  # doc 31 survives
+
+
+def test_shared_pair_list_paths_equal_recompute(spark):
+    """The verified_pairs fast paths (curation_flags AND
+    curate_increment_report deriving near-dup drops from the session-
+    cached all-docs pair list) must be VALUE-IDENTICAL to the
+    re-banding paths at a second scale factor (sf0.01 is covered by the
+    oracle suite): band keys are per-doc, so endpoint restriction ≡
+    recomputation — this pins that argument against future param drift."""
+    from hdb_resale_price_data_pipeline_spark.plans.curation import (
+        curate_increment_report,
+        curation_report,
+    )
+    from hdb_resale_price_data_pipeline_spark.queries.base import t
+    from hdb_resale_price_data_pipeline_spark.queries.dedup import (
+        verified_minhash_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = t(spark, sf_dir, "documents")
+    vp = verified_minhash_pairs(spark, sf_dir)
+    for fn in (curation_report, curate_increment_report):
+        old = sorted(map(tuple, fn(docs).collect()))
+        new = sorted(map(tuple, fn(docs, verified_pairs=vp).collect()))
+        assert old == new and len(old) == 8, fn.__name__
