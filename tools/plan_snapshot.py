@@ -89,13 +89,17 @@ def plan_signature(df) -> dict[str, int]:
 
 
 def warm_index_caches(spark, sf_dir: str) -> None:
-    """Materialize the session-cached ANN indexes first: a persisted
-    frame prints a different (shorter) plan once materialized, so
-    signatures are only deterministic in the warm state — which is
-    also the steady state the caches exist to model."""
+    """Materialize the session caches first: a persisted frame prints a
+    different (shorter) plan once materialized, so signatures are only
+    deterministic in the warm state — which is also the steady state
+    the caches exist to model. Covers the ANN index caches (emb_*) and
+    the shared MinHash pair cache (dedup_minhash_lsh — consumed by the
+    curation queries too)."""
     from hdb_resale_price_data_pipeline_spark.queries import local_queries
 
-    for name, spec in sorted(local_queries().items()):
+    registry = local_queries()
+    registry["dedup_minhash_lsh"].fn(spark, sf_dir).count()
+    for name, spec in sorted(registry.items()):
         if name.startswith("emb_"):
             spec.fn(spark, sf_dir).count()
 
