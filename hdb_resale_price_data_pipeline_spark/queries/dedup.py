@@ -221,12 +221,61 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {NGRAM_THRESHOLD}
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: MinHash-LSH candidate pairs → Jaccard
     verification → connected components → duplicate clusters with a
-    canonical survivor. Iterative label propagation → rows-only driver
-    check (exactness vs a union-find model in tests/test_components.py).
-    """
+    canonical survivor. The iterative label propagation carries a FULL
+    oracle since r4 — a recursive-CTE reachability twin (exact on the
+    small verified-pair graphs, same discipline as the curation
+    oracle) on top of the union-find model test
+    (tests/test_components.py)."""
     from ..operators.components import dedup_clusters
 
     return dedup_clusters(verified_minhash_pairs(spark, sf_dir))
+
+
+def _clusters_oracle() -> str:
+    """Recursive-CTE twin of pairs → components → cluster summary."""
+    bands = H.band_keys(
+        H.shingles(H.tokens("text"), SHINGLE_LEN), NUM_BANDS, ROWS_PER_BAND
+    )
+    melted = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {i} AS band_id, {duck} AS band_key FROM documents"
+        for i, (_, duck) in enumerate(bands)
+    )
+    toks = H.distinct_tokens("text")[1]
+    return f"""
+WITH RECURSIVE melted AS (
+{melted}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM melted a
+    JOIN melted b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+), toks AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+), verified AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                     / (len(ta.toks) + len(tb.toks)
+                        - len(list_intersect(ta.toks, tb.toks))),
+                     4) AS jaccard
+        FROM cand
+        JOIN toks ta ON ta.doc_id = doc_a
+        JOIN toks tb ON tb.doc_id = doc_b
+    ) WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+), sym AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    UNION
+    SELECT doc_b, doc_a FROM verified
+), reach AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+    SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT component AS canonical_id, count(*) AS cluster_size
+FROM comp GROUP BY component
+"""
 
 
 def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,5 +570,5 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     # demoted from the driver window in favor of curation_report, which
     # exercises the same components code WITH a full oracle; still
     # union-find-verified in tests/test_components.py
-    "dedup_clusters": QuerySpec(q_dedup_clusters, None),
+    "dedup_clusters": QuerySpec(q_dedup_clusters, _clusters_oracle()),
 }

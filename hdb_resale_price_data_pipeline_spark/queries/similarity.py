@@ -372,6 +372,24 @@ def _kmeans_oracle() -> str:
     reproduce it unchanged."""
     from ..operators.ivf import duck_ivf_dist
 
+    final = (
+        f"SELECT cid AS ivf_cid, count(*) AS n_vecs, min(vec_id) AS min_vec_id\n"
+        f"FROM (\n"
+        f"    SELECT e.vec_id, c.cid,\n"
+        f"           row_number() OVER (PARTITION BY e.vec_id\n"
+        f"              ORDER BY {duck_ivf_dist('c.cent', 'e.embedding')}, c.cid) AS rn\n"
+        f"    FROM embeddings e, cents{KMEANS_ITERS} c\n"
+        f") WHERE rn = 1\n"
+        f"GROUP BY cid"
+    )
+    return _kmeans_cents_cte() + "\n" + final
+
+
+def _kmeans_cents_cte() -> str:
+    """The shared Lloyd-unroll prefix: ``WITH cents0 ... cents{ITERS}``
+    (consumed by ``_kmeans_oracle`` and ``_ivf_kmeans_oracle``)."""
+    from ..operators.ivf import duck_ivf_dist
+
     parts = [
         f"WITH cents0 AS (\n"
         f"    SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cent\n"
@@ -404,17 +422,7 @@ def _kmeans_oracle() -> str:
             f"    SELECT c.cid, coalesce(m.cent, c.cent) AS cent\n"
             f"    FROM {prev} c LEFT JOIN m{it} m USING (cid)\n)"
         )
-    final = (
-        f"SELECT cid AS ivf_cid, count(*) AS n_vecs, min(vec_id) AS min_vec_id\n"
-        f"FROM (\n"
-        f"    SELECT e.vec_id, c.cid,\n"
-        f"           row_number() OVER (PARTITION BY e.vec_id\n"
-        f"              ORDER BY {duck_ivf_dist('c.cent', 'e.embedding')}, c.cid) AS rn\n"
-        f"    FROM embeddings e, cents{KMEANS_ITERS} c\n"
-        f") WHERE rn = 1\n"
-        f"GROUP BY cid"
-    )
-    return ",\n".join(parts) + "\n" + final
+    return ",\n".join(parts)
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -484,9 +492,11 @@ def _ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a k-means-TRAINED codebook: the realistic index
     (sampled codebooks inherit density skew; trained centroids balance
-    the inverted lists). Training is iterative and driver-folded, so
-    no SQL oracle exists — rows-only driver check; recall vs the exact
-    brute-force top-k is asserted in tests/test_similarity_recall.py."""
+    the inverted lists). FULL oracle since r4 (``_ivf_kmeans_oracle``):
+    the Lloyd unroll CTE (``_kmeans_cents_cte``) feeds the probe/assign
+    tail of the sampled-codebook IVF oracle; recall vs the exact
+    brute-force top-k additionally asserted in
+    tests/test_similarity_recall.py."""
     codebook, assigned = _ivf_kmeans_index(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
     q_vec = [
@@ -513,6 +523,42 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("cosine").desc(), col("vec_id"))
         .limit(TOP_K)
     )
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Trained-codebook IVF oracle: the Lloyd-unroll prefix
+    (``_kmeans_cents_cte``) plus the sampled-IVF probe/assign/top-k
+    tail. Probe and assignment ride on computed centroids (the same
+    ≲1e-12 near-tie tolerance as ``_kmeans_oracle``); the output cosine
+    is computed between RAW embeddings with the sequential-fold parity
+    of ``_ivf_oracle``, so values hash bit-identical."""
+    from ..operators.ivf import duck_ivf_dist
+
+    cos = S.cosine("e.embedding", "q.qe")[1]
+    cents = f"cents{KMEANS_ITERS}"
+    return f"""
+{_kmeans_cents_cte()},
+q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), probe AS (
+    SELECT cid FROM (
+        SELECT c.cid, row_number() OVER (ORDER BY {duck_ivf_dist("c.cent", "q.qe")}, c.cid) AS rn
+        FROM {cents} c, q
+    ) WHERE rn <= {IVF_NPROBE}
+), assigned AS (
+    SELECT vec_id, label, embedding, cid AS ivf_cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
+        FROM embeddings e, {cents} c
+    ) WHERE rn = 1
+)
+SELECT e.vec_id AS vec_id, e.label AS label, e.ivf_cid AS ivf_cid, {cos} AS cosine
+FROM assigned e, q
+WHERE e.ivf_cid IN (SELECT cid FROM probe) AND e.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
 
 
 BATCH_QUERY_MOD = 100  # vec_id % 100 == 0 → Q queries (5 at sf0.01)
@@ -678,5 +724,5 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_label_centroids": QuerySpec(q_label_centroids, _LABEL_CENTROIDS_SQL),
     "emb_quantize": QuerySpec(q_emb_quantize, _EMB_QUANTIZE_SQL),
     "emb_batch_topk": QuerySpec(q_batch_topk, _batch_topk_oracle()),
-    "emb_ivf_kmeans_topk": QuerySpec(q_ivf_kmeans_topk, None),
+    "emb_ivf_kmeans_topk": QuerySpec(q_ivf_kmeans_topk, _ivf_kmeans_oracle()),
 }
