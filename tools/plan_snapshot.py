@@ -77,9 +77,22 @@ def _strip_cached_subtrees(plan: str) -> str:
     return "\n".join(out)
 
 
+def _drop_initial_plan(plan: str) -> str:
+    """Keep only the Final Plan section of an already-executed
+    AdaptiveSparkPlan printout. Once a query's own QueryExecution has
+    run (e.g. a correctness test called toPandas() on the same cached
+    DataFrame object), ``executedPlan().toString()`` prints BOTH
+    '== Final Plan ==' and '== Initial Plan ==' sections — every
+    operator would be counted twice, making the signature depend on
+    session history rather than plan shape."""
+    marker = "+- == Initial Plan =="
+    idx = plan.find(marker)
+    return plan if idx < 0 else plan[:idx]
+
+
 def plan_signature(df) -> dict[str, int]:
     plan = _strip_cached_subtrees(
-        df._jdf.queryExecution().executedPlan().toString()
+        _drop_initial_plan(df._jdf.queryExecution().executedPlan().toString())
     )
     return {
         key: len(re.findall(pat, plan))
