@@ -223,3 +223,95 @@ def repetition_stats(df, id_col: str, text_col: str, n: int = 2):
     return df.select(id_col, text_col).mapInPandas(
         batches, schema="doc_id long, top_gram_count long, n_grams long"
     )
+
+
+# --- C4-style corpus cleaning ------------------------------------------------
+# The line/page filter stage of C4 (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning", §2.2): keep lines that end in terminal
+# punctuation, have enough words, and don't mention javascript; drop
+# whole pages containing "lorem ipsum" or a curly brace; drop pages
+# with too few retained lines. Both sides are generated from the same
+# parameters as (spark_sql, duckdb_sql) pairs — the filter is pure
+# string/array arithmetic, map-only, no shuffle, no Python boundary.
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL = '[.!?"]$'
+C4_BAD_LINE_WORD = "javascript"
+C4_BAD_PAGE_PHRASE = "lorem ipsum"
+
+
+def c4_lines(text_sql: str) -> tuple[str, str]:
+    """Non-empty lines of a document (split on newline)."""
+    spark = f"filter(split({text_sql}, '\\n'), x -> trim(x) <> '')"
+    duck = f"list_filter(string_split({text_sql}, chr(10)), x -> trim(x) <> '')"
+    return spark, duck
+
+
+def c4_kept_lines(text_sql: str) -> tuple[str, str]:
+    """Lines surviving the C4 line rules (terminal punctuation, word
+    minimum, no javascript mention)."""
+    lines_s, lines_d = c4_lines(text_sql)
+    spark = (
+        f"filter({lines_s}, x -> x rlike '{C4_TERMINAL}'"
+        f" AND size(filter(split(trim(x), ' '), w -> w <> '')) >= {C4_MIN_WORDS_PER_LINE}"
+        f" AND NOT contains(lower(x), '{C4_BAD_LINE_WORD}'))"
+    )
+    duck = (
+        f"list_filter({lines_d}, x -> regexp_matches(x, '{C4_TERMINAL}')"
+        f" AND len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= {C4_MIN_WORDS_PER_LINE}"
+        f" AND NOT contains(lower(x), '{C4_BAD_LINE_WORD}'))"
+    )
+    return spark, duck
+
+
+def c4_page_bad(text_sql: str) -> tuple[str, str]:
+    """Page-level drop predicate: lorem ipsum or source-code braces."""
+    spark = (
+        f"(contains(lower({text_sql}), '{C4_BAD_PAGE_PHRASE}')"
+        f" OR contains({text_sql}, '{{'))"
+    )
+    duck = (
+        f"(contains(lower({text_sql}), '{C4_BAD_PAGE_PHRASE}')"
+        f" OR contains({text_sql}, '{{'))"
+    )
+    return spark, duck
+
+
+# --- Gopher-style quality rules ----------------------------------------------
+# The document-level quality ruleset of Gopher (Rae et al. 2021, §A1.1),
+# band thresholds adapted to this corpus's size range: word-count band,
+# mean-word-length band, symbol-to-word ratio, alphabetic-word fraction,
+# stopword presence. All integer-count / rounded-ratio arithmetic —
+# oracle-exact, map-only.
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_SYMBOL_WORDS = ("#", "...")
+
+
+def gopher_symbol_count(text_sql: str) -> tuple[str, str]:
+    from ..functions import hashing as H
+
+    words = ", ".join(f"'{w}'" for w in GOPHER_SYMBOL_WORDS)
+    toks_s, toks_d = H.tokens(text_sql)
+    return (
+        f"size(filter({toks_s}, x -> x IN ({words})))",
+        f"len(list_filter({toks_d}, x -> x IN ({words})))",
+    )
+
+
+def gopher_alpha_count(text_sql: str) -> tuple[str, str]:
+    """Words containing at least one ASCII letter."""
+    from ..functions import hashing as H
+
+    toks_s, toks_d = H.tokens(text_sql)
+    return (
+        f"size(filter({toks_s}, x -> x rlike '[a-z]'))",
+        f"len(list_filter({toks_d}, x -> regexp_matches(x, '[a-z]')))",
+    )

@@ -433,7 +433,161 @@ FROM documents
 """
 
 
+# --- C4-style cleaning -------------------------------------------------------
+# The corpus is single-line word salad with no punctuation, so (same
+# discipline as text_pii_redact) each document is SALTED into a
+# synthetic multi-line page built identically in both engines: good
+# sentences, a too-short line, a no-terminal-punctuation line, and
+# doc_id-conditional javascript / lorem-ipsum / curly-brace lines — so
+# every C4 rule fires on a deterministic subset and the filter output
+# carries a real value oracle.
+
+_C4_GOOD2 = "the quick brown fox jumps over the lazy dog today."
+_C4_GOOD3 = "a second well formed sentence closes out this document."
+_C4_SHORT = "too short."
+_C4_NOPUNCT = "five words but no full stop here"
+_C4_JS = "please enable javascript to view the full content here."
+_C4_LOREM = "lorem ipsum dolor sit amet consectetur adipiscing elit."
+_C4_BRACE = "function render() { return html; }"
+
+
+def _c4_salted_sql() -> str:
+    """Engine-shared page builder (valid Spark SQL and DuckDB SQL:
+    concat_ws skips NULLs, CASE without ELSE yields NULL, chr(10))."""
+    return (
+        "concat_ws(chr(10), text || '.', "
+        f"'{_C4_SHORT}', '{_C4_NOPUNCT}', "
+        f"CASE WHEN doc_id % 3 = 0 THEN '{_C4_JS}' END, "
+        f"CASE WHEN doc_id % 5 = 0 THEN '{_C4_LOREM}' END, "
+        f"CASE WHEN doc_id % 7 = 0 THEN '{_C4_BRACE}' END, "
+        f"'{_C4_GOOD2}', '{_C4_GOOD3}')"
+    )
+
+
+def q_text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning (operators/text.py C4_* rules) over salted
+    multi-line pages. Pure higher-order-function Column expressions —
+    map-only, zero shuffles, codegen-resident; at 100 TB this is a
+    scan-bound single pass."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    salted = _c4_salted_sql()
+    lines_s = T.c4_lines(salted)[0]
+    kept_s = T.c4_kept_lines(salted)[0]
+    bad_s = T.c4_page_bad(salted)[0]
+    keep = f"(NOT {bad_s} AND size({kept_s}) >= {T.C4_MIN_KEPT_LINES})"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({lines_s})").alias("n_lines"),
+        F.expr(f"size({kept_s})").alias("n_kept"),
+        F.expr(f"CAST({keep} AS INT)").alias("page_keep"),
+        F.expr(
+            f"CASE WHEN {keep} THEN array_join({kept_s}, chr(10)) END"
+        ).alias("cleaned"),
+    )
+
+
+def _c4_oracle() -> str:
+    salted = _c4_salted_sql()
+    lines_d = T.c4_lines(salted)[1]
+    kept_d = T.c4_kept_lines(salted)[1]
+    bad_d = T.c4_page_bad(salted)[1]
+    keep = f"(NOT {bad_d} AND len({kept_d}) >= {T.C4_MIN_KEPT_LINES})"
+    return f"""
+SELECT doc_id,
+       CAST(len({lines_d}) AS INT) AS n_lines,
+       CAST(len({kept_d}) AS INT) AS n_kept,
+       CAST({keep} AS INT) AS page_keep,
+       CASE WHEN {keep} THEN array_to_string({kept_d}, chr(10)) END AS cleaned
+FROM documents
+"""
+
+
+# --- Gopher-style quality rules ----------------------------------------------
+# Symbol/number salt varies the symbol-ratio and alphabetic-word
+# fraction across documents (the raw corpus contains neither symbols
+# nor digits, so those rules would be constant without it).
+
+_GOPHER_NUM_SALT = "404 500 301 202 100 999 123 456 789 000"
+
+
+def _gopher_salted_sql() -> str:
+    return (
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' # # ...' "
+        "WHEN doc_id % 3 = 1 THEN ' #' ELSE '' END || "
+        f"CASE WHEN doc_id % 11 = 0 THEN ' {_GOPHER_NUM_SALT}' ELSE '' END"
+    )
+
+
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality ruleset (operators/text.py GOPHER_*):
+    word-count band, mean-word-length band, symbol ratio, alphabetic
+    fraction, stopword presence → keep flag. Map-only, codegen."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    salted = _gopher_salted_sql()
+    n_words = f"size({H.tokens(salted)[0]})"
+    mean_len = (
+        f"round(aggregate(transform({H.tokens(salted)[0]}, x -> length(x)), 0, "
+        f"(acc, x) -> acc + x) / CAST({n_words} AS DOUBLE), 4)"
+    )
+    n_sym = T.gopher_symbol_count(salted)[0]
+    n_alpha = T.gopher_alpha_count(salted)[0]
+    sym_ratio = f"round({n_sym} / CAST({n_words} AS DOUBLE), 4)"
+    alpha_frac = f"round({n_alpha} / CAST({n_words} AS DOUBLE), 4)"
+    sw = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+    n_stop = f"size(filter({H.tokens(salted)[0]}, x -> x IN ({sw})))"
+    keep = (
+        f"({n_words} BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS}"
+        f" AND {mean_len} BETWEEN {T.GOPHER_MIN_MEAN_WORD_LEN} AND {T.GOPHER_MAX_MEAN_WORD_LEN}"
+        f" AND {sym_ratio} <= {T.GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {alpha_frac} >= {T.GOPHER_MIN_ALPHA_FRAC}"
+        f" AND {n_stop} >= {T.GOPHER_MIN_STOPWORDS})"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(n_words).alias("n_words"),
+        F.expr(mean_len).alias("mean_word_len"),
+        F.expr(sym_ratio).alias("symbol_ratio"),
+        F.expr(alpha_frac).alias("alpha_frac"),
+        F.expr(n_stop).alias("n_stopwords"),
+        F.expr(f"CAST({keep} AS INT)").alias("keep"),
+    )
+
+
+def _gopher_oracle() -> str:
+    salted = _gopher_salted_sql()
+    toks = H.tokens(salted)[1]
+    n_words = f"len({toks})"
+    mean_len = (
+        f"round(list_reduce(list_prepend(0, list_transform({toks}, "
+        f"x -> length(x))), (acc, x) -> acc + x) / CAST({n_words} AS DOUBLE), 4)"
+    )
+    n_sym = T.gopher_symbol_count(salted)[1]
+    n_alpha = T.gopher_alpha_count(salted)[1]
+    sym_ratio = f"round({n_sym} / CAST({n_words} AS DOUBLE), 4)"
+    alpha_frac = f"round({n_alpha} / CAST({n_words} AS DOUBLE), 4)"
+    n_stop = T.stopword_count_duck(salted, "en")
+    keep = (
+        f"({n_words} BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS}"
+        f" AND {mean_len} BETWEEN {T.GOPHER_MIN_MEAN_WORD_LEN} AND {T.GOPHER_MAX_MEAN_WORD_LEN}"
+        f" AND {sym_ratio} <= {T.GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {alpha_frac} >= {T.GOPHER_MIN_ALPHA_FRAC}"
+        f" AND {n_stop} >= {T.GOPHER_MIN_STOPWORDS})"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({n_words} AS INT) AS n_words,
+       {mean_len} AS mean_word_len,
+       {sym_ratio} AS symbol_ratio,
+       {alpha_frac} AS alpha_frac,
+       CAST({n_stop} AS INT) AS n_stopwords,
+       CAST({keep} AS INT) AS keep
+FROM documents
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "text_c4_filter": QuerySpec(q_text_c4_filter, _c4_oracle()),
+    "text_gopher_quality": QuerySpec(q_text_gopher_quality, _gopher_oracle()),
     "text_pii_redact": QuerySpec(q_text_pii_redact, _pii_oracle()),
     "text_domain_mix": QuerySpec(q_text_domain_mix, _TEXT_DOMAIN_MIX_SQL),
     "text_stats": QuerySpec(q_text_stats, _TEXT_STATS_SQL),
