@@ -714,10 +714,104 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.35  # same similarity scale as NEAR_DUP_COSINE
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup"):
+    cluster the embedding space, prune near-duplicate vectors WITHIN
+    clusters, keep the lowest-id representative of each near-dup star.
+
+    Composition of two cached indexes: the trained k-means assignment
+    (``_IVF_KM_CACHE`` — the SemDeDup cluster step) co-blocked with the
+    hyperplane LSH bucket, so the quadratic pair term is bounded by
+    |cluster ∩ bucket| (expected n/(K·2^planes)) — at 100 TB the
+    (ivf_cid, bucket) composite is the one shuffle key and no
+    all-pairs term exists. A vector is dropped iff some lower-id
+    co-blocked vector is ≥ τ cosine-similar. Output: per-cluster
+    survivor accounting (all-integer — robust cross-engine oracle on
+    top of the Lloyd-unroll CTE)."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    codebook, assigned = _ivf_kmeans_index(spark, sf_dir)
+    dim = S.embedding_dim(t(spark, sf_dir, "embeddings"))
+    base = assigned.withColumn(
+        "bucket", S.hyperplane_bucket_expr("embedding", N_PLANES, dim)
+    ).select("vec_id", "ivf_cid", "bucket", "embedding")
+    a = base.alias("a")
+    b = base.alias("b")
+    pair_cos = S.pair_cosine_udf()
+    dups = (
+        a.join(
+            b,
+            (col("a.ivf_cid") == col("b.ivf_cid"))
+            & (col("a.bucket") == col("b.bucket"))
+            & (col("a.vec_id") < col("b.vec_id")),
+        )
+        .select(
+            col("b.vec_id").alias("vec_id"),
+            F.round(pair_cos(col("a.embedding"), col("b.embedding")), 6).alias("cosine"),
+        )
+        .filter(col("cosine") >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .groupBy("ivf_cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(col("is_dup")).alias("n_dups"),
+            F.min(F.when(col("is_dup").isNull(), col("vec_id"))).alias(
+                "min_kept_vec_id"
+            ),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    """Lloyd-unroll assignment CTE + bucket co-blocking + pair prune.
+    Same float disciplines as the neighbours: assignment distance via
+    ``duck_ivf_dist`` sequential fold, pair cosine via ``S.cosine``
+    rounded to 6; every emitted column is an integer."""
+    from ..operators.ivf import duck_ivf_dist
+
+    bucket = S.hyperplane_bucket("embedding", N_PLANES)[1]
+    cos = S.cosine("a.embedding", "b.embedding")[1]
+    return f"""
+{_kmeans_cents_cte()},
+assigned AS (
+    SELECT vec_id, embedding, cid AS ivf_cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
+        FROM embeddings e, cents{KMEANS_ITERS} c
+    ) WHERE rn = 1
+), bucketed AS (
+    SELECT vec_id, ivf_cid, embedding, {bucket} AS bucket FROM assigned
+), dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM bucketed a
+    JOIN bucketed b ON a.ivf_cid = b.ivf_cid AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+    WHERE {cos} >= {SEMDEDUP_TAU}
+)
+SELECT a.ivf_cid AS ivf_cid,
+       count(*) AS n_vecs,
+       count(d.vec_id) AS n_dups,
+       min(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS min_kept_vec_id
+FROM assigned a LEFT JOIN dups d USING (vec_id)
+GROUP BY a.ivf_cid
+"""
+
+
 # Not driver-registered: emb_ann_lsh_topk exercises the same bucketing
 # expression end-to-end, and label centroids are the same posexplode +
 # group-reduction shape as kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "emb_semdedup": QuerySpec(q_emb_semdedup, _semdedup_oracle()),
     "emb_pq_topk": QuerySpec(q_pq_topk, None),
     "emb_near_dup_lsh": QuerySpec(q_near_dup_lsh, _near_dup_lsh_oracle()),
     "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),
