@@ -35,6 +35,10 @@ EXTRA_LOCAL_QUERIES = [
     "emb_near_dup_lsh",
     "emb_ivf_kmeans_topk",
     "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "emb_semdedup",
+    "text_c4_filter",
+    "text_gopher_quality",
     "emb_quantize",
     "text_pack_sequences",
     "events_daily_rollup",

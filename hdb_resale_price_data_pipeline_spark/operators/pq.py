@@ -26,9 +26,13 @@ per-candidate float math at all. The Spark shape:
   locally; at scale the re-rank joins codes→vectors by id against the
   vector store).
 
-PQ distances are approximations — there is no SQL oracle; quality is
-gated by recall-vs-brute-force tests (tests/test_similarity_recall.py),
-the same contract as the trained-IVF index.
+PQ distances are approximations of TRUE distances, but the pipeline
+itself is deterministic: every accumulation below walks dimensions in
+index order (the same IEEE op sequence as ``ivf.assign_to_codebook``
+and the DuckDB ``list_reduce`` folds), so the whole encode → LUT → ADC
+→ re-rank chain carries an exact SQL oracle built from the generalized
+Lloyd-unroll CTE (queries/similarity._pq_oracle); recall vs brute force
+is additionally gated in tests/test_similarity_recall.py.
 """
 
 from __future__ import annotations
@@ -87,6 +91,10 @@ def pq_encode(
     m = len(cents)
     sub = len(cents[0][0])
 
+    from .ivf import _sq_norm
+
+    sq_norms = [[_sq_norm(c) for c in cb] for cb in cents]
+
     @pandas_udf("array<int>")
     def _encode(emb: pd.Series) -> pd.Series:
         import numpy as np
@@ -94,30 +102,46 @@ def pq_encode(
         if len(emb) == 0:
             return pd.Series([], dtype=object)
         mat = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
-        codes = np.empty((mat.shape[0], m), dtype="int32")
+        n = mat.shape[0]
+        codes = np.empty((n, m), dtype="int32")
         for i in range(m):
-            c = np.asarray(cents[i])  # ksub × sub
             e = mat[:, i * sub : (i + 1) * sub]  # n × sub
-            # |e−c|² argmin ≡ (|c|² − 2⟨e,c⟩) argmin
-            d = (c * c).sum(axis=1)[None, :] - 2.0 * (e @ c.T)
-            codes[:, i] = d.argmin(axis=1)
+            # |e−c|² argmin ≡ (|c|² − 2⟨e,c⟩) argmin, dot walked in
+            # dimension order (same IEEE op sequence as the oracle's
+            # list_reduce fold; ties → lowest code, like row_number)
+            best_d = np.full(n, np.inf)
+            best_j = np.zeros(n, dtype="int32")
+            for j, cent in enumerate(cents[i]):
+                acc = e[:, 0] * cent[0]
+                for dd in range(1, sub):
+                    acc = acc + e[:, dd] * cent[dd]
+                d = sq_norms[i][j] - 2.0 * acc
+                take = d < best_d
+                best_d = np.where(take, d, best_d)
+                best_j = np.where(take, np.int32(j), best_j).astype("int32")
+            codes[:, i] = best_j
         return pd.Series(list(codes))
 
     return df.withColumn("pq_code", _encode(col(emb_col)))
 
 
 def adc_lut(q_vec: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
-    """Per-query lookup table: LUT[m][j] = |q_sub(m) − c_mj|²."""
-    import numpy as np
-
+    """Per-query lookup table: LUT[m][j] = |q_sub(m) − c_mj|², each
+    entry a sequential dimension-order fold (oracle IEEE parity)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    q = np.asarray([float(v) for v in q_vec])
+    q = [float(v) for v in q_vec]
     lut = []
     for i in range(m):
-        c = np.asarray(codebooks[i])
-        diff = c - q[i * sub : (i + 1) * sub][None, :]
-        lut.append((diff * diff).sum(axis=1).tolist())
+        qs = q[i * sub : (i + 1) * sub]
+        row = []
+        for cent in codebooks[i]:
+            acc = 0.0
+            for dd in range(sub):
+                diff = float(cent[dd]) - qs[dd]
+                acc = acc + diff * diff
+            row.append(acc)
+        lut.append(row)
     return lut
 
 
@@ -138,7 +162,11 @@ def adc_score(encoded: DataFrame, lut: list[list[float]]) -> DataFrame:
             return pd.Series([], dtype="float64")
         lut_m = np.asarray(table)  # M × ksub
         cm = np.stack(codes.to_numpy()).astype("int64")  # n × M
-        scores = lut_m[np.arange(lut_m.shape[0])[None, :], cm].sum(axis=1)
+        # subspaces accumulated in index order — the oracle sums the
+        # M lut terms left-associatively in the same order
+        scores = lut_m[0][cm[:, 0]]
+        for i in range(1, lut_m.shape[0]):
+            scores = scores + lut_m[i][cm[:, i]]
         return pd.Series(scores)
 
     return encoded.withColumn("adc_dist", _score(col("pq_code")))

@@ -385,34 +385,41 @@ def _kmeans_oracle() -> str:
     return _kmeans_cents_cte() + "\n" + final
 
 
-def _kmeans_cents_cte() -> str:
-    """The shared Lloyd-unroll prefix: ``WITH cents0 ... cents{ITERS}``
-    (consumed by ``_kmeans_oracle`` and ``_ivf_kmeans_oracle``)."""
+def _lloyd_cte_defs(
+    src: str, emb_sql: str, k: int, iters: int, prefix: str
+) -> str:
+    """Comma-joined CTE definitions ``{prefix}0 .. {prefix}{iters}``
+    unrolling a deterministic ``kmeans_fit(src.emb_sql, k, iters)``:
+    init = the first ``k`` vec_ids' vectors (cid = vec_id), assignment
+    via the sequential-fold affinity (``duck_ivf_dist``) with ties →
+    lowest cid, empty clusters keep their previous centroid. The
+    generalization lets one oracle unroll MANY fits (PQ trains one per
+    subspace over a sliced embedding expression)."""
     from ..operators.ivf import duck_ivf_dist
 
     parts = [
-        f"WITH cents0 AS (\n"
-        f"    SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cent\n"
-        f"    FROM embeddings WHERE vec_id < {IVF_K}\n)"
+        f"{prefix}0 AS (\n"
+        f"    SELECT CAST(e.vec_id AS INT) AS cid, CAST({emb_sql} AS DOUBLE[]) AS cent\n"
+        f"    FROM {src} e WHERE e.vec_id < {k}\n)"
     ]
-    for it in range(KMEANS_ITERS):
-        prev, nxt = f"cents{it}", f"cents{it + 1}"
+    for it in range(iters):
+        prev, nxt = f"{prefix}{it}", f"{prefix}{it + 1}"
         parts.append(
-            f"a{it} AS (\n"
+            f"{prefix}_a{it} AS (\n"
             f"    SELECT vec_id, emb, cid FROM (\n"
-            f"        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cid,\n"
+            f"        SELECT e.vec_id, CAST({emb_sql} AS DOUBLE[]) AS emb, c.cid,\n"
             f"               row_number() OVER (PARTITION BY e.vec_id\n"
-            f"                  ORDER BY {duck_ivf_dist('c.cent', 'e.embedding')}, c.cid) AS rn\n"
-            f"        FROM embeddings e, {prev} c\n"
+            f"                  ORDER BY {duck_ivf_dist('c.cent', emb_sql)}, c.cid) AS rn\n"
+            f"        FROM {src} e, {prev} c\n"
             f"    ) WHERE rn = 1\n)"
         )
         parts.append(
-            f"m{it} AS (\n"
+            f"{prefix}_m{it} AS (\n"
             f"    SELECT cid, list(m ORDER BY i) AS cent FROM (\n"
             f"        SELECT cid, i, avg(x) AS m FROM (\n"
             f"            SELECT a.cid, unnest(range(1, len(a.emb) + 1)) AS i,\n"
             f"                   unnest(a.emb) AS x\n"
-            f"            FROM a{it} a\n"
+            f"            FROM {prefix}_a{it} a\n"
             f"        ) GROUP BY cid, i\n"
             f"    ) GROUP BY cid\n)"
         )
@@ -420,9 +427,18 @@ def _kmeans_cents_cte() -> str:
         parts.append(
             f"{nxt} AS (\n"
             f"    SELECT c.cid, coalesce(m.cent, c.cent) AS cent\n"
-            f"    FROM {prev} c LEFT JOIN m{it} m USING (cid)\n)"
+            f"    FROM {prev} c LEFT JOIN {prefix}_m{it} m USING (cid)\n)"
         )
     return ",\n".join(parts)
+
+
+def _kmeans_cents_cte() -> str:
+    """The shared Lloyd-unroll prefix: ``WITH cents0 ... cents{ITERS}``
+    (consumed by ``_kmeans_oracle``, ``_ivf_kmeans_oracle``,
+    ``_semdedup_oracle``)."""
+    return "WITH " + _lloyd_cte_defs(
+        "embeddings", "e.embedding", IVF_K, KMEANS_ITERS, "cents"
+    )
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -668,6 +684,12 @@ WHERE {cos} >= {NEAR_DUP_COSINE}
 PQ_M = 8
 PQ_KSUB = 16
 PQ_REFINE = 4
+PQ_ITERS = 2
+# The oracle needs a static embedding dim to write subspace slices; the
+# driver testdata is 64-dim at every SF (the Spark side still derives
+# dim from the data, so non-64 corpora work — they just aren't what the
+# static oracle describes).
+PQ_EMB_DIM = 64
 
 # PQ index cache: same (applicationId, sf_dir) build/probe split as the
 # IVF caches. The build trains M per-subspace codebooks and encodes the
@@ -683,7 +705,9 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
     if hit is not None:
         return hit
     emb = t(spark, sf_dir, "embeddings")
-    codebooks = P.pq_train(emb, "embedding", "vec_id", m=PQ_M, ksub=PQ_KSUB, max_iter=2)
+    codebooks = P.pq_train(
+        emb, "embedding", "vec_id", m=PQ_M, ksub=PQ_KSUB, max_iter=PQ_ITERS
+    )
     encoded = P.pq_encode(widen(emb), "embedding", codebooks).persist()
     return _PQ_INDEX_CACHE.put(key, (codebooks, encoded))
 
@@ -712,6 +736,175 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         refine_factor=PQ_REFINE,
     )
+
+
+def _pq_defs_and_tail(extra_filter: str = "") -> tuple[str, str]:
+    """Shared PQ oracle machinery: (cte_defs, adc_cte) where cte_defs
+    unrolls the M per-subspace Lloyd fits (``_lloyd_cte_defs`` with a
+    sliced embedding expression), the per-vector code assignments, and
+    the per-query squared-distance LUTs; adc_cte sums the M LUT terms
+    left-associatively — the exact op order of ``operators.pq``'s
+    sequential accumulations. ``extra_filter`` restricts the scored
+    candidate set (IVF-PQ adds the probed-list predicate)."""
+    from ..operators.ivf import duck_ivf_dist
+
+    sub = PQ_EMB_DIM // PQ_M
+    defs, code_joins, lut_terms = [], [], []
+    for m in range(PQ_M):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        sl = f"e.embedding[{lo}:{hi}]"
+        defs.append(_lloyd_cte_defs("embeddings", sl, PQ_KSUB, PQ_ITERS, f"p{m}c"))
+        cents = f"p{m}c{PQ_ITERS}"
+        defs.append(
+            f"code{m} AS (\n"
+            f"    SELECT vec_id, cid FROM (\n"
+            f"        SELECT e.vec_id, c.cid,\n"
+            f"               row_number() OVER (PARTITION BY e.vec_id\n"
+            f"                  ORDER BY {duck_ivf_dist('c.cent', sl)}, c.cid) AS rn\n"
+            f"        FROM embeddings e, {cents} c\n"
+            f"    ) WHERE rn = 1\n)"
+        )
+        sq = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[(c.cent[i] - CAST((q.qe)[{m * sub} + i] AS DOUBLE)) * "
+            f"(c.cent[i] - CAST((q.qe)[{m * sub} + i] AS DOUBLE)) "
+            f"for i in range(1, {sub} + 1)]), (acc, x) -> acc + x)"
+        )
+        defs.append(f"lut{m} AS (\n    SELECT c.cid, {sq} AS d FROM {cents} c, q\n)")
+        code_joins.append(
+            f"JOIN code{m} c{m} ON c{m}.vec_id = e.vec_id "
+            f"JOIN lut{m} l{m} ON l{m}.cid = c{m}.cid"
+        )
+        lut_terms.append(f"l{m}.d")
+    adc = (
+        f"adc AS (\n"
+        f"    SELECT e.vec_id, e.label, e.embedding, ({' + '.join(lut_terms)}) AS adc_dist\n"
+        f"    FROM embeddings e\n    " + "\n    ".join(code_joins) + "\n"
+        f"    WHERE e.vec_id != {QUERY_VEC_ID}{extra_filter}\n)"
+    )
+    return ",\n".join(defs), adc
+
+
+def _pq_oracle() -> str:
+    """Exact oracle of the full PQ pipeline: M Lloyd-unroll CTEs →
+    code assignment → ADC LUT scoring → refine_factor×k shortlist →
+    exact-cosine re-rank. Float disciplines: assignment/LUT/ADC are
+    sequential dimension-order folds matching ``operators.pq``
+    bit-for-bit; shortlist and final order break float ties by vec_id;
+    the emitted cosine uses the standard sequential-fold parity."""
+    defs, adc = _pq_defs_and_tail()
+    cos = S.cosine("s.embedding", "q.qe")[1]
+    return f"""
+WITH q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+{defs},
+{adc},
+shortlist AS (
+    SELECT vec_id, label, embedding FROM adc
+    ORDER BY adc_dist, vec_id LIMIT {PQ_REFINE * TOP_K}
+)
+SELECT s.vec_id AS vec_id, s.label AS label, {cos} AS cosine
+FROM shortlist s, q
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+# --- IVF-PQ: the production ANN composition ---------------------------------
+# IVF prunes WHICH vectors get scored (probed inverted lists); PQ
+# shrinks WHAT a score costs (ADC over 4-byte codes). The index frame
+# carries (vec_id, ivf_cid, pq_code): at 100 TB the probed-list filter
+# is a partition-prunable predicate on the list id and the scan reads
+# codes only — the raw vectors are touched for the final
+# refine_factor×k re-rank alone.
+_IVFPQ_CACHE = IndexCache()
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    from ..operators import pq as P
+
+    key = (S.session_cache_key(spark), sf_dir, IVF_K, PQ_M, PQ_KSUB)
+    hit = _IVFPQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    coarse, assigned = _ivf_kmeans_index(spark, sf_dir)
+    pq_cbs, _ = _pq_index(spark, sf_dir)
+    encoded = P.pq_encode(assigned, "embedding", pq_cbs).persist()
+    return _IVFPQ_CACHE.put(key, (coarse, pq_cbs, encoded))
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (Jégou et al. 2011's IVFADC serving shape): probe
+    the IVF_NPROBE nearest trained-k-means lists, ADC-score only their
+    members, re-rank the shortlist with exact cosine. Composes the two
+    cached indexes; full oracle = coarse Lloyd CTE ∘ PQ pipeline CTE."""
+    from ..operators.pq import pq_topk_refined
+
+    coarse, pq_cbs, encoded = _ivfpq_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    q_vec = [
+        float(v)
+        for v in emb.filter(col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    probe_ids = _probe_ids(coarse, q_vec, IVF_NPROBE)
+    return pq_topk_refined(
+        encoded.filter(
+            col("ivf_cid").isin(probe_ids) & (col("vec_id") != QUERY_VEC_ID)
+        ),
+        q_vec,
+        pq_cbs,
+        k=TOP_K,
+        refine_factor=PQ_REFINE,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """Coarse probe/assign CTEs (``_kmeans_cents_cte`` tail, as in
+    ``_ivfpq_oracle``'s Spark twin) composed with the PQ pipeline
+    restricted to the probed lists."""
+    from ..operators.ivf import duck_ivf_dist
+
+    cents = f"cents{KMEANS_ITERS}"
+    restrict = (
+        " AND e.vec_id IN (SELECT vec_id FROM coarse_assigned "
+        "WHERE ivf_cid IN (SELECT cid FROM probe))"
+    )
+    defs, adc = _pq_defs_and_tail(restrict)
+    cos = S.cosine("s.embedding", "q.qe")[1]
+    return f"""
+{_kmeans_cents_cte()},
+q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+probe AS (
+    SELECT cid FROM (
+        SELECT c.cid, row_number() OVER (ORDER BY {duck_ivf_dist("c.cent", "q.qe")}, c.cid) AS rn
+        FROM {cents} c, q
+    ) WHERE rn <= {IVF_NPROBE}
+),
+coarse_assigned AS (
+    SELECT vec_id, cid AS ivf_cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
+        FROM embeddings e, {cents} c
+    ) WHERE rn = 1
+),
+{defs},
+{adc},
+shortlist AS (
+    SELECT vec_id, label, embedding FROM adc
+    ORDER BY adc_dist, vec_id LIMIT {PQ_REFINE * TOP_K}
+)
+SELECT s.vec_id AS vec_id, s.label AS label, {cos} AS cosine
+FROM shortlist s, q
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
 
 
 SEMDEDUP_TAU = 0.35  # same similarity scale as NEAR_DUP_COSINE
@@ -812,7 +1005,8 @@ GROUP BY a.ivf_cid
 # group-reduction shape as kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_semdedup": QuerySpec(q_emb_semdedup, _semdedup_oracle()),
-    "emb_pq_topk": QuerySpec(q_pq_topk, None),
+    "emb_pq_topk": QuerySpec(q_pq_topk, _pq_oracle()),
+    "emb_ivfpq_topk": QuerySpec(q_ivfpq_topk, _ivfpq_oracle()),
     "emb_near_dup_lsh": QuerySpec(q_near_dup_lsh, _near_dup_lsh_oracle()),
     "emb_ann_lsh_buckets": QuerySpec(q_ann_lsh_buckets, _ann_buckets_oracle()),
     "emb_label_centroids": QuerySpec(q_label_centroids, _LABEL_CENTROIDS_SQL),
