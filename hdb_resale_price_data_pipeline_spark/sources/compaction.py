@@ -125,3 +125,95 @@ def compact_parquet(
 
     out_files, out_bytes = _dir_stats(spark, out_path)
     return CompactionStats(in_files, in_bytes, out_files, out_bytes)
+
+
+def compact_partitions_inplace(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    max_files_per_partition: int = 1,
+    target_file_bytes: int = 128 << 20,
+    inflation: float = 2.0,
+) -> dict:
+    """Incremental in-place compaction for a hive-layout table: rewrite
+    ONLY the partitions whose file count exceeds their byte-budget
+    (``max(max_files_per_partition, ceil(bytes/target))``), each via
+    dynamic partition overwrite.
+
+    This is the steady-state maintenance shape for the append-forever
+    warehouse (``load_day_partitioned``): yesterday's hot partition
+    collects micro-batch debris, historical partitions are already
+    compact — the rewrite reads a partition-pruned scan of the
+    oversized partitions only and costs O(fragmented partitions), not
+    O(table). Dynamic overwrite keeps it idempotent (a crashed run
+    re-runs) and leaves untouched partitions byte-identical for
+    concurrent readers. The per-partition inventory rides the
+    ``_metadata`` hidden column: no filesystem gateway, Spark-Connect
+    safe, footer-sized reads, and the collect is catalog-sized (one row
+    per partition), never data-sized."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    inv = (
+        spark.read.parquet(root)
+        .select(
+            col(partition_col).alias("_part"),
+            col("_metadata.file_path").alias("_file"),
+            col("_metadata.file_size").alias("_size"),
+        )
+        .distinct()
+        .groupBy("_part")
+        .agg(F.count(F.lit(1)).alias("files"), F.sum("_size").alias("bytes"))
+        .collect()
+    )
+    oversized = [
+        r["_part"]
+        for r in inv
+        if r["files"]
+        > max(
+            max_files_per_partition,
+            math.ceil(int(r["bytes"]) / target_file_bytes),
+        )
+    ]
+    if oversized:
+        advisory = max(1 << 16, int(target_file_bytes * inflation))
+        prev = {
+            "spark.sql.sources.partitionOverwriteMode": spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            ),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+            ),
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB"
+            ),
+        }
+        try:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(advisory)
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                str(min(advisory, 1 << 20)),
+            )
+            (
+                spark.read.parquet(root)
+                .filter(col(partition_col).isin(oversized))
+                .hint("rebalance", partition_col)
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(root)
+            )
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+    return {
+        "partitions": len(inv),
+        "rewritten": len(oversized),
+        "files_before": sum(int(r["files"]) for r in inv),
+    }

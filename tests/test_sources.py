@@ -377,3 +377,52 @@ class TestSparkConnectFallbacks:
         # idempotent per session object
         shipping.ensure_package_shipped(proxy)
         assert len(log) == 1
+
+
+def test_inplace_compaction_touches_only_oversized_partitions(spark, tmp_path):
+    """The steady-state maintenance shape: one hot partition fragments,
+    in-place compaction rewrites ONLY it (untouched partition files
+    keep their paths), values survive, and a re-run is a no-op."""
+    from hdb_resale_price_data_pipeline_spark.sources.compaction import (
+        compact_partitions_inplace,
+    )
+
+    root = str(tmp_path / "warehouse")
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    # historical partitions: compact (1 file each)
+    docs.filter("lang <> 'en'").repartition(1).write.partitionBy("lang").parquet(root)
+    # hot partition: micro-batch debris (16 slivers)
+    docs.filter("lang = 'en'").repartition(16).write.mode("append").partitionBy(
+        "lang"
+    ).parquet(root)
+
+    def files_by_part():
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("lang="):
+                out[d] = sorted(
+                    f
+                    for f in os.listdir(os.path.join(root, d))
+                    if not f.startswith(("_", "."))
+                )
+        return out
+
+    before = files_by_part()
+    assert len(before["lang=en"]) == 16
+
+    stats = compact_partitions_inplace(spark, root, "lang")
+    assert stats["rewritten"] == 1
+    after = files_by_part()
+    assert len(after["lang=en"]) == 1
+    for part, files in before.items():  # untouched partitions keep their files
+        if part != "lang=en":
+            assert after[part] == files
+
+    got = spark.read.parquet(root)
+    assert got.count() == docs.count()
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+    again = compact_partitions_inplace(spark, root, "lang")
+    assert again["rewritten"] == 0  # steady state: nothing to do
