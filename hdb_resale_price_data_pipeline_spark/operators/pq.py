@@ -55,28 +55,111 @@ def pq_train(
     """Train M per-subspace codebooks; returns ``codebooks[m][j] ->
     centroid (D/M floats)``.
 
-    Each subspace is a ``kmeans_fit`` over a sliced column — M small
-    deterministic Lloyd fits. Dim must divide evenly by ``m``. At real
-    scale you fit on a sample (PQ codebooks need ~100k vectors, not the
-    corpus); the fit dataflow is already the shuffle-free partial-sums
-    shape, so sampling is a ``.sample()`` away.
+    All M Lloyd fits run JOINTLY: each iteration is ONE shuffle-free
+    ``mapInPandas`` pass that assigns and partial-sums every subspace
+    at once (M×ksub×P tiny partial rows to the driver), instead of M
+    independent fits each paying its own corpus scans — at 100 TB that
+    is max_iter passes over the data rather than M×max_iter. The
+    arithmetic is bit-identical to M separate ``kmeans_fit`` calls:
+    same first-ksub init, same dimension-ordered affinity walk per
+    subspace, same (cid, pid)-ordered driver fold, and converged
+    subspaces are Lloyd fixed points so running the remaining
+    iterations reproduces them unchanged. At real scale you fit on a
+    sample (PQ codebooks need ~100k vectors, not the corpus); the fit
+    dataflow is already the shuffle-free partial-sums shape, so
+    sampling is a ``.sample()`` away.
     """
-    from .kmeans import kmeans_fit
+    from ..shipping import ensure_package_shipped
+    from .ivf import _sq_norm
     from .similarity import embedding_dim
 
+    ensure_package_shipped(df.sparkSession)
     dim = embedding_dim(df, emb_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    codebooks: list[list[list[float]]] = []
-    for i in range(m):
-        sliced = df.select(
-            col(id_col),
-            F.expr(f"slice({emb_col}, {i * sub + 1}, {sub})").alias("_sub"),
-        )
-        cb = kmeans_fit(sliced, "_sub", id_col, k=ksub, max_iter=max_iter)
-        codebooks.append([cent for _, cent in sorted(cb)])
-    return codebooks
+    base = (
+        df.select(
+            col(id_col).alias("_id"),
+            col(emb_col).cast("array<double>").alias("_ed"),
+        ).persist()
+    )
+    init = base.orderBy("_id").limit(ksub).collect()
+    # codebooks[i][j] = centroid j of subspace i (cid ≡ list index)
+    cbs: list[list[list[float]]] = [
+        [[float(v) for v in r._ed[i * sub : (i + 1) * sub]] for r in init]
+        for i in range(m)
+    ]
+    staged = base.withColumn("_pid", F.spark_partition_id())
+
+    for _ in range(max_iter):
+        cents = [[list(map(float, c)) for c in cb] for cb in cbs]
+        sq_norms = [[_sq_norm(c) for c in cb] for cb in cents]
+
+        def gen(batches):
+            import numpy as np
+
+            acc_n = np.zeros((m, ksub), dtype="int64")
+            acc_s = np.zeros((m, ksub, sub))
+            pid = -1
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                mat = np.stack(pdf["_ed"].to_numpy()).astype(np.float64, copy=False)
+                n = mat.shape[0]
+                for i in range(m):
+                    e = mat[:, i * sub : (i + 1) * sub]
+                    best_d = np.full(n, np.inf)
+                    best_i = np.zeros(n, dtype="int64")
+                    for idx, (cent, sq) in enumerate(zip(cents[i], sq_norms[i])):
+                        acc = e[:, 0] * cent[0]
+                        for j in range(1, sub):
+                            acc = acc + e[:, j] * cent[j]
+                        d = sq - 2.0 * acc
+                        take = d < best_d
+                        best_d = np.where(take, d, best_d)
+                        best_i = np.where(take, idx, best_i)
+                    for cid in range(ksub):
+                        msk = best_i == cid
+                        c = int(msk.sum())
+                        if c:
+                            acc_n[i, cid] += c
+                            acc_s[i, cid] += e[msk].sum(axis=0)
+            if pid < 0:
+                return
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "sp": [i for i in range(m) for _ in range(ksub)],
+                    "cid": [cid for _ in range(m) for cid in range(ksub)],
+                    "n": acc_n.reshape(-1),
+                    "s": [
+                        acc_s[i, cid].tolist()
+                        for i in range(m)
+                        for cid in range(ksub)
+                    ],
+                }
+            )
+
+        rows = staged.mapInPandas(
+            gen, "pid int, sp int, cid int, n long, s array<double>"
+        ).collect()
+        for i in range(m):
+            folded: dict[int, tuple[int, list[float]]] = {}
+            for r in sorted(
+                (r for r in rows if r.sp == i), key=lambda r: (r.cid, r.pid)
+            ):
+                nn, s = folded.get(r.cid, (0, [0.0] * sub))
+                folded[r.cid] = (nn + int(r.n), [a + b for a, b in zip(s, r.s)])
+            new_cb = []
+            for cid, old in enumerate(cbs[i]):
+                nn, s = folded.get(cid, (0, []))
+                # empty cluster keeps its centroid (kmeans_fit parity)
+                new_cb.append([v / nn for v in s] if nn else old)
+            cbs[i] = new_cb
+    base.unpersist()
+    return cbs
 
 
 def pq_encode(

@@ -332,20 +332,18 @@ LIMIT {TOP_K}
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-codebook IVF: 3 Lloyd iterations (operators/kmeans.py)
-    then cluster histogram. The iterative fit now carries a FULL driver
+    then cluster histogram. The iterative fit carries a FULL driver
     oracle (``_kmeans_oracle``) — the fixed iteration count unrolls as
-    CTE layers; invariants additionally tested in tests/test_kmeans.py."""
-    from ..operators.kmeans import kmeans_assign, kmeans_fit
-
-    emb = t(spark, sf_dir, "embeddings")
-    codebook = kmeans_fit(emb, "embedding", "vec_id", k=IVF_K, max_iter=KMEANS_ITERS)
-    return (
-        kmeans_assign(widen(emb), "embedding", codebook)
-        .groupBy("ivf_cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.min("vec_id").alias("min_vec_id"),
-        )
+    CTE layers; invariants additionally tested in tests/test_kmeans.py.
+    The fit + assignment ride the shared ``_IVF_KM_CACHE`` index (same
+    k, iterations, and assignment discipline as ``emb_ivf_kmeans_topk``
+    / ``emb_semdedup`` / ``emb_ivfpq_topk``), so a warm session pays
+    one cached-frame aggregation, and the expensive train happens once
+    for the whole query family."""
+    _, assigned = _ivf_kmeans_index(spark, sf_dir)
+    return assigned.groupBy("ivf_cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
     )
 
 
@@ -500,7 +498,9 @@ def _ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame
     if hit is not None:
         return hit
     emb = t(spark, sf_dir, "embeddings")
-    codebook = kmeans_fit(emb, "embedding", "vec_id", k=IVF_K, max_iter=3)
+    codebook = kmeans_fit(
+        emb, "embedding", "vec_id", k=IVF_K, max_iter=KMEANS_ITERS
+    )
     assigned = I.assign_to_codebook(widen(emb), "embedding", codebook).persist()
     return _IVF_KM_CACHE.put(key, (codebook, assigned))
 
