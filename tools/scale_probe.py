@@ -307,7 +307,10 @@ SCALING_QUERIES = [
     "curation_increment",
     "emb_ivf_topk",
     "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "emb_semdedup",
     "emb_near_dup_lsh",
+    "text_c4_filter",
 ]
 
 
@@ -323,6 +326,8 @@ def _clear_index_caches() -> None:
         QS._LSH_INDEX_CACHE,
         QS._IVF_INDEX_CACHE,
         QS._IVF_KM_CACHE,
+        QS._PQ_INDEX_CACHE,
+        QS._IVFPQ_CACHE,
     ):
         cache.clear()
 
