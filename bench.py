@@ -33,18 +33,20 @@ EXTRA_LOCAL_QUERIES = [
     "text_domain_mix",
     "emb_batch_topk",
     "emb_near_dup_lsh",
+    "emb_near_dup_pairs",
     "emb_ivf_kmeans_topk",
     "emb_pq_topk",
-    "emb_ivfpq_topk",
-    "emb_semdedup",
-    "text_c4_filter",
-    "text_gopher_quality",
     "emb_quantize",
     "text_pack_sequences",
+    "text_fingerprint",
+    "text_top_tokens",
+    "lineitem_filter_suite",
     "events_daily_rollup",
 ]
 
-BENCH_QUERIES = list(all_queries()) + EXTRA_LOCAL_QUERIES
+BENCH_QUERIES = list(all_queries()) + [
+    q for q in EXTRA_LOCAL_QUERIES if q not in all_queries()
+]
 
 # Machine timing variance on this box is large (±2×): report the MEDIAN
 # of REPEATS timed runs after one warm run so round-over-round
