@@ -35,6 +35,7 @@ EXTRA_LOCAL_QUERIES = [
     "emb_near_dup_lsh",
     "emb_near_dup_pairs",
     "emb_ivf_kmeans_topk",
+    "emb_ivf_increment",
     "emb_pq_topk",
     "emb_quantize",
     "text_pack_sequences",

@@ -395,10 +395,17 @@ def _lloyd_cte_defs(
     subspace over a sliced embedding expression)."""
     from ..operators.ivf import duck_ivf_dist
 
+    # init = the first k rows by vec_id with cid = enumerate index
+    # (kmeans_fit:106-109). row_number, not ``vec_id < k``, so a
+    # FILTERED source (incremental corpus) still seeds correctly;
+    # identical for the dense-id full tables.
     parts = [
         f"{prefix}0 AS (\n"
-        f"    SELECT CAST(e.vec_id AS INT) AS cid, CAST({emb_sql} AS DOUBLE[]) AS cent\n"
-        f"    FROM {src} e WHERE e.vec_id < {k}\n)"
+        f"    SELECT CAST(rn - 1 AS INT) AS cid, cent FROM (\n"
+        f"        SELECT row_number() OVER (ORDER BY e.vec_id) AS rn,\n"
+        f"               CAST({emb_sql} AS DOUBLE[]) AS cent\n"
+        f"        FROM {src} e\n"
+        f"    ) WHERE rn <= {k}\n)"
     ]
     for it in range(iters):
         prev, nxt = f"{prefix}{it}", f"{prefix}{it + 1}"
@@ -1003,6 +1010,111 @@ GROUP BY a.ivf_cid
 """
 
 
+# --- incremental IVF index maintenance --------------------------------------
+# New vectors arrive daily; rebuilding the trained index per batch is
+# O(corpus). The production move (FAISS add_with_ids / Milvus insert):
+# keep the trained centroids, assign ONLY the batch, append to the
+# inverted lists. Codebook broadcast into a map-only Arrow pass over
+# the batch; the corpus contributes its persisted assignment — zero
+# corpus re-scan, zero corpus shuffle at increment time.
+
+IVF_INC_MOD = 10
+IVF_INC_REM = 7  # vec_id % 10 == 7 → today's "new arrivals"
+
+_IVF_CORPUS_CACHE = IndexCache()
+
+
+def _ivf_corpus_index(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    from ..operators import ivf as I
+    from ..operators.kmeans import kmeans_fit
+
+    key = (S.session_cache_key(spark), sf_dir, IVF_K, "corpus")
+    hit = _IVF_CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    corpus = t(spark, sf_dir, "embeddings").filter(
+        col("vec_id") % IVF_INC_MOD != IVF_INC_REM
+    )
+    codebook = kmeans_fit(
+        corpus, "embedding", "vec_id", k=IVF_K, max_iter=KMEANS_ITERS
+    )
+    assigned = I.assign_to_codebook(widen(corpus), "embedding", codebook).persist()
+    return _IVF_CORPUS_CACHE.put(key, (codebook, assigned))
+
+
+def q_emb_ivf_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: the day's batch is assigned to the
+    EXISTING corpus-trained centroids and appended to the inverted
+    lists. Emits the per-list merge accounting (corpus size, new
+    arrivals, first new id). Warm-path plan: batch map + two 8-row
+    aggregations — the corpus is never re-scanned or shuffled."""
+    from ..operators import ivf as I
+
+    codebook, corpus_assigned = _ivf_corpus_index(spark, sf_dir)
+    batch = t(spark, sf_dir, "embeddings").filter(
+        col("vec_id") % IVF_INC_MOD == IVF_INC_REM
+    )
+    batch_assigned = I.assign_to_codebook(widen(batch), "embedding", codebook)
+    # tagged union + ONE conditional aggregation — no join at all (a
+    # full-outer of the per-list counts would plan a SortMergeJoin);
+    # the map-side partials collapse each input to ≤K rows before the
+    # single tiny exchange.
+    merged = corpus_assigned.select(
+        "vec_id", "ivf_cid", F.lit(0).alias("is_new")
+    ).unionByName(
+        batch_assigned.select("vec_id", "ivf_cid", F.lit(1).alias("is_new"))
+    )
+    return merged.groupBy("ivf_cid").agg(
+        F.count(F.when(col("is_new") == 0, 1)).alias("n_corpus"),
+        F.count(F.when(col("is_new") == 1, 1)).alias("n_new"),
+        F.min(F.when(col("is_new") == 1, col("vec_id"))).alias("min_new_vec_id"),
+    )
+
+
+def _ivf_increment_oracle() -> str:
+    """Corpus-trained Lloyd CTE (filtered source — the generalized
+    row_number init makes that valid) + two assignment CTEs + the full
+    outer merge accounting."""
+    from ..operators.ivf import duck_ivf_dist
+
+    corpus_src = (
+        f"(SELECT * FROM embeddings WHERE vec_id % {IVF_INC_MOD} != {IVF_INC_REM})"
+    )
+    batch_src = (
+        f"(SELECT * FROM embeddings WHERE vec_id % {IVF_INC_MOD} = {IVF_INC_REM})"
+    )
+    defs = _lloyd_cte_defs(corpus_src, "e.embedding", IVF_K, KMEANS_ITERS, "ccents")
+    cents = f"ccents{KMEANS_ITERS}"
+
+    def assign(src: str, name: str) -> str:
+        return (
+            f"{name} AS (\n"
+            f"    SELECT vec_id, cid AS ivf_cid FROM (\n"
+            f"        SELECT e.vec_id, c.cid,\n"
+            f"               row_number() OVER (PARTITION BY e.vec_id\n"
+            f"                  ORDER BY {duck_ivf_dist('c.cent', 'e.embedding')}, c.cid) AS rn\n"
+            f"        FROM {src} e, {cents} c\n"
+            f"    ) WHERE rn = 1\n)"
+        )
+
+    return f"""
+WITH {defs},
+{assign(corpus_src, "corpus_assigned")},
+{assign(batch_src, "batch_assigned")},
+merged AS (
+    SELECT vec_id, ivf_cid, 0 AS is_new FROM corpus_assigned
+    UNION ALL
+    SELECT vec_id, ivf_cid, 1 AS is_new FROM batch_assigned
+)
+SELECT ivf_cid,
+       count(CASE WHEN is_new = 0 THEN 1 END) AS n_corpus,
+       count(CASE WHEN is_new = 1 THEN 1 END) AS n_new,
+       min(CASE WHEN is_new = 1 THEN vec_id END) AS min_new_vec_id
+FROM merged
+GROUP BY ivf_cid
+"""
+
+
 QUERIES["emb_semdedup"] = QuerySpec(q_emb_semdedup, _semdedup_oracle())
 QUERIES["emb_ivfpq_topk"] = QuerySpec(q_ivfpq_topk, _ivfpq_oracle())
 
@@ -1011,6 +1123,7 @@ QUERIES["emb_ivfpq_topk"] = QuerySpec(q_ivfpq_topk, _ivfpq_oracle())
 # expression end-to-end, and label centroids are the same posexplode +
 # group-reduction shape as kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "emb_ivf_increment": QuerySpec(q_emb_ivf_increment, _ivf_increment_oracle()),
     "emb_near_dup_pairs": QuerySpec(q_near_dup_pairs, _near_dup_oracle()),
     "emb_pq_topk": QuerySpec(q_pq_topk, _pq_oracle()),
     "emb_near_dup_lsh": QuerySpec(q_near_dup_lsh, _near_dup_lsh_oracle()),

@@ -269,3 +269,27 @@ def test_decontamination_broadcasts_eval_grams(spark):
     # training corpus itself is never shuffled for the join
     assert _shuffles(plan) == 2
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ivf_increment_never_rescans_corpus_when_warm(spark):
+    """Incremental IVF maintenance: once the corpus index is built, an
+    increment reads the BATCH (partition-pruned residue filter pushed
+    to the scan) plus the persisted corpus assignment — no corpus file
+    scan, no sort-merge join, and only the two tiny aggregation
+    exchanges plus the 8-row join."""
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        _ivf_corpus_index,
+    )
+
+    from tools.plan_snapshot import _strip_cached_subtrees
+
+    _ivf_corpus_index(spark, TEST_SF_DIR)[1].count()  # warm the index
+    plan = _strip_cached_subtrees(
+        _plan(LOCAL_REGISTRY["emb_ivf_increment"].fn(spark, TEST_SF_DIR))
+    )
+    assert "Join" not in plan  # tagged union + one agg, no join at all
+    assert "InMemoryTableScan" in plan  # corpus side = cached assignment
+    # exactly one real file scan: the batch (residue filter pushed to
+    # the scan); the corpus is never re-read
+    assert plan.count("FileScan") == 1
+    assert _shuffles(plan) == 1  # the single K-row aggregation exchange

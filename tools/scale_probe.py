@@ -328,6 +328,7 @@ def _clear_index_caches() -> None:
         QS._IVF_KM_CACHE,
         QS._PQ_INDEX_CACHE,
         QS._IVFPQ_CACHE,
+        QS._IVF_CORPUS_CACHE,
     ):
         cache.clear()
 
