@@ -36,6 +36,7 @@ EXTRA_LOCAL_QUERIES = [
     "emb_near_dup_pairs",
     "emb_ivf_kmeans_topk",
     "emb_ivf_increment",
+    "emb_topk_hydrated",
     "emb_pq_topk",
     "emb_quantize",
     "text_pack_sequences",

@@ -1115,6 +1115,36 @@ GROUP BY ivf_cid
 """
 
 
+def q_emb_topk_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval serving's last mile: the ANN hit list hydrated with
+    the source documents (RAG answer assembly). The k-row hit list is
+    BROADCAST into the documents scan — the corpus-sized side never
+    shuffles, and at 100 TB the broadcast join degenerates to a
+    k-row-filtered scan (dynamic filter on doc_id)."""
+    hits = q_ivfpq_topk(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.join(broadcast(hits), docs.doc_id == hits.vec_id)
+        .select(
+            "vec_id",
+            "cosine",
+            "lang",
+            F.substring(col("text"), 1, 80).alias("snippet"),
+        )
+        .orderBy(col("cosine").desc(), col("vec_id"))
+    )
+
+
+def _topk_hydrated_oracle() -> str:
+    return f"""
+SELECT h.vec_id AS vec_id, h.cosine AS cosine, d.lang AS lang,
+       substr(d.text, 1, 80) AS snippet
+FROM ({_ivfpq_oracle()}) h
+JOIN documents d ON d.doc_id = h.vec_id
+ORDER BY cosine DESC, vec_id
+"""
+
+
 QUERIES["emb_semdedup"] = QuerySpec(q_emb_semdedup, _semdedup_oracle())
 QUERIES["emb_ivfpq_topk"] = QuerySpec(q_ivfpq_topk, _ivfpq_oracle())
 
@@ -1124,6 +1154,7 @@ QUERIES["emb_ivfpq_topk"] = QuerySpec(q_ivfpq_topk, _ivfpq_oracle())
 # group-reduction shape as kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_ivf_increment": QuerySpec(q_emb_ivf_increment, _ivf_increment_oracle()),
+    "emb_topk_hydrated": QuerySpec(q_emb_topk_hydrated, _topk_hydrated_oracle()),
     "emb_near_dup_pairs": QuerySpec(q_near_dup_pairs, _near_dup_oracle()),
     "emb_pq_topk": QuerySpec(q_pq_topk, _pq_oracle()),
     "emb_near_dup_lsh": QuerySpec(q_near_dup_lsh, _near_dup_lsh_oracle()),
