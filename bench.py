@@ -44,6 +44,7 @@ EXTRA_LOCAL_QUERIES = [
     "text_top_tokens",
     "lineitem_filter_suite",
     "events_daily_rollup",
+    "stream_doc_quality",
 ]
 
 BENCH_QUERIES = list(all_queries()) + [

@@ -263,7 +263,35 @@ FROM events JOIN nation ON user_id % 25 = n_nationkey
 """
 
 
+def q_stream_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with a quality gate
+    (streaming/documents.py): documents arrive as a file stream and
+    are scored + routed keep/review/drop at the ingest boundary —
+    map-only append stream, so every row emits and the batch-twin
+    oracle is exact."""
+    from ..streaming.documents import documents_stream, stream_quality_gate
+
+    return run_stream_to_df(
+        stream_quality_gate(documents_stream(spark, sf_dir)), spark
+    )
+
+
+def _stream_doc_quality_oracle() -> str:
+    from ..operators import text as T
+
+    return f"""
+SELECT doc_id, lang,
+       {T.quality_score_duck("text")} AS quality,
+       CASE WHEN {T.quality_score_duck("text")} >= 0.6 THEN 'keep'
+            WHEN {T.quality_score_duck("text")} >= 0.4 THEN 'review'
+            ELSE 'drop' END AS gate,
+       {T.lang_id_duck("text")} AS lang_pred
+FROM documents
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),
     "stream_static_enrich": QuerySpec(q_stream_static_enrich, _STREAM_STATIC_SQL),
+    "stream_doc_quality": QuerySpec(q_stream_doc_quality, _stream_doc_quality_oracle()),
 }

@@ -404,3 +404,54 @@ class TestStreamOracles:
 
     def test_stateful_oracle_sf0001(self, spark):
         self._check(spark, "stream_stateful_sessions")
+
+
+def test_doc_quality_gate_streams_in_micro_batches(spark):
+    """Streaming corpus ingest (streaming/documents.py): the staged
+    landing dir yields one micro-batch per file, and the gate's output
+    equals the batch twin row-for-row."""
+    import uuid
+
+    from hdb_resale_price_data_pipeline_spark.operators import text as T
+    from hdb_resale_price_data_pipeline_spark.sources import read_table
+    from hdb_resale_price_data_pipeline_spark.streaming.documents import (
+        STREAM_SLICES,
+        documents_stream,
+        stream_quality_gate,
+    )
+    from pyspark.sql import functions as F
+
+    gated = stream_quality_gate(documents_stream(spark, TEST_SF_DIR))
+    name = f"doc_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches == STREAM_SLICES, "one micro-batch per landing file"
+
+    got = {
+        (r.doc_id, r.quality, r.gate, r.lang_pred)
+        for r in spark.table(name).collect()
+    }
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    score = T.quality_score("text")
+    want = {
+        (r.doc_id, r.quality, r.gate, r.lang_pred)
+        for r in docs.select(
+            "doc_id",
+            score.alias("quality"),
+            F.when(score >= 0.6, "keep")
+            .when(score >= 0.4, "review")
+            .otherwise("drop")
+            .alias("gate"),
+            T.lang_id("text").alias("lang_pred"),
+        ).collect()
+    }
+    assert got == want
