@@ -5,7 +5,9 @@ reference's core shape) on /root/testdata/sf0.001.
 
 ``queries()`` / ``oracle_sql()`` — every implemented operator from
 SURVEY.md §2 plus the beyond-reference scale operators, each paired with
-equivalent DuckDB SQL (None → rows-only check, streaming only).
+equivalent DuckDB SQL. Since round 4 all 50 registered queries carry
+full value oracles (streaming included — availableNow emission is
+deterministic, so the append-mode rules are SQL-expressible).
 """
 
 from __future__ import annotations

@@ -47,8 +47,9 @@ EXTRA_LOCAL_QUERIES = [
     "stream_doc_quality",
 ]
 
-BENCH_QUERIES = list(all_queries()) + [
-    q for q in EXTRA_LOCAL_QUERIES if q not in all_queries()
+_GRADED = all_queries()
+BENCH_QUERIES = list(_GRADED) + [
+    q for q in EXTRA_LOCAL_QUERIES if q not in _GRADED
 ]
 
 # Machine timing variance on this box is large (±2×): report the MEDIAN

@@ -118,14 +118,31 @@ def pair_cosine_udf():
 _DIM_CACHE: dict[tuple[str, str], int] = {}
 
 
+_SESSION_UUIDS: "weakref.WeakKeyDictionary[object, str]" = None  # type: ignore[assignment]
+
+
 def session_cache_key(spark) -> str:
     """Stable per-session cache key: applicationId (unique per started
     SparkContext) — unlike ``id()``, never reused after GC. Under Spark
-    Connect the server-side app id comes from the conf instead."""
+    Connect the server-side app id comes from the conf; if even that is
+    absent, a uuid pinned to the session via a weak-keyed dict (an
+    ``id()`` fallback would alias a new session at a recycled address
+    to a dead one's cache entries)."""
+    global _SESSION_UUIDS
     try:
         return str(spark.sparkContext.applicationId)
     except Exception:
-        return str(spark.conf.get("spark.app.id", f"session-{id(spark)}"))
+        app_id = spark.conf.get("spark.app.id", None)
+        if app_id:
+            return str(app_id)
+        import uuid
+        import weakref
+
+        if _SESSION_UUIDS is None:
+            _SESSION_UUIDS = weakref.WeakKeyDictionary()
+        if spark not in _SESSION_UUIDS:
+            _SESSION_UUIDS[spark] = f"session-{uuid.uuid4().hex}"
+        return _SESSION_UUIDS[spark]
 
 
 def embedding_dim(df, col_name: str = "embedding") -> int:

@@ -117,6 +117,30 @@ SELECT doc_id, lang, source, n_chars FROM ranked WHERE row_num = 1
 _MINHASH_PAIR_CACHE = IndexCache()
 
 
+def _check_shared_banding(P) -> None:
+    """The curation pipelines may reuse the session-cached minhash pair
+    list ONLY while their banding params match this module's and their
+    near-dup threshold is at least as strict as the verify threshold.
+    Raises (never ``assert`` — a ``python -O`` run must not silently
+    derive near-dup drops from an incompatible pair list)."""
+    if (P.NEARDUP_SHINGLE, P.NEARDUP_BANDS, P.NEARDUP_ROWS) != (
+        SHINGLE_LEN,
+        NUM_BANDS,
+        ROWS_PER_BAND,
+    ):
+        raise ValueError(
+            "curation banding params diverged from the minhash query's — "
+            "the shared pair list is no longer valid; rebuild with the "
+            "curation params or re-align them"
+        )
+    if P.NEARDUP_THRESHOLD < MINHASH_VERIFY_THRESHOLD:
+        raise ValueError(
+            f"curation NEARDUP_THRESHOLD ({P.NEARDUP_THRESHOLD}) is below "
+            f"the pair list's verify threshold ({MINHASH_VERIFY_THRESHOLD}) "
+            "— pairs the curation pipeline needs were already filtered out"
+        )
+
+
 def verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import session_cache_key
 
@@ -289,14 +313,7 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans import curation as P
     from ..plans.curation import curation_report
 
-    # Shared banding (see verified_minhash_pairs): valid only while the
-    # curation params equal the minhash query's — asserted, not assumed.
-    assert (P.NEARDUP_SHINGLE, P.NEARDUP_BANDS, P.NEARDUP_ROWS) == (
-        SHINGLE_LEN,
-        NUM_BANDS,
-        ROWS_PER_BAND,
-    )
-    assert P.NEARDUP_THRESHOLD >= MINHASH_VERIFY_THRESHOLD
+    _check_shared_banding(P)
     docs = t(spark, sf_dir, "documents")
     return curation_report(docs, verified_pairs=verified_minhash_pairs(spark, sf_dir))
 
@@ -440,12 +457,7 @@ def q_curation_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans import curation as P
     from ..plans.curation import curate_increment_report
 
-    assert (P.NEARDUP_SHINGLE, P.NEARDUP_BANDS, P.NEARDUP_ROWS) == (
-        SHINGLE_LEN,
-        NUM_BANDS,
-        ROWS_PER_BAND,
-    )
-    assert P.NEARDUP_THRESHOLD >= MINHASH_VERIFY_THRESHOLD
+    _check_shared_banding(P)
     docs = t(spark, sf_dir, "documents")
     return curate_increment_report(
         docs, verified_pairs=verified_minhash_pairs(spark, sf_dir)

@@ -12,11 +12,16 @@ from __future__ import annotations
 
 import hashlib
 import os
+import weakref
 import zipfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED_SESSIONS: set[int] = set()
+# Weak registry, NOT id()-keyed: a CPython id is reused after GC, so an
+# id-set would mark a brand-new session at a recycled address as
+# already-shipped and every executor-side import would fail. Dead
+# sessions fall out of a WeakSet automatically.
+_SHIPPED_SESSIONS: "weakref.WeakSet[object]" = weakref.WeakSet()
 
 
 def _package_zip() -> str:
@@ -55,14 +60,12 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     except Exception:
         sc = None  # Spark Connect client: no gateway-side context
     if sc is not None:
-        key = id(sc)
-        if key in _SHIPPED_SESSIONS:
+        if sc in _SHIPPED_SESSIONS:
             return
         sc.addPyFile(_package_zip())
-        _SHIPPED_SESSIONS.add(key)
+        _SHIPPED_SESSIONS.add(sc)
         return
-    key = id(spark)
-    if key in _SHIPPED_SESSIONS:
+    if spark in _SHIPPED_SESSIONS:
         return
     spark.addArtifacts(_package_zip(), pyfile=True)
-    _SHIPPED_SESSIONS.add(key)
+    _SHIPPED_SESSIONS.add(spark)

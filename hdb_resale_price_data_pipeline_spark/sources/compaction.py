@@ -48,24 +48,28 @@ def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     what this maintenance utility is tested against."""
     if getattr(spark, "_jvm", None) is None:
         import os
+        from urllib.parse import unquote, urlparse
 
         files = [
-            f.removeprefix("file://")
+            unquote(urlparse(f).path) if "://" in f else f
             for f in spark.read.parquet(path).inputFiles()
         ]
         return len(files), sum(os.path.getsize(f) for f in files)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    summary = fs.getContentSummary(jpath)
-    n = 0
+    # Count AND sum data files only (skip _SUCCESS/.crc markers) so the
+    # two code paths report the same bytes — getContentSummary would
+    # fold marker files in and diverge from the gateway-free fallback.
+    n, total = 0, 0
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         f = it.next()
         name = f.getPath().getName()
         if not name.startswith("_") and not name.startswith("."):
             n += 1
-    return n, summary.getLength()
+            total += f.getLen()
+    return n, total
 
 
 def compact_parquet(
@@ -145,13 +149,22 @@ def compact_partitions_inplace(
     collects micro-batch debris, historical partitions are already
     compact — the rewrite reads a partition-pruned scan of the
     oversized partitions only and costs O(fragmented partitions), not
-    O(table). Dynamic overwrite keeps it idempotent (a crashed run
-    re-runs) and leaves untouched partitions byte-identical for
-    concurrent readers. The per-partition inventory rides the
-    ``_metadata`` hidden column: no filesystem gateway, Spark-Connect
-    safe, footer-sized reads, and the collect is catalog-sized (one row
-    per partition), never data-sized."""
+    O(table). Untouched partitions stay byte-identical for concurrent
+    readers. The per-partition inventory rides the ``_metadata`` hidden
+    column: no filesystem gateway, Spark-Connect safe, footer-sized
+    reads, and the collect is catalog-sized (one row per partition),
+    never data-sized.
+
+    Crash safety: the oversized partitions are first MATERIALIZED to a
+    temp sibling directory, and only that temp copy feeds the dynamic
+    partition overwrite of ``root`` — the overwrite never reads the
+    directory it is replacing, and if the process dies inside the
+    overwrite's commit window the temp copy still holds every affected
+    row (recover by re-running the overwrite from ``<root>/../<tmp>``,
+    whose name is logged in the returned dict as ``staging``). The temp
+    dir is removed only after the overwrite commits."""
     import math
+    import uuid
 
     from pyspark.sql import functions as F
     from pyspark.sql.functions import col
@@ -177,7 +190,9 @@ def compact_partitions_inplace(
             math.ceil(int(r["bytes"]) / target_file_bytes),
         )
     ]
+    staging = None
     if oversized:
+        staging = f"{root.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
         advisory = max(1 << 16, int(target_file_bytes * inflation))
         prev = {
             "spark.sql.sources.partitionOverwriteMode": spark.conf.get(
@@ -201,10 +216,22 @@ def compact_partitions_inplace(
                 "spark.sql.adaptive.coalescePartitions.minPartitionSize",
                 str(min(advisory, 1 << 20)),
             )
+            # 1. materialize the affected rows OUTSIDE the table (the
+            #    target layout is produced here, so the overwrite is a
+            #    pure file move-in)
             (
                 spark.read.parquet(root)
                 .filter(col(partition_col).isin(oversized))
                 .hint("rebalance", partition_col)
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(staging)
+            )
+            # 2. dynamic-overwrite the table FROM the staged copy — the
+            #    source of the rewrite survives any crash inside the
+            #    commit window
+            (
+                spark.read.parquet(staging)
                 .write.mode("overwrite")
                 .partitionBy(partition_col)
                 .parquet(root)
@@ -212,8 +239,14 @@ def compact_partitions_inplace(
         finally:
             for k, v in prev.items():
                 spark.conf.set(k, v)
+        # 3. success → drop the staged copy (local/posix path; on an
+        #    object store, lifecycle-expire the staging prefix instead)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     return {
         "partitions": len(inv),
         "rewritten": len(oversized),
         "files_before": sum(int(r["files"]) for r in inv),
+        "staging": staging,
     }

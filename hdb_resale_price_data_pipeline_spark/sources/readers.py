@@ -182,6 +182,9 @@ def validate_contract(df: DataFrame, name: str) -> None:
             )
 
 
+_TZ_OVERRIDE_WARNED = False
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one driver-generated table (S4), with timestamp
     normalization + schema-contract validation at the boundary.
@@ -191,9 +194,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     = true`` and ``spark.sql.session.timeZone = UTC``. NTZ→LTZ
     normalization is value-preserving only in UTC, and bare consumer
     sessions (the grading driver's) don't run our session factory. Each
-    conf is only written when it differs from the current value, and
-    overriding a deliberately-set non-UTC session timezone warns once so
-    the caller can see their session semantics changed."""
+    conf is only written when it differs from the current value.
+    Overriding a non-UTC timezone warns ONCE PER PROCESS — conf.get
+    cannot distinguish a deliberately-set value from the JVM's machine
+    default, so a per-call warning would be pure noise on every
+    non-UTC developer box."""
     for conf_key, conf_val in [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
@@ -202,16 +207,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             current = spark.conf.get(conf_key, None)
             if current == conf_val:
                 continue
-            if conf_key == "spark.sql.session.timeZone" and current not in (
-                None,
-                "Etc/UTC",
+            global _TZ_OVERRIDE_WARNED
+            if (
+                conf_key == "spark.sql.session.timeZone"
+                and current not in (None, "Etc/UTC")
+                and not _TZ_OVERRIDE_WARNED
             ):
                 import warnings
 
+                _TZ_OVERRIDE_WARNED = True
                 warnings.warn(
                     f"read_table: overriding session timezone {current!r} -> "
                     f"'UTC' (required for value-preserving TIMESTAMP_NTZ "
-                    f"normalization)",
+                    f"normalization; warned once per process)",
                     stacklevel=2,
                 )
             spark.conf.set(conf_key, conf_val)
@@ -276,18 +284,23 @@ def _peek_csv_header(spark: SparkSession, path: str) -> list[str]:
 
 
 def _peek_csv_header_pure(spark: SparkSession, path: str) -> list[str]:
-    """Gateway-free header peek (Spark Connect compatible): a ``text``
-    scan with ``limit(1)`` short-circuits after the first line of the
-    first listed file; hidden/underscore files are excluded by Spark's
-    own listing rules, ``pathGlobFilter`` keeps it to CSVs."""
+    """Gateway-free header peek (Spark Connect compatible): list the
+    CSVs via the scan's own file index (``inputFiles`` — no data read),
+    then ``limit(1)`` over the LEXICOGRAPHICALLY FIRST file explicitly.
+    A bare ``text(path).limit(1)`` would silently skip an empty first
+    file and take the next file's header — diverging from the JVM path,
+    which opens the first file and fails loudly on it."""
     import csv
     import io
 
-    rows = (
-        spark.read.option("pathGlobFilter", "*.csv").text(path).limit(1).collect()
+    files = sorted(
+        spark.read.option("pathGlobFilter", "*.csv").text(path).inputFiles()
     )
-    if not rows:
+    if not files:
         raise FileNotFoundError(f"no CSV files under {path}")
+    rows = spark.read.text(files[0]).limit(1).collect()
+    if not rows:
+        raise ValueError(f"first CSV under {path} is empty: {files[0]}")
     return next(csv.reader(io.StringIO(rows[0][0].rstrip("\r"))))
 
 
