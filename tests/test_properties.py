@@ -143,3 +143,67 @@ def test_arrow_fold_matches_python_fold(strings):
         for ch in s:
             acc = (acc * 131 + ord(ch)) % MERSENNE_31
         assert acc == g
+
+
+def _python_c4_model(page: str):
+    """Reference semantics of the C4 line/page rules (operators/text.py
+    C4_* — Raffel et al. 2020 §2.2), in plain Python."""
+    from hdb_resale_price_data_pipeline_spark.operators.text import (
+        C4_BAD_LINE_WORD,
+        C4_BAD_PAGE_PHRASE,
+        C4_MIN_KEPT_LINES,
+        C4_MIN_WORDS_PER_LINE,
+    )
+
+    lines = [x for x in page.split("\n") if x.strip() != ""]
+    kept = [
+        x
+        for x in lines
+        if x and x[-1] in '.!?"'
+        and len([w for w in x.strip().split(" ") if w]) >= C4_MIN_WORDS_PER_LINE
+        and C4_BAD_LINE_WORD not in x.lower()
+    ]
+    page_bad = C4_BAD_PAGE_PHRASE in page.lower() or "{" in page
+    keep = (not page_bad) and len(kept) >= C4_MIN_KEPT_LINES
+    return len(lines), len(kept), int(keep)
+
+
+_c4_words = st.sampled_from(
+    ["the", "quick", "fox", "javascript", "lorem", "ipsum", "a", "word4", "{x}"]
+)
+_c4_line = st.builds(
+    lambda ws, end: " ".join(ws) + end,
+    st.lists(_c4_words, min_size=0, max_size=8),
+    st.sampled_from([".", "!", "?", '"', "", " "]),
+)
+_c4_pages = st.lists(_c4_line, min_size=0, max_size=8).map("\n".join)
+
+
+@given(st.lists(_c4_pages, min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_c4_rules_match_python_model(spark, pages):
+    from hdb_resale_price_data_pipeline_spark.operators.text import (
+        C4_MIN_KEPT_LINES,
+        c4_kept_lines,
+        c4_lines,
+        c4_page_bad,
+    )
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "id int, text string"
+    )
+    keep = (
+        f"(NOT {c4_page_bad('text')[0]}"
+        f" AND size({c4_kept_lines('text')[0]}) >= {C4_MIN_KEPT_LINES})"
+    )
+    got = {
+        r.id: (r.n_lines, r.n_kept, r.keep)
+        for r in df.select(
+            "id",
+            F.expr(f"size({c4_lines('text')[0]})").alias("n_lines"),
+            F.expr(f"size({c4_kept_lines('text')[0]})").alias("n_kept"),
+            F.expr(f"CAST({keep} AS INT)").alias("keep"),
+        ).collect()
+    }
+    for i, p in enumerate(pages):
+        assert got[i] == _python_c4_model(p), repr(p)
