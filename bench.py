@@ -45,6 +45,8 @@ EXTRA_LOCAL_QUERIES = [
     "lineitem_filter_suite",
     "events_daily_rollup",
     "stream_doc_quality",
+    "stream_sliding_counts",
+    "multimodal_resize",
 ]
 
 _GRADED = all_queries()

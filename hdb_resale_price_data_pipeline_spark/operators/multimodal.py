@@ -133,3 +133,35 @@ def sample_chunks(assets: DataFrame, chunk_bytes: int = 64) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema="asset_id long, chunk_idx int, chunk binary")
+
+
+def resize_assets(assets: DataFrame, stride: int = 4) -> DataFrame:
+    """The image-resize shape: payload in → smaller payload + new dims
+    out, Arrow-batched. The "codec" is a deterministic nearest-neighbor
+    downsample of the byte stream (every ``stride``-th byte) — a real
+    resample, honestly computable in the DuckDB oracle for ASCII
+    payloads, while a production deployment swaps ONLY the per-batch
+    transform for PIL/ffmpeg (same batch iteration, same schema, same
+    binary column contract — the Spark-side plumbing is the tested
+    part, per the environment's codec stub policy)."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(assets.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["content"].to_list()
+            resized = [bytes(p[::stride]) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "n_resized": [len(r) for r in resized],
+                    "resized": resized,
+                }
+            )
+
+    return assets.mapInPandas(
+        batches,
+        schema="asset_id long, n_bytes int, n_resized int, resized binary",
+    )

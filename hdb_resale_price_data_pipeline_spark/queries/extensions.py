@@ -213,6 +213,61 @@ FROM idx
 """
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window, 15-min slide) over the event stream
+    (streaming/events.stream_sliding_counts). Same deterministic
+    availableNow emission rule as tumbling: a window emits iff its end
+    is at or below the end-of-stream watermark."""
+    from ..streaming.events import stream_sliding_counts
+
+    return run_stream_to_df(
+        stream_sliding_counts(events_stream(spark, sf_dir)), spark
+    )
+
+
+# Each event belongs to exactly 4 slide-aligned windows (k = 0..3
+# slides back from its floor); emission rule identical to tumbling.
+_STREAM_SLIDING_SQL = """
+WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events),
+ev AS (SELECT epoch_us(ts) AS us FROM events),
+win AS (
+    SELECT (us // 900000000) * 900000000 - k * 900000000 AS start_us
+    FROM ev, (SELECT unnest(range(0, 4)) AS k)
+)
+SELECT CAST(make_timestamp(start_us) AS VARCHAR) AS window_start,
+       count(*) AS n_events
+FROM win, wm
+GROUP BY start_us, wm.wm_ms
+HAVING start_us // 1000 + 3600000 <= wm.wm_ms
+"""
+
+
+RESIZE_STRIDE = 4
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize shape (operators/multimodal.resize_assets): payload in →
+    nearest-neighbor-downsampled payload + dims out, Arrow-batched.
+    ASCII payloads make the byte stride a substring stride, so the
+    resized BINARY column itself carries a full value oracle."""
+    from ..operators.multimodal import documents_as_assets, resize_assets
+
+    return resize_assets(
+        documents_as_assets(t(spark, sf_dir, "documents")), stride=RESIZE_STRIDE
+    )
+
+
+_RESIZE_SQL = f"""
+SELECT doc_id AS asset_id,
+       CAST(length(text) AS INT) AS n_bytes,
+       CAST(CAST(ceil(length(text) / {RESIZE_STRIDE}.0) AS BIGINT) AS INT) AS n_resized,
+       encode(array_to_string(
+           [substring(text, i, 1)
+            for i in range(1, length(text) + 1, {RESIZE_STRIDE})], '')) AS resized
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_hourly_tumbling": QuerySpec(q_stream_hourly, _STREAM_HOURLY_SQL),
     "stream_session_windows": QuerySpec(q_stream_sessions, _STREAM_SESSION_SQL),
@@ -294,4 +349,6 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),
     "stream_static_enrich": QuerySpec(q_stream_static_enrich, _STREAM_STATIC_SQL),
     "stream_doc_quality": QuerySpec(q_stream_doc_quality, _stream_doc_quality_oracle()),
+    "multimodal_resize": QuerySpec(q_multimodal_resize, _RESIZE_SQL),
+    "stream_sliding_counts": QuerySpec(q_stream_sliding, _STREAM_SLIDING_SQL),
 }
