@@ -47,6 +47,7 @@ EXTRA_LOCAL_QUERIES = [
     "stream_doc_quality",
     "stream_sliding_counts",
     "multimodal_resize",
+    "text_repeated_passages",
 ]
 
 _GRADED = all_queries()

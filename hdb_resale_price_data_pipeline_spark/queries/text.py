@@ -588,11 +588,70 @@ FROM documents
 """
 
 
+# --- passage-level duplication (ExactSubstr-lite) ---------------------------
+
+PASSAGE_N = 8  # tokens per passage shingle
+
+
+def q_text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplicate detection, the ExactSubstr idea of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") at shingle granularity: a long token n-gram occurring in
+    MORE THAN ONE document marks a duplicated passage; per-doc output
+    is the duplicated-shingle count and first duplicated position (the
+    span a trainer would cut). Dataflow = the inverted-index posting
+    shape of dedup_ngram_jaccard — explode is linear in token volume,
+    the gram aggregation is partial-agg'd, no pairwise term anywhere."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(H.shingles(H.tokens("text"), PASSAGE_N)[0])).alias(
+            "pos", "gram"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("gram")
+    )
+    return (
+        grams.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_passages"),
+            F.min("pos").alias("first_dup_pos"),
+        )
+    )
+
+
+def _repeated_passages_oracle() -> str:
+    shingles = H.shingles(H.tokens("text"), PASSAGE_N)[1]
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1, 'gram': l[i]}} for i in range(1, len(l) + 1)],
+                recursive := true)
+  FROM (SELECT doc_id, {shingles} AS l FROM documents)
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_passages,
+       CAST(min(g.pos) AS INT) AS first_dup_pos
+FROM g JOIN d USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 QUERIES["text_c4_filter"] = QuerySpec(q_text_c4_filter, _c4_oracle())
 QUERIES["text_gopher_quality"] = QuerySpec(q_text_gopher_quality, _gopher_oracle())
 
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "text_repeated_passages": QuerySpec(
+        q_text_repeated_passages, _repeated_passages_oracle()
+    ),
     "text_fingerprint": QuerySpec(q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "text_top_tokens": QuerySpec(q_text_top_tokens, _TEXT_TOP_TOKENS_SQL),
     "text_pii_redact": QuerySpec(q_text_pii_redact, _pii_oracle()),
