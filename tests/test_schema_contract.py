@@ -223,3 +223,34 @@ def test_date_columns_normalized_across_tables(spark, flavor_dirs):
         df = read_table(spark, TEST_SF_DIR, table)
         assert df.schema[col_name].dataType.simpleString() == "timestamp"
         validate_contract(df, table)
+
+
+def test_bare_non_utc_session_is_renormalized_at_every_read_boundary(spark):
+    """The r3 regression class from the OTHER direction: a session whose
+    timezone was flipped to non-UTC between queries (a bare driver, a
+    misbehaving co-tenant library) must still get UTC-pinned, value-
+    identical results from BOTH read boundaries — read_table and the
+    streaming source — because each re-pins the conf at the read."""
+    from conftest import TEST_SF_DIR
+    from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+    R = local_queries()
+
+    def vals(name):
+        return sorted(
+            tuple(str(v) for v in row)
+            for row in R[name].fn(spark, TEST_SF_DIR).collect()
+        )
+
+    base_batch = vals("events_sessionize")
+    base_stream = vals("stream_hourly_tumbling")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Singapore")
+        assert vals("events_sessionize") == base_batch
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Singapore")
+        assert vals("stream_hourly_tumbling") == base_stream
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
