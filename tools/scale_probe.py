@@ -311,6 +311,7 @@ SCALING_QUERIES = [
     "emb_semdedup",
     "emb_near_dup_lsh",
     "text_c4_filter",
+    "text_repeated_passages",
 ]
 
 
