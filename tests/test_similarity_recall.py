@@ -58,3 +58,44 @@ def test_ivf_kmeans_matches_sampled_ivf_shape(spark):
     sampled = REGISTRY["emb_ivf_topk"].fn(spark, TEST_SF_DIR)
     assert km.columns == sampled.columns
     assert km.count() == sampled.count()
+
+
+def test_ivfpq_recall_vs_brute_force(spark):
+    """The composed index inherits BOTH approximations (coarse probe
+    pruning + code quantization); the exact re-rank must still recover
+    most of the true top-k."""
+    exact = set(_topk_ids(spark, "emb_cosine_topk"))
+    approx = set(_topk_ids(spark, "emb_ivfpq_topk"))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall {recall}"
+
+
+def test_ivfpq_is_a_subset_refinement_of_probed_lists(spark):
+    """Every IVF-PQ hit must come from a probed inverted list — the
+    composition prunes, it never invents candidates."""
+    from pyspark.sql.functions import col
+
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        IVF_NPROBE,
+        QUERY_VEC_ID,
+        _ivfpq_index,
+        _probe_ids,
+    )
+
+    coarse, _, encoded = _ivfpq_index(spark, TEST_SF_DIR)
+    q_vec = [
+        float(v)
+        for v in encoded.filter(col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    probed = set(_probe_ids(coarse, q_vec, IVF_NPROBE))
+    member_ids = {
+        r.vec_id
+        for r in encoded.filter(col("ivf_cid").isin(list(probed)))
+        .select("vec_id")
+        .collect()
+    }
+    hits = set(_topk_ids(spark, "emb_ivfpq_topk"))
+    assert hits <= member_ids
