@@ -48,6 +48,7 @@ EXTRA_LOCAL_QUERIES = [
     "stream_sliding_counts",
     "multimodal_resize",
     "text_repeated_passages",
+    "emb_ivfadc_topk",
 ]
 
 _GRADED = all_queries()

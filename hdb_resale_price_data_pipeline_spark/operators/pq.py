@@ -287,3 +287,88 @@ def pq_topk_refined(
         .orderBy(col("cosine").desc(), col(id_col))
         .limit(k)
     )
+
+
+def with_residual(
+    assigned: DataFrame,
+    emb_col: str,
+    coarse_codebook: list[tuple[int, list[float]]],
+    out_col: str = "residual",
+) -> DataFrame:
+    """Append the coarse residual (vector − its list's centroid) as a
+    DOUBLE array — the quantity residual PQ (IVFADC, Jégou et al. 2011
+    §III) encodes instead of the raw vector. One Arrow pass; the coarse
+    codebook rides the closure. Element-wise float64 subtraction in
+    index order — the same arithmetic the SQL oracle's list
+    comprehension performs."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(assigned.sparkSession)
+    cents = {cid: [float(v) for v in cent] for cid, cent in coarse_codebook}
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            mats = np.stack(pdf[emb_col].to_numpy()).astype(np.float64, copy=False)
+            cmat = np.stack([cents[int(c)] for c in pdf["ivf_cid"]])
+            res = mats - cmat
+            out = pdf.copy()
+            out[out_col] = list(res)
+            yield out
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        assigned.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+    return assigned.mapInPandas(batches, schema=schema)
+
+
+def residual_luts(
+    q_vec: list[float],
+    probe_cents: dict[int, list[float]],
+    codebooks: list[list[list[float]]],
+) -> dict[int, list[list[float]]]:
+    """One ADC lookup table per probed list, built from the QUERY
+    RESIDUAL against that list's centroid (q − c_L). Driver-side,
+    |probe| × M × ksub doubles."""
+    out = {}
+    for cid, cent in probe_cents.items():
+        qres = [float(q) - float(c) for q, c in zip(q_vec, cent)]
+        out[cid] = adc_lut(qres, codebooks)
+    return out
+
+
+def adc_score_residual(
+    encoded: DataFrame, luts_by_cid: dict[int, list[list[float]]]
+) -> DataFrame:
+    """Append ``adc_dist`` using the candidate's OWN list's LUT — M
+    lookups + a sequential sum per row, vectorized per list within the
+    Arrow batch."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(encoded.sparkSession)
+    table = {int(cid): [list(map(float, row)) for row in lut] for cid, lut in luts_by_cid.items()}
+
+    @pandas_udf("double")
+    def _score(cids: pd.Series, codes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        cm = np.stack(codes.to_numpy()).astype("int64")
+        cid_arr = cids.to_numpy()
+        scores = np.empty(len(codes), dtype="float64")
+        for cid in np.unique(cid_arr):
+            lut_m = np.asarray(table[int(cid)])
+            msk = cid_arr == cid
+            sub = cm[msk]
+            s = lut_m[0][sub[:, 0]]
+            for i in range(1, lut_m.shape[0]):
+                s = s + lut_m[i][sub[:, i]]
+            scores[msk] = s
+        return pd.Series(scores)
+
+    return encoded.withColumn("adc_dist", _score(col("ivf_cid"), col("pq_code")))

@@ -917,6 +917,174 @@ LIMIT {TOP_K}
 """
 
 
+# --- residual IVF-PQ (true IVFADC) ------------------------------------------
+# emb_ivfpq_topk quantizes RAW vectors; the canonical IVFADC (Jégou et
+# al. 2011 §III) quantizes the RESIDUAL r = x − c_list instead —
+# residuals concentrate near the origin, so the same ksub codes spend
+# their resolution where the probed lists' vectors actually live, and
+# the query builds one LUT per probed list from its own query residual.
+_IVFADC_CACHE = IndexCache()
+
+
+def _ivfadc_index(spark: SparkSession, sf_dir: str):
+    from ..operators import pq as P
+
+    key = (S.session_cache_key(spark), sf_dir, IVF_K, PQ_M, PQ_KSUB, "residual")
+    hit = _IVFADC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    coarse, assigned = _ivf_kmeans_index(spark, sf_dir)
+    res = P.with_residual(assigned, "embedding", coarse)
+    pq_cbs = P.pq_train(
+        res, "residual", "vec_id", m=PQ_M, ksub=PQ_KSUB, max_iter=PQ_ITERS
+    )
+    encoded = P.pq_encode(res, "residual", pq_cbs).drop("residual").persist()
+    return _IVFADC_CACHE.put(key, (coarse, pq_cbs, encoded))
+
+
+def q_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-k: probe the nearest trained lists, score
+    members by per-list residual ADC LUTs, exact-cosine re-rank. The
+    serving plan stays zero-exchange (codes-only scan → per-list LUT
+    lookups → TakeOrderedAndProject ×2); full oracle composed from the
+    coarse Lloyd CTE, a residual-source PQ pipeline, and per-list
+    query-residual LUTs."""
+    from ..operators import pq as P
+
+    coarse, pq_cbs, encoded = _ivfadc_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    q_vec = [
+        float(v)
+        for v in emb.filter(col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    probe_ids = _probe_ids(coarse, q_vec, IVF_NPROBE)
+    probe_cents = {cid: cent for cid, cent in coarse if cid in probe_ids}
+    luts = P.residual_luts(q_vec, probe_cents, pq_cbs)
+    shortlist = (
+        P.adc_score_residual(
+            encoded.filter(
+                col("ivf_cid").isin(probe_ids) & (col("vec_id") != QUERY_VEC_ID)
+            ),
+            luts,
+        )
+        .orderBy(col("adc_dist").asc(), col("vec_id"))
+        .limit(PQ_REFINE * TOP_K)
+    )
+    dim = len(q_vec)
+    q_lit = F.array(*[F.lit(float(v)) for v in q_vec]).cast("array<float>")
+    return (
+        shortlist.withColumn("q_emb", q_lit)
+        .select(
+            "vec_id",
+            "label",
+            S.cosine_expr("embedding", "q_emb", dim=dim).alias("cosine"),
+        )
+        .orderBy(col("cosine").desc(), col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ivfadc_oracle() -> str:
+    """Coarse CTEs + residual source + M residual-subspace Lloyd fits +
+    per-(probed list, code) query-residual LUTs. Float parity: the
+    residual is an element-wise float64 subtraction in index order on
+    both sides; every downstream accumulation keeps the established
+    sequential-fold discipline."""
+    from ..operators.ivf import duck_ivf_dist
+
+    cents = f"cents{KMEANS_ITERS}"
+    sub = PQ_EMB_DIM // PQ_M
+    # MATERIALIZED: the M×iters subspace-fit layers each scan
+    # ``residuals`` — inlined, every scan would recompute the coarse
+    # assignment (embeddings × centroids window) and the oracle goes
+    # combinatorial instead of |corpus|-sized.
+    residuals = (
+        "residuals AS MATERIALIZED (\n"
+        "    SELECT e.vec_id,\n"
+        "           [CAST(e.embedding[i] AS DOUBLE) - c.cent[i]\n"
+        "            for i in range(1, len(c.cent) + 1)] AS remb\n"
+        f"    FROM embeddings e\n"
+        f"    JOIN coarse_assigned a ON a.vec_id = e.vec_id\n"
+        f"    JOIN {cents} c ON c.cid = a.ivf_cid\n)"
+    )
+    defs, code_joins, lut_terms = [], [], []
+    for m in range(PQ_M):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        sl = f"e.remb[{lo}:{hi}]"
+        defs.append(_lloyd_cte_defs("residuals", sl, PQ_KSUB, PQ_ITERS, f"r{m}c"))
+        rcents = f"r{m}c{PQ_ITERS}"
+        defs.append(
+            f"rcode{m} AS (\n"
+            f"    SELECT vec_id, cid FROM (\n"
+            f"        SELECT e.vec_id, c.cid,\n"
+            f"               row_number() OVER (PARTITION BY e.vec_id\n"
+            f"                  ORDER BY {duck_ivf_dist('c.cent', sl)}, c.cid) AS rn\n"
+            f"        FROM residuals e, {rcents} c\n"
+            f"    ) WHERE rn = 1\n)"
+        )
+        off = m * sub
+        sq = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[(c.cent[i] - (CAST((q.qe)[{off} + i] AS DOUBLE) - p.cent[{off} + i])) * "
+            f"(c.cent[i] - (CAST((q.qe)[{off} + i] AS DOUBLE) - p.cent[{off} + i])) "
+            f"for i in range(1, {sub} + 1)]), (acc, x) -> acc + x)"
+        )
+        defs.append(
+            f"rlut{m} AS (\n"
+            f"    SELECT p.cid AS pcid, c.cid, {sq} AS d\n"
+            f"    FROM pcents p, {rcents} c, q\n)"
+        )
+        code_joins.append(
+            f"JOIN rcode{m} c{m} ON c{m}.vec_id = e.vec_id "
+            f"JOIN rlut{m} l{m} ON l{m}.pcid = a.ivf_cid AND l{m}.cid = c{m}.cid"
+        )
+        lut_terms.append(f"l{m}.d")
+    cos = S.cosine("s.embedding", "q.qe")[1]
+    return f"""
+{_kmeans_cents_cte()},
+q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+probe AS (
+    SELECT cid FROM (
+        SELECT c.cid, row_number() OVER (ORDER BY {duck_ivf_dist("c.cent", "q.qe")}, c.cid) AS rn
+        FROM {cents} c, q
+    ) WHERE rn <= {IVF_NPROBE}
+),
+pcents AS (
+    SELECT cid, cent FROM {cents} WHERE cid IN (SELECT cid FROM probe)
+),
+coarse_assigned AS MATERIALIZED (
+    SELECT vec_id, cid AS ivf_cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
+        FROM embeddings e, {cents} c
+    ) WHERE rn = 1
+),
+{residuals},
+{",".join(chr(10) + d for d in defs)},
+adc AS (
+    SELECT e.vec_id, e.label, e.embedding, ({" + ".join(lut_terms)}) AS adc_dist
+    FROM embeddings e
+    JOIN coarse_assigned a ON a.vec_id = e.vec_id
+    {chr(10).join("    " + j for j in code_joins)}
+    WHERE a.ivf_cid IN (SELECT cid FROM probe) AND e.vec_id != {QUERY_VEC_ID}
+),
+shortlist AS (
+    SELECT vec_id, label, embedding FROM adc
+    ORDER BY adc_dist, vec_id LIMIT {PQ_REFINE * TOP_K}
+)
+SELECT s.vec_id AS vec_id, s.label AS label, {cos} AS cosine
+FROM shortlist s, q
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
 SEMDEDUP_TAU = 0.35  # same similarity scale as NEAR_DUP_COSINE
 
 
@@ -1154,6 +1322,7 @@ QUERIES["emb_ivfpq_topk"] = QuerySpec(q_ivfpq_topk, _ivfpq_oracle())
 # group-reduction shape as kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_ivf_increment": QuerySpec(q_emb_ivf_increment, _ivf_increment_oracle()),
+    "emb_ivfadc_topk": QuerySpec(q_ivfadc_topk, _ivfadc_oracle()),
     "emb_topk_hydrated": QuerySpec(q_emb_topk_hydrated, _topk_hydrated_oracle()),
     "emb_near_dup_pairs": QuerySpec(q_near_dup_pairs, _near_dup_oracle()),
     "emb_pq_topk": QuerySpec(q_pq_topk, _pq_oracle()),

@@ -99,3 +99,12 @@ def test_ivfpq_is_a_subset_refinement_of_probed_lists(spark):
     }
     hits = set(_topk_ids(spark, "emb_ivfpq_topk"))
     assert hits <= member_ids
+
+
+def test_ivfadc_recall_vs_brute_force(spark):
+    """Residual quantization should be at least as good as raw-vector
+    PQ within the same probed lists."""
+    exact = set(_topk_ids(spark, "emb_cosine_topk"))
+    approx = set(_topk_ids(spark, "emb_ivfadc_topk"))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall {recall}"
