@@ -49,6 +49,7 @@ EXTRA_LOCAL_QUERIES = [
     "multimodal_resize",
     "text_repeated_passages",
     "emb_ivfadc_topk",
+    "text_cut_passages",
 ]
 
 _GRADED = all_queries()

@@ -644,6 +644,108 @@ GROUP BY g.doc_id
 """
 
 
+def q_text_cut_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of ExactSubstr dedup: token spans covered by a
+    duplicated shingle are REMOVED from every document except the
+    gram's canonical owner (lowest doc_id), and the cleaned text is
+    reassembled in token order. Output per doc: total tokens, cut
+    tokens, cleaned (lower-cased token-normalized) text. Dataflow:
+    posting explode (linear in token volume) → owner aggregation →
+    span explode → distinct cut positions → anti-join → ordered
+    reassembly; no pairwise term, every join keyed on (doc_id, pos) or
+    gram."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(H.tokens("text")[0])).alias("tpos", "tok"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(H.shingles(H.tokens("text"), PASSAGE_N)[0])).alias(
+            "pos", "gram"
+        ),
+    )
+    owners = (
+        grams.groupBy("gram")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(col("nd") >= 2)
+        .select("gram", "owner")
+    )
+    cut = (
+        grams.join(owners, "gram")
+        .filter(col("doc_id") != col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(col("pos"), col("pos") + F.lit(PASSAGE_N - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(cut, ["doc_id", "tpos"], "left_anti")
+    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (col("n_tokens") - F.coalesce(col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_cut_tokens"),
+        F.coalesce(col("cleaned"), F.lit("")).alias("cleaned"),
+    )
+
+
+def _cut_passages_oracle() -> str:
+    toks = H.tokens("text")[1]
+    sh = H.shingles(H.tokens("text"), PASSAGE_N)[1]
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         unnest([{{'tpos': i - 1, 'tok': l[i]}} for i in range(1, len(l) + 1)],
+                recursive := true)
+  FROM (SELECT doc_id, {toks} AS l FROM documents)
+), g AS MATERIALIZED (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1, 'gram': l[i]}} for i in range(1, len(l) + 1)],
+                recursive := true)
+  FROM (SELECT doc_id, {sh} AS l FROM documents)
+), owners AS (
+  SELECT gram, min(doc_id) AS owner FROM g
+  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), cutpos AS (
+  SELECT DISTINCT c.doc_id, c.pos + x.i AS tpos
+  FROM (SELECT g.doc_id, g.pos FROM g JOIN owners o USING (gram)
+        WHERE g.doc_id != o.owner) c,
+       (SELECT unnest(range(0, {PASSAGE_N})) AS i) x
+), kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM t ANTI JOIN cutpos c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+), totals AS (
+  SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY doc_id
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT tt.doc_id, tt.n_tokens,
+       CAST(tt.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_cut_tokens,
+       COALESCE(a.cleaned, '') AS cleaned
+FROM totals tt LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES["text_c4_filter"] = QuerySpec(q_text_c4_filter, _c4_oracle())
 QUERIES["text_gopher_quality"] = QuerySpec(q_text_gopher_quality, _gopher_oracle())
 
@@ -652,6 +754,7 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_repeated_passages": QuerySpec(
         q_text_repeated_passages, _repeated_passages_oracle()
     ),
+    "text_cut_passages": QuerySpec(q_text_cut_passages, _cut_passages_oracle()),
     "text_fingerprint": QuerySpec(q_text_fingerprint, _TEXT_FINGERPRINT_SQL),
     "text_top_tokens": QuerySpec(q_text_top_tokens, _TEXT_TOP_TOKENS_SQL),
     "text_pii_redact": QuerySpec(q_text_pii_redact, _pii_oracle()),
