@@ -50,6 +50,7 @@ EXTRA_LOCAL_QUERIES = [
     "text_repeated_passages",
     "emb_ivfadc_topk",
     "text_cut_passages",
+    "text_bpe_learn",
 ]
 
 _GRADED = all_queries()

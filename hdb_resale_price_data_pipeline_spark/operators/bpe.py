@@ -1,0 +1,157 @@
+"""Distributed BPE merge training — learn a tokenizer vocabulary from
+the corpus (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units").
+
+The scale shape mirrors operators/kmeans.py: the CORPUS is touched
+exactly once (tokenize → word-frequency aggregation); every merge
+iteration then runs over the VOCABULARY-sized working set (distinct
+words × frequency), which is millions of rows at 100 TB — not
+trillions. Per iteration: one explode + partial-agg'd pair count, a
+1-row driver argmax (ties → lexicographically smallest pair, so the
+result is deterministic), and one Arrow map applying the merge. No
+per-row Python in the corpus pass; the iterative loop never rescans
+the corpus.
+
+The trained merge list is what a tokenizer ships: ``bpe_apply`` uses
+it to segment unseen text, and greedy longest-merge application is
+deterministic given the ordered merges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..functions import hashing as H
+
+END = "</w>"  # end-of-word marker, standard BPE
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) over the whole corpus — the ONE corpus pass."""
+    toks = F.explode(F.expr(H.tokens(text_col)[0])).alias("word")
+    return df.select(toks).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _to_symbols(words: DataFrame) -> DataFrame:
+    """word → its initial symbol sequence (chars + end marker)."""
+    return words.withColumn(
+        "syms",
+        F.concat(
+            F.filter(F.split(col("word"), ""), lambda x: x != ""),
+            F.array(F.lit(END)),
+        ),
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 10, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges; returns them in application
+    order. Stops early when no pair reaches ``min_count``."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    work = _to_symbols(word_frequencies(df, text_col)).select("syms", "cnt").persist()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                work.select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(col("syms"), 1, F.size("syms") - 1),
+                            F.slice(col("syms"), 2, F.size("syms") - 1),
+                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(col("n").desc(), col("p.a"), col("p.b"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0]["n"] < min_count:
+                break
+            a, b = pairs[0]["p"]["a"], pairs[0]["p"]["b"]
+            merges.append((a, b))
+            merged = _apply_one_merge(work, a, b).persist()
+            merged.count()  # materialize before dropping the parent
+            work.unpersist()
+            work = merged
+    finally:
+        work.unpersist()
+    return merges
+
+
+def _apply_one_merge(work: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every adjacent (a, b) in the symbol sequences with the
+    merged symbol — one Arrow pass over the vocabulary table."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["syms"] = [_merge_seq(list(s), a, b) for s in pdf["syms"]]
+            yield pdf
+
+    return work.mapInPandas(gen, schema="syms array<string>, cnt long")
+
+
+def _merge_seq(syms: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_apply(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Segment each document's tokens with the trained merges (applied
+    in training order — the standard greedy BPE encoder); appends
+    ``bpe_n_pieces`` and ``bpe_pieces`` (first 32, for inspection).
+    Map-only Arrow pass; the merge list rides the closure."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    frozen = list(merges)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            counts, heads = [], []
+            for text in pdf[text_col]:
+                pieces: list[str] = []
+                for word in (text or "").lower().split(" "):
+                    if not word:
+                        continue
+                    syms = list(word) + [END]
+                    for a, b in frozen:
+                        syms = _merge_seq(syms, a, b)
+                    pieces.extend(syms)
+                counts.append(len(pieces))
+                heads.append(pieces[:32])
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bpe_n_pieces": counts,
+                    "bpe_pieces": heads,
+                }
+            )
+            yield out
+
+    return df.select("doc_id", text_col).mapInPandas(
+        gen, schema="doc_id long, bpe_n_pieces long, bpe_pieces array<string>"
+    )

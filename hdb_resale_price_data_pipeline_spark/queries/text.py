@@ -750,7 +750,34 @@ QUERIES["text_c4_filter"] = QuerySpec(q_text_c4_filter, _c4_oracle())
 QUERIES["text_gopher_quality"] = QuerySpec(q_text_gopher_quality, _gopher_oracle())
 
 
+BPE_MERGES = 6
+_BPE_MERGE_CACHE: dict[tuple, list] = {}
+
+
+def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE merges on the corpus (operators/bpe.py — the
+    vocabulary-table iterative shape: corpus scanned once, iterations
+    over word frequencies) and encode every document with them.
+    Iterative training is not SQL-expressible → rows-only driver
+    check; exact model parity + determinism + monotonicity are pinned
+    in tests/test_bpe.py. Merges cached per (session, corpus) like the
+    ANN indexes."""
+    from ..operators.bpe import bpe_apply, bpe_train
+    from ..operators.similarity import session_cache_key
+
+    key = (session_cache_key(spark), sf_dir, BPE_MERGES)
+    merges = _BPE_MERGE_CACHE.get(key)
+    if merges is None:
+        docs_train = t(spark, sf_dir, "documents")
+        merges = _BPE_MERGE_CACHE.setdefault(
+            key, bpe_train(docs_train, "text", n_merges=BPE_MERGES)
+        )
+    docs = widen(t(spark, sf_dir, "documents"))
+    return bpe_apply(docs, "text", merges)
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "text_bpe_learn": QuerySpec(q_text_bpe_learn, None),
     "text_repeated_passages": QuerySpec(
         q_text_repeated_passages, _repeated_passages_oracle()
     ),

@@ -1,0 +1,97 @@
+"""Distributed BPE merge training: model parity with a reference
+Python implementation, determinism, and encoder invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from conftest import TEST_SF_DIR
+from hdb_resale_price_data_pipeline_spark.operators.bpe import (
+    END,
+    bpe_apply,
+    bpe_train,
+    word_frequencies,
+)
+from hdb_resale_price_data_pipeline_spark.sources import read_table
+
+
+def _python_bpe(texts, n_merges, min_count=2):
+    """Reference implementation (Sennrich et al. 2016 fig. 1 shape)."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                vocab[tuple(list(w) + [END])] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_vocab = Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_python_model_on_fixture(spark):
+    texts = [
+        "low lower lowest",
+        "new newer newest",
+        "low low new new new",
+        "wide wider widest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(df, "text", n_merges=8)
+    want = _python_bpe(texts, 8)
+    assert got == want
+
+
+def test_bpe_is_deterministic_on_real_corpus(spark):
+    docs = read_table(spark, TEST_SF_DIR, "documents").limit(200)
+    m1 = bpe_train(docs, "text", n_merges=5)
+    m2 = bpe_train(docs, "text", n_merges=5)
+    assert m1 == m2 and len(m1) == 5
+
+
+def test_bpe_apply_reduces_piece_count(spark):
+    """More merges → never more pieces; zero merges = chars + markers."""
+    docs = read_table(spark, TEST_SF_DIR, "documents").limit(100)
+    merges = bpe_train(docs, "text", n_merges=6)
+    base = {
+        r.doc_id: r.bpe_n_pieces
+        for r in bpe_apply(docs, "text", []).collect()
+    }
+    enc = {
+        r.doc_id: r.bpe_n_pieces
+        for r in bpe_apply(docs, "text", merges).collect()
+    }
+    assert all(enc[d] <= base[d] for d in base)
+    assert sum(enc.values()) < sum(base.values())  # merges actually fire
+
+
+def test_word_frequencies_matches_driver_count(spark):
+    docs = read_table(spark, TEST_SF_DIR, "documents").limit(50)
+    got = {r.word: r.cnt for r in word_frequencies(docs, "text").collect()}
+    want = Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.lower().split(" "):
+            if w:
+                want[w] += 1
+    assert got == dict(want)
