@@ -137,11 +137,20 @@ def main() -> None:
             errors[name] = msg[:500]
             print(f"# {name}: ERROR {msg.splitlines()[0][:200]}", file=sys.stderr)
 
+    def consume(df):
+        """Evaluate EVERY column to a noop sink. A ``count()`` action
+        lets Catalyst prune all projected columns (a map-only transform
+        times as a bare row count) and even eliminate unique-key left
+        joins — the flat text_cut_passages curve that exposed this was
+        measuring none of the query's actual work."""
+        df.write.mode("overwrite").format("noop").save()
+        return "-"
+
     for name in BENCH_QUERIES:
         if name not in registry:
             errors[name] = "not in registry"
             continue
-        timed(name, lambda name=name: registry[name].fn(spark, sf_dir).count())
+        timed(name, lambda name=name: consume(registry[name].fn(spark, sf_dir)))
     # End-to-end pipeline run (parse → transform → merge → partitioned
     # sinks) — measures source parsing and SINKS, which the query suite
     # (deliberately) never touches.

@@ -268,14 +268,27 @@ def pq_topk_refined(
     TakeOrderedAndProject) re-ranked by EXACT cosine — the standard
     PQ serving pipeline. Returns (id, label, cosine) like the exact
     top-k queries so recall is directly comparable."""
-    from .similarity import cosine_expr
-
-    dim = len(q_vec)
     shortlist = (
         adc_score(encoded, adc_lut(q_vec, codebooks))
         .orderBy(col("adc_dist").asc(), col(id_col))
         .limit(refine_factor * k)
     )
+    return rerank_exact(shortlist, q_vec, k, id_col=id_col, emb_col=emb_col)
+
+
+def rerank_exact(
+    shortlist: DataFrame,
+    q_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The shared serving tail: exact-cosine re-rank of an ADC
+    shortlist, float ties broken by id (one place — every PQ variant's
+    output semantics stay in lockstep)."""
+    from .similarity import cosine_expr
+
+    dim = len(q_vec)
     q_lit = F.array(*[F.lit(float(v)) for v in q_vec]).cast("array<float>")
     return (
         shortlist.withColumn("q_emb", q_lit)
@@ -310,6 +323,8 @@ def with_residual(
         import numpy as np
 
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             mats = np.stack(pdf[emb_col].to_numpy()).astype(np.float64, copy=False)
             cmat = np.stack([cents[int(c)] for c in pdf["ivf_cid"]])
             res = mats - cmat

@@ -751,7 +751,12 @@ QUERIES["text_gopher_quality"] = QuerySpec(q_text_gopher_quality, _gopher_oracle
 
 
 BPE_MERGES = 6
-_BPE_MERGE_CACHE: dict[tuple, list] = {}
+# Same bounded-LRU discipline as the ANN indexes (values are plain
+# merge lists — nothing to unpersist, but dead sessions/datasets must
+# still fall out instead of accumulating forever).
+from ..operators.index_cache import IndexCache as _IndexCache  # noqa: E402
+
+_BPE_MERGE_CACHE = _IndexCache()
 
 
 def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,7 +774,7 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _BPE_MERGE_CACHE.get(key)
     if merges is None:
         docs_train = t(spark, sf_dir, "documents")
-        merges = _BPE_MERGE_CACHE.setdefault(
+        merges = _BPE_MERGE_CACHE.put(
             key, bpe_train(docs_train, "text", n_merges=BPE_MERGES)
         )
     docs = widen(t(spark, sf_dir, "documents"))

@@ -312,7 +312,16 @@ SCALING_QUERIES = [
     "emb_near_dup_lsh",
     "text_c4_filter",
     "text_repeated_passages",
+    "text_cut_passages",
+    "emb_ivfadc_topk",
+    "text_bpe_learn",
 ]
+
+
+def _noop(df) -> None:
+    """Evaluate every column to a noop sink — count() would let the
+    optimizer prune the projected work entirely (see bench.py)."""
+    df.write.mode("overwrite").format("noop").save()
 
 
 def _clear_index_caches() -> None:
@@ -320,6 +329,7 @@ def _clear_index_caches() -> None:
     not a cache probe — the build is the scale-sensitive part, and a
     warm-cache timing would report an artificially flat exponent."""
     from hdb_resale_price_data_pipeline_spark.queries import dedup as QD
+    from hdb_resale_price_data_pipeline_spark.queries import text as QT
     from hdb_resale_price_data_pipeline_spark.queries import similarity as QS
 
     for cache in (
@@ -329,7 +339,9 @@ def _clear_index_caches() -> None:
         QS._IVF_KM_CACHE,
         QS._PQ_INDEX_CACHE,
         QS._IVFPQ_CACHE,
+        QS._IVFADC_CACHE,
         QS._IVF_CORPUS_CACHE,
+        QT._BPE_MERGE_CACHE,
     ):
         cache.clear()
 
@@ -364,7 +376,7 @@ def probe_scaling(spark) -> None:
 
     # shared warmup
     for name in SCALING_QUERIES:
-        registry[name].fn(spark, dirs[1]).count()
+        _noop(registry[name].fn(spark, dirs[1]))
 
     import math
 
@@ -378,7 +390,7 @@ def probe_scaling(spark) -> None:
                 _clear_index_caches()
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                fn(spark, dirs[c]).count()
+                _noop(fn(spark, dirs[c]))
                 runs.append(time.perf_counter() - t0)
             results[name][c] = min(runs)
 
