@@ -53,3 +53,31 @@ def test_kmeans_oracle_sf0001(spark):
     srows = sorted(tuple(r) for r in q_kmeans_clusters(spark, sf_dir).collect())
     orows = sorted(tuple(r) for r in con.execute(_kmeans_oracle()).fetchall())
     assert len(srows) > 0 and srows == orows
+
+
+def test_assignments_stable_across_input_partitionings(spark):
+    """The driver's session parallelism is not ours: a different
+    partition count regroups the (cid, pid) partial-sum folds, so
+    centroid BITS may differ in the last ulps — but the ORACLE-relevant
+    output (the assignment) must not flip. Pins the no-near-tie margin
+    of this corpus across 32/7/3-partition fits, guarding the
+    Lloyd-unroll oracles against driver-parallelism differences."""
+    from hdb_resale_price_data_pipeline_spark.operators.ivf import (
+        assign_to_codebook,
+    )
+
+    emb = read_table(spark, TEST_SF_DIR, "embeddings")
+
+    def assignments(n_parts: int) -> dict[int, int]:
+        cb = kmeans_fit(
+            emb.repartition(n_parts), "embedding", "vec_id", k=8, max_iter=3
+        )
+        staged = emb.withColumn("_ed", emb.embedding.cast("array<double>"))
+        return {
+            r.vec_id: r.ivf_cid
+            for r in assign_to_codebook(staged, "_ed", cb).collect()
+        }
+
+    base = assignments(32)
+    for parts in (7, 3):
+        assert assignments(parts) == base, f"assignment flipped at {parts} partitions"
