@@ -51,6 +51,9 @@ EXTRA_LOCAL_QUERIES = [
     "emb_ivfadc_topk",
     "text_cut_passages",
     "text_bpe_learn",
+    "text_lm_perplexity",
+    "text_bm25_topk",
+    "text_dsir_weights",
 ]
 
 _GRADED = all_queries()

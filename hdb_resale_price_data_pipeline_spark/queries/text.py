@@ -750,6 +750,101 @@ QUERIES["text_c4_filter"] = QuerySpec(q_text_c4_filter, _c4_oracle())
 QUERIES["text_gopher_quality"] = QuerySpec(q_text_gopher_quality, _gopher_oracle())
 
 
+# --- model-based data selection (operators/scoring.py) ---------------------
+
+def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring (Wenzek et al. 2020): train an
+    add-one-smoothed bigram LM on a trusted slice (even doc_ids — the
+    deterministic stand-in for 'Wikipedia'), score EVERY document by
+    per-token negative log-likelihood. Model-sized broadcast joins, one
+    doc_id shuffle; the quantized-BIGINT log fold makes the score
+    hash-exact cross-engine (see operators/scoring.py docstring)."""
+    from ..operators import scoring as SC
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    uni, big, vocab = SC.train_bigram_lm(docs.filter(col("doc_id") % 2 == 0), "text")
+    return SC.score_perplexity(docs, "text", uni, big, vocab)
+
+
+def _lm_perplexity_oracle() -> str:
+    from ..operators import scoring as SC
+
+    tok_d = H.tokens("text")[1]
+    bg_d = H.shingles(H.tokens("text"), 2)[1]
+    lpq = SC.lm_logprob_sql("coalesce(bc, 0)", "coalesce(uc, 0)", "vsz")
+    return f"""
+WITH train AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+uni AS (SELECT w, count(*) AS uc
+        FROM (SELECT unnest({tok_d}) AS w FROM train) GROUP BY w),
+big AS (SELECT bg, count(*) AS bc
+        FROM (SELECT unnest({bg_d}) AS bg FROM train) GROUP BY bg),
+v AS (SELECT count(*) AS vsz FROM uni),
+occ AS (SELECT doc_id, unnest({bg_d}) AS bg FROM documents),
+scored AS (
+  SELECT occ.doc_id, {lpq} AS lpq
+  FROM occ
+  LEFT JOIN big USING (bg)
+  LEFT JOIN uni ON uni.w = string_split(occ.bg, ' ')[1]
+  CROSS JOIN v)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(-sum(lpq) AS BIGINT) AS nll_q,
+       round(CAST(-sum(lpq) AS DOUBLE) / count(*) / {SC.LOG_SCALE}, 4) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+BM25_TERMS = ["vector", "stream", "merge"]
+BM25_K = 20
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-20 documents for a fixed keyword query.
+    One corpus pass for global stats (1-row broadcast), one map-only
+    scoring pass (per-term tf is an array fold — no explode), then
+    TakeOrderedAndProject. Zero data-sized shuffles."""
+    from ..operators import scoring as SC
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return SC.bm25_topk(docs, "text", BM25_TERMS, BM25_K)
+
+
+def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    features into 64 buckets; weight = Σ_features log(p_target/p_raw)
+    with target = English docs. The model is 64 rows at ANY corpus
+    scale; two corpus passes, one doc_id shuffle."""
+    from ..operators import scoring as SC
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return SC.dsir_logweights(docs, "text", col("lang") == "en")
+
+
+def _dsir_oracle() -> str:
+    from ..operators import scoring as SC
+
+    feats_d = SC.dsir_features_sql("text")[1]
+    lrq = SC.dsir_logratio_sql("tbc", "tt", "rbc", "rt")
+    return f"""
+WITH bux AS (
+  SELECT doc_id, lang, h % {SC.DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest({feats_d}) AS h FROM documents)
+),
+rates AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS rbc,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tbc
+  FROM bux GROUP BY b),
+tot AS (SELECT CAST(sum(rbc) AS BIGINT) AS rt, CAST(sum(tbc) AS BIGINT) AS tt
+        FROM rates),
+lr AS (SELECT b, {lrq} AS lrq FROM rates CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_feats,
+       CAST(sum(lrq) AS BIGINT) AS logw_q,
+       round(CAST(sum(lrq) AS DOUBLE) / count(*) / {SC.LOG_SCALE}, 4) AS avg_logw
+FROM bux JOIN lr USING (b)
+GROUP BY doc_id
+"""
+
+
 BPE_MERGES = 6
 # Same bounded-LRU discipline as the ANN indexes (values are plain
 # merge lists — nothing to unpersist, but dead sessions/datasets must
@@ -781,7 +876,16 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, "text", merges)
 
 
+def _bm25_oracle() -> str:
+    from ..operators import scoring as SC
+
+    return SC.bm25_topk_oracle(BM25_TERMS, BM25_K, H.tokens("text")[1])
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
+    "text_bm25_topk": QuerySpec(q_text_bm25_topk, _bm25_oracle()),
+    "text_dsir_weights": QuerySpec(q_text_dsir_weights, _dsir_oracle()),
     "text_bpe_learn": QuerySpec(q_text_bpe_learn, None),
     "text_repeated_passages": QuerySpec(
         q_text_repeated_passages, _repeated_passages_oracle()
