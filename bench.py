@@ -54,6 +54,7 @@ EXTRA_LOCAL_QUERIES = [
     "text_lm_perplexity",
     "text_bm25_topk",
     "text_dsir_weights",
+    "text_quality_classifier",
 ]
 
 _GRADED = all_queries()

@@ -876,6 +876,39 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, "text", merges)
 
 
+_LR_W_CACHE = _IndexCache()  # trained LR weights per (session, corpus)
+
+
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style linear domain classifier trained IN the engine:
+    full-batch logistic-regression GD over hashed unigram+bigram bucket
+    features (operators/classifier.py), trained on the deterministic
+    doc_id-parity slice with target = English, then one map-only pass
+    scoring the whole corpus. Iterative training carries a FULL oracle:
+    quantized gradients make every GD sum order-free exact, and the
+    DuckDB twin unrolls the iterations as CTE layers (the same
+    discipline as the Lloyd-unroll k-means/PQ oracles). Weights cached
+    per (session, corpus) like the other trained models."""
+    from ..operators import classifier as CL
+    from ..operators.similarity import session_cache_key
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    key = (session_cache_key(spark), sf_dir, "lr_en")
+    w = _LR_W_CACHE.get(key)
+    if w is None:
+        train_fx = CL.featurize(
+            docs.filter(col("doc_id") % 2 == 0), "text", col("lang") == "en"
+        )
+        w = _LR_W_CACHE.put(key, CL.lr_train(train_fx))
+    return CL.lr_score(CL.featurize(docs, "text", col("lang") == "en"), w)
+
+
+def _lr_query_oracle() -> str:
+    from ..operators import classifier as CL
+
+    return CL.lr_oracle("lang = 'en'", "doc_id % 2 = 0")
+
+
 def _bm25_oracle() -> str:
     from ..operators import scoring as SC
 
@@ -884,6 +917,9 @@ def _bm25_oracle() -> str:
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
+    "text_quality_classifier": QuerySpec(
+        q_text_quality_classifier, _lr_query_oracle()
+    ),
     "text_bm25_topk": QuerySpec(q_text_bm25_topk, _bm25_oracle()),
     "text_dsir_weights": QuerySpec(q_text_dsir_weights, _dsir_oracle()),
     "text_bpe_learn": QuerySpec(q_text_bpe_learn, None),

@@ -81,3 +81,59 @@ def test_bm25_plan_has_no_data_sized_shuffle(spark):
     # between the documents scan and the TakeOrdered (the single
     # Exchange in the plan belongs to the 1-row global aggregate).
     assert plan.count("Exchange") <= 2  # partial->final agg pair only
+
+
+# --- logistic-regression classifier (operators/classifier.py) --------------
+
+def test_lr_learns_separable_domains(spark):
+    from hdb_resale_price_data_pipeline_spark.operators import classifier as CL
+
+    rows = (
+        [(i, "alpha beta gamma delta epsilon", "en") for i in range(0, 40, 2)]
+        + [(i, "uno dos tres cuatro cinco", "es") for i in range(1, 40, 2)]
+    )
+    docs = _docs(spark, rows)
+    fx = CL.featurize(docs, "text", col("lang") == "en")
+    w = CL.lr_train(fx)
+    out = CL.lr_score(fx, w).collect()
+    en = [r["prob"] for r in out if r["is_target"] == 1]
+    es = [r["prob"] for r in out if r["is_target"] == 0]
+    assert min(en) > max(es)
+    # trained far enough to call the classes apart at the 0.5 boundary
+    assert all(r["pred"] == r["is_target"] for r in out)
+
+
+def test_lr_training_is_deterministic_across_runs(spark):
+    from hdb_resale_price_data_pipeline_spark.operators import classifier as CL
+
+    rows = [(i, f"tok{i % 7} tok{i % 5} tok{i % 3}", "en" if i % 3 else "es") for i in range(60)]
+    docs = _docs(spark, rows)
+    fx = CL.featurize(docs, "text", col("lang") == "en")
+    w1 = CL.lr_train(fx)
+    w2 = CL.lr_train(CL.featurize(docs.repartition(7), "text", col("lang") == "en"))
+    # bit-identical weights regardless of input partitioning: the
+    # quantized-gradient sums are order-free exact
+    assert w1 == w2
+
+
+def test_lr_gradient_descent_reduces_logloss(spark):
+    import math
+
+    from hdb_resale_price_data_pipeline_spark.operators import classifier as CL
+
+    rows = (
+        [(i, "alpha beta gamma", "en") for i in range(0, 30, 2)]
+        + [(i, "uno dos tres", "es") for i in range(1, 30, 2)]
+    )
+    fx = CL.featurize(_docs(spark, rows), "text", col("lang") == "en")
+
+    def logloss(w):
+        eps = 1e-9
+        tot = 0.0
+        for r in CL.lr_score(fx, w).collect():
+            p = min(max(r["prob"], eps), 1 - eps)
+            y = r["is_target"]
+            tot += -(y * math.log(p) + (1 - y) * math.log(1 - p))
+        return tot
+
+    assert logloss(CL.lr_train(fx)) < logloss([0.0] * (CL.N_BUCKETS + 1))
