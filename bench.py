@@ -55,6 +55,7 @@ EXTRA_LOCAL_QUERIES = [
     "text_bm25_topk",
     "text_dsir_weights",
     "text_quality_classifier",
+    "text_model_selection",
 ]
 
 _GRADED = all_queries()

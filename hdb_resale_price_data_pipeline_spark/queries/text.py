@@ -909,6 +909,79 @@ def _lr_query_oracle() -> str:
     return CL.lr_oracle("lang = 'en'", "doc_id % 2 = 0")
 
 
+# consensus thresholds for the composed selection decision (centered on
+# the sf0.01 signal medians; any fixed constants work — the decision
+# rule is what's under test, the thresholds just need to split the data)
+SEL_NLL_MAX = 3.45
+SEL_PROBQ_MIN = 470_400
+_VOTES_EXPR = (
+    f"CAST(avg_nll <= {SEL_NLL_MAX} AS INT) + CAST(avg_logw > 0 AS INT) "
+    f"+ CAST(prob_q >= {SEL_PROBQ_MIN} AS INT)"
+)
+_DECISION_EXPR = (
+    "CASE WHEN quality_band = 'drop' THEN 'drop' "
+    "WHEN votes >= 2 THEN 'keep' "
+    "WHEN votes = 1 THEN 'review' ELSE 'drop' END"
+)
+
+
+def q_text_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed model-based data-selection stage: every per-doc
+    model signal — bigram-LM NLL (CCNet), DSIR importance weight,
+    trained-classifier probability, heuristic quality band — joined on
+    doc_id into one consensus keep/review/drop decision. Mirrors
+    curation_report's role for the heuristic pipeline: proves the
+    model-based operators COMPOSE. Each signal keeps its own scale
+    shape (model-sized broadcasts, ≤1 doc_id shuffle each); the final
+    joins are doc_id-partitioned merges of already-aggregated frames."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    lm = q_text_lm_perplexity(spark, sf_dir).select("doc_id", "avg_nll")
+    ds = q_text_dsir_weights(spark, sf_dir).select("doc_id", "avg_logw")
+    cl = q_text_quality_classifier(spark, sf_dir).select("doc_id", "prob_q", "prob")
+    score = T.quality_score("text")
+    qb = docs.select(
+        "doc_id",
+        F.when(score >= 0.6, "keep").when(score >= 0.4, "review").otherwise("drop").alias(
+            "quality_band"
+        ),
+    )
+    return (
+        lm.join(ds, "doc_id")
+        .join(cl, "doc_id")
+        .join(qb, "doc_id")
+        .withColumn("votes", F.expr(_VOTES_EXPR))
+        .select(
+            "doc_id",
+            "avg_nll",
+            "avg_logw",
+            "prob",
+            "quality_band",
+            "votes",
+            F.expr(_DECISION_EXPR).alias("decision"),
+        )
+    )
+
+
+def _model_selection_oracle() -> str:
+    return f"""
+WITH lm AS ({_lm_perplexity_oracle()}),
+ds AS ({_dsir_oracle()}),
+cl AS ({_lr_query_oracle()}),
+qb AS (SELECT doc_id,
+       CASE WHEN {T.quality_score_duck("text")} >= 0.6 THEN 'keep'
+            WHEN {T.quality_score_duck("text")} >= 0.4 THEN 'review'
+            ELSE 'drop' END AS quality_band
+       FROM documents),
+j AS (
+  SELECT lm.doc_id, avg_nll, avg_logw, prob_q, prob, quality_band,
+         {_VOTES_EXPR} AS votes
+  FROM lm JOIN ds USING (doc_id) JOIN cl USING (doc_id) JOIN qb USING (doc_id))
+SELECT doc_id, avg_nll, avg_logw, prob, quality_band, votes,
+       {_DECISION_EXPR} AS decision
+FROM j
+"""
+
+
 def _bm25_oracle() -> str:
     from ..operators import scoring as SC
 
@@ -922,6 +995,9 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     ),
     "text_bm25_topk": QuerySpec(q_text_bm25_topk, _bm25_oracle()),
     "text_dsir_weights": QuerySpec(q_text_dsir_weights, _dsir_oracle()),
+    "text_model_selection": QuerySpec(
+        q_text_model_selection, _model_selection_oracle()
+    ),
     "text_bpe_learn": QuerySpec(q_text_bpe_learn, None),
     "text_repeated_passages": QuerySpec(
         q_text_repeated_passages, _repeated_passages_oracle()

@@ -315,6 +315,10 @@ SCALING_QUERIES = [
     "text_cut_passages",
     "emb_ivfadc_topk",
     "text_bpe_learn",
+    "text_lm_perplexity",
+    "text_bm25_topk",
+    "text_dsir_weights",
+    "text_quality_classifier",
 ]
 
 
@@ -342,6 +346,7 @@ def _clear_index_caches() -> None:
         QS._IVFADC_CACHE,
         QS._IVF_CORPUS_CACHE,
         QT._BPE_MERGE_CACHE,
+        QT._LR_W_CACHE,
     ):
         cache.clear()
 
@@ -360,6 +365,14 @@ def probe_scaling(spark) -> None:
     from hdb_resale_price_data_pipeline_spark.queries import local_queries
 
     registry = local_queries()
+    # subset filter for probing just-added operators without re-running
+    # the whole (expensive) sweep: SPARK_GRAFT_SCALING_ONLY=a,b,c
+    only = os.environ.get("SPARK_GRAFT_SCALING_ONLY")
+    probe_list = (
+        [q for q in SCALING_QUERIES if q in only.split(",")]
+        if only
+        else SCALING_QUERIES
+    )
     dirs: dict[int, str] = {}
     for c in SCALING_COPIES:
         if c == 1:
@@ -375,13 +388,13 @@ def probe_scaling(spark) -> None:
     print(f"scales: {n_docs} docs (embeddings scale identically)")
 
     # shared warmup
-    for name in SCALING_QUERIES:
+    for name in probe_list:
         _noop(registry[name].fn(spark, dirs[1]))
 
     import math
 
     results: dict[str, dict[int, float]] = {}
-    for name in SCALING_QUERIES:
+    for name in probe_list:
         fn = registry[name].fn
         results[name] = {}
         for c in SCALING_COPIES:
