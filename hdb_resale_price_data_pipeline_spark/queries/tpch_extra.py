@@ -337,6 +337,283 @@ QUERIES: dict[str, QuerySpec] = {}
 
 # Subsumed by lineitem_filter_suite (q6/q14/q19) or near-duplicate of
 # graded demos (q22 = scalar subquery + anti join, both graded elsewhere);
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-sided dimension resolution (supplier nation
+    AND customer nation via separate nation aliases), nation-pair filter
+    in both directions, revenue by (supp_nation, cust_nation, year).
+    All dims broadcast; one shuffle for the final group."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1996-01-01")) & (col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        col("n_nationkey").alias("sn_key"), col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        col("n_nationkey").alias("cn_key"), col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") == col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") == col("cn_key"))
+        .filter(
+            ((col("supp_nation") == "NATION_1") & (col("cust_nation") == "NATION_2"))
+            | ((col("supp_nation") == "NATION_2") & (col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    (col("l_extendedprice") * (1 - col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over one
+    quarter, top 20 — selective flag filter + 4-way join + global
+    top-k (TakeOrderedAndProject)."""
+    li = t(spark, sf_dir, "lineitem").filter(col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01")) & (col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # DECIMAL(18,4) term sum: the 4-decimal true revenue terms sum
+            # exactly and order-free, so the 2-decimal presentation round
+            # can never land on a cross-engine ulp boundary (this query
+            # DID hit one as a double sum: 307843.595 at sf0.01).
+            F.round(
+                F.sum(
+                    (col("l_extendedprice") * (1 - col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(col("revenue").desc(), col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+                  2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer —
+    LEFT join (zero-order customers count as 0) then a second
+    aggregation over the counts. Two shuffles by construction."""
+    customer = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").filter(
+        col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        customer.join(orders, col("c_custkey") == col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(col("custdist").desc(), col("c_count").desc())
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarter revenue, then equality
+    against the MAX of that derived aggregate (scalar subquery over a
+    derived table). Revenue is rounded BEFORE the max/equality so the
+    comparison is on exact 2-decimal values cross-engine."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1996-01-01")) & (col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                (col("l_extendedprice") * (1 - col("l_discount"))).cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .crossJoin(broadcast(top))
+        .filter(col("total_rev") == col("max_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+                    2) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp adapted to the lineitem link table):
+    distinct-supplier variety per part attribute group, with a NOT-IN
+    exclusion subquery (low-balance suppliers stand in for the
+    complaints list). count(DISTINCT) + anti-join in one query."""
+    link = (
+        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    part = t(spark, sf_dir, "part").filter(
+        (col("p_brand") != "Brand#1")
+        & (col("p_type") != "ECONOMY")
+        & (col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    excluded = t(spark, sf_dir, "supplier").filter(col("s_acctbal") < 100).select(
+        "s_suppkey"
+    )
+    return (
+        link.join(broadcast(excluded), col("l_suppkey") == col("s_suppkey"), "left_anti")
+        .join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1' AND p_type != 'ECONOMY'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp adapted): shipped value per part for
+    two supplier nations, keeping only parts above a FRACTION of the
+    global total — a HAVING clause against a scalar subquery over the
+    same derived aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    scoped = (
+        li.join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_3", "NATION_4"))
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum(
+            (col("l_extendedprice") * col("l_quantity")).cast("decimal(18,4)")
+        ).alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("grand_dec"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .filter(
+            col("value_dec").cast("double")
+            > col("grand_dec").cast("double") * 0.002
+        )
+        .select(
+            "l_partkey",
+            F.round(col("value_dec"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(col("part_value").desc(), col("l_partkey"))
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_4')
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(value_dec AS DOUBLE)
+      > CAST((SELECT sum(value_dec) FROM per_part) AS DOUBLE) * 0.002
+ORDER BY part_value DESC, l_partkey
+"""
+
+
 # still oracle-verified by tests/test_correctness.py. approx_stats is
 # rows-only for the driver (sketch internals differ across engines), so
 # its graded slot went to an exact-oracle query; tests/test_approx.py
@@ -352,4 +629,10 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, _Q14_SQL),
     "q19_disjunctive": QuerySpec(q19_disjunctive, _Q19_SQL),
     "q22_idle_customers": QuerySpec(q22_idle_customers, _Q22_SQL),
+    "q7_nation_volume": QuerySpec(q7_nation_volume, _Q7_SQL),
+    "q10_returned_items": QuerySpec(q10_returned_items, _Q10_SQL),
+    "q13_order_distribution": QuerySpec(q13_order_distribution, _Q13_SQL),
+    "q15_top_supplier": QuerySpec(q15_top_supplier, _Q15_SQL),
+    "q16_supplier_variety": QuerySpec(q16_supplier_variety, _Q16_SQL),
+    "q11_important_value": QuerySpec(q11_important_value, _Q11_SQL),
 }
