@@ -614,6 +614,259 @@ ORDER BY part_value DESC, l_partkey
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue by
+    order year — conditional-aggregate ratio where numerator and
+    denominator are exact DECIMAL sums, so the double quotient is
+    bit-deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    nc = nation.select(col("n_nationkey").alias("cn_key"), "n_regionkey")
+    ns = nation.select(
+        col("n_nationkey").alias("sn_key"), col("n_name").alias("supp_nation")
+    )
+    vol = (col("l_extendedprice") * (1 - col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nc), col("c_nationkey") == col("cn_key"))
+        .join(broadcast(region), col("n_regionkey") == col("r_regionkey"))
+        .filter(col("r_name") == "ASIA")
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") == col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(col("supp_nation") == "NATION_5", vol).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )).cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS DOUBLE), 4) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (ps_supplycost adapted to a retail-price cost
+    proxy): profit by supplier nation and order year for parts whose
+    name carries a token."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part").filter(col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = (
+        col("l_extendedprice") * (1 - col("l_discount"))
+        - col("p_retailprice") * F.lit(0.6) * col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .groupBy(col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .orderBy("nation", col("o_year").desc())
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - p_retailprice * 0.6 * l_quantity AS DECIMAL(18,4))),
+                  2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode adapted to ship-delay buckets): count
+    critical- vs normal-priority lines per delay bucket — integer
+    date arithmetic + conditional counts, all exact."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+    crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .select(
+            F.when(delay > 60, "late").otherwise("on_time").alias("bucket"),
+            crit.alias("crit"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(col("crit"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~col("crit"), 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) > 60
+            THEN 'late' ELSE 'on_time' END AS bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp adapted): for each mid-size LARGE part,
+    the supplier(s) achieving the minimum observed unit price — a
+    per-part MIN resolved by window and matched by equality (MIN of
+    doubles is order-free exact, no sum involved)."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (col("p_type") == "LARGE") & col("p_size").between(10, 20)
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    offer = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(col("l_extendedprice") / col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        offer.withColumn("min_price", F.min("unit_price").over(w))
+        .filter(col("unit_price") == col("min_price"))
+        .drop("min_price")
+    )
+    return (
+        best.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            col("n_name").alias("supp_nation"),
+            # raw quotient, NOT rounded: extendedprice/quantity lands on
+            # exact .xxxx5 decimal ties structurally (2-decimal price /
+            # integer qty), where Spark's repr-round and DuckDB's
+            # binary-round disagree; the IEEE quotient itself is
+            # bit-identical on both engines.
+            col("unit_price"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+_Q2_SQL = """
+WITH offer AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT l_partkey, l_suppkey, unit_price
+  FROM (SELECT *, min(unit_price) OVER (PARTITION BY l_partkey) AS min_price
+        FROM offer)
+  WHERE unit_price = min_price)
+SELECT p_partkey, p_name, s_name, n_name AS supp_nation,
+       unit_price
+FROM best
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+ORDER BY p_partkey, s_name
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp availqty adapted): suppliers who
+    shipped more than 40% of some red part's total shipped quantity —
+    a correlated share threshold resolved as agg + window total +
+    semi-join back to supplier. Quantities are small integers in
+    doubles, so every sum is exact."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(col("p_name").startswith("red")).select(
+        "p_partkey"
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    shipped = (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(col("supp_qty") > col("part_qty") * 0.4)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(dominant, col("s_suppkey") == col("l_suppkey"), "left_semi")
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .select("s_suppkey", "s_name", col("n_name").alias("supp_nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name, n_name AS supp_nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty,
+               sum(sum(l_quantity)) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY l_partkey, l_suppkey)
+  WHERE supp_qty > part_qty * 0.4)
+ORDER BY s_suppkey
+"""
+
+
 # still oracle-verified by tests/test_correctness.py. approx_stats is
 # rows-only for the driver (sketch internals differ across engines), so
 # its graded slot went to an exact-oracle query; tests/test_approx.py
@@ -635,4 +888,9 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "q15_top_supplier": QuerySpec(q15_top_supplier, _Q15_SQL),
     "q16_supplier_variety": QuerySpec(q16_supplier_variety, _Q16_SQL),
     "q11_important_value": QuerySpec(q11_important_value, _Q11_SQL),
+    "q2_min_price_supplier": QuerySpec(q2_min_price_supplier, _Q2_SQL),
+    "q8_market_share": QuerySpec(q8_market_share, _Q8_SQL),
+    "q9_product_profit": QuerySpec(q9_product_profit, _Q9_SQL),
+    "q12_ship_delay": QuerySpec(q12_ship_delay, _Q12_SQL),
+    "q20_excess_shippers": QuerySpec(q20_excess_shippers, _Q20_SQL),
 }
