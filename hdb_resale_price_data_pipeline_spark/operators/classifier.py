@@ -46,7 +46,7 @@ PROB_SCALE = 1_000_000  # sigmoid / gradient quantization grid
 _D = N_BUCKETS + 1  # weight dimension
 
 
-def hashed_x_sql(text_col: str) -> tuple[str, str]:
+def hashed_x_sql() -> tuple[str, str]:
     """Normalized bucket-count feature vector + bias, (spark, duck).
     Built from an ``hm`` column holding the bucketed feature hashes."""
     spark = (
@@ -115,7 +115,7 @@ def w_literal(w: list[float]) -> str:
 
 def featurize(docs: DataFrame, text_col: str, label: Column) -> DataFrame:
     hm_s, _ = hm_sql(text_col)
-    x_s, _ = hashed_x_sql(text_col)
+    x_s, _ = hashed_x_sql()
     return (
         docs.select("doc_id", label.cast("double").alias("y"), F.expr(hm_s).alias("hm"))
         .select("doc_id", "y", F.expr(x_s).alias("x"))
@@ -129,7 +129,7 @@ def lr_train(train_fx: DataFrame) -> list[float]:
     train_fx = train_fx.persist()
     try:
         w = [0.0] * _D
-        for _ in range(N_ITERS):
+        for _ in range(N_ITERS):  # noqa: B007 — w carries the state
             scored = train_fx.select(
                 "y", "x", F.expr(pq_sql(z_sql(w_literal(w), "spark"))).alias("pq")
             )
@@ -138,6 +138,10 @@ def lr_train(train_fx: DataFrame) -> list[float]:
                 *[F.sum(F.expr(gq_sql(i, "spark"))).alias(f"g{i}") for i in range(1, _D + 1)],
             ).collect()[0]
             n = row["n"]
+            if n == 0:
+                raise ValueError(
+                    "lr_train: empty training slice — weights would become NaN"
+                )
             # exact-IEEE update chain, replicated verbatim in the oracle:
             # w_i - LR * (g_i / SCALE) / n
             w = [
@@ -159,7 +163,9 @@ def lr_score(all_fx: DataFrame, w: list[float]) -> DataFrame:
         "doc_id",
         "prob_q",
         (F.col("prob_q").cast("double") / PROB_SCALE).alias("prob"),
-        F.expr("CASE WHEN prob_q >= 500000 THEN 1 ELSE 0 END").alias("pred"),
+        F.expr(
+            f"CASE WHEN prob_q >= {PROB_SCALE // 2} THEN 1 ELSE 0 END"
+        ).alias("pred"),
         "is_target",
     )
 
@@ -168,7 +174,7 @@ def lr_oracle(label_duck: str, train_pred: str) -> str:
     """The GD-unroll CTE twin: one (scored, grads, weights) layer per
     iteration, then the final scoring pass over the full corpus."""
     hm_d = hm_sql("text")[1]
-    x_d = hashed_x_sql("text")[1]
+    x_d = hashed_x_sql()[1]
     pq_d = pq_sql(z_sql("w", "duck"))
     zeros = ", ".join(["CAST(0 AS DOUBLE)"] * _D)
     layers = [
@@ -201,7 +207,7 @@ w{t + 1} AS (SELECT [{wupd}] AS w FROM w{t} CROSS JOIN gr{t})"""
 WITH {joined}
 SELECT doc_id, pq AS prob_q,
        CAST(pq AS DOUBLE) / {PROB_SCALE} AS prob,
-       CASE WHEN pq >= 500000 THEN 1 ELSE 0 END AS pred,
+       CASE WHEN pq >= {PROB_SCALE // 2} THEN 1 ELSE 0 END AS pred,
        CAST(y AS INT) AS is_target
 FROM (SELECT doc_id, y, {pq_d} AS pq FROM ax CROSS JOIN w{N_ITERS})
 """

@@ -47,6 +47,17 @@ from ..functions import hashing as H
 
 LOG_SCALE = 10_000  # quantization grid for per-feature log terms
 
+
+def avg_presentation_sql(num: str, den: str) -> str:
+    """4-decimal presentation average of a quantized-BIGINT sum over a
+    count: ``floor(num/den + 0.5) / LOG_SCALE`` — repr-free rounding
+    (identical text both engines; see score_perplexity for why round()
+    cannot be used on integer-ratio quotients)."""
+    return (
+        f"CAST(floor(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) "
+        f"+ CAST(0.5 AS DOUBLE)) AS BIGINT) / CAST({LOG_SCALE} AS DOUBLE)"
+    )
+
 # ---------------------------------------------------------------------------
 # Bigram LM perplexity (CCNet-style quality scoring)
 # ---------------------------------------------------------------------------
@@ -117,9 +128,12 @@ def score_perplexity(docs: DataFrame, text_col: str, uni: DataFrame, big: DataFr
             "doc_id",
             "n_bigrams",
             "nll_q",
-            F.round(
-                col("nll_q").cast("double") / col("n_bigrams") / LOG_SCALE, 4
-            ).alias("avg_nll"),
+            # floor(q + 0.5), not round(q, 4): round() on a double
+            # consults the shortest decimal repr in Spark but the binary
+            # value in DuckDB, so integer-ratio quotients landing on
+            # .xxxx5 ties diverge; floor over the (bit-identical)
+            # quotient is repr-free and deterministic on both engines.
+            F.expr(avg_presentation_sql("nll_q", "n_bigrams")).alias("avg_nll"),
         )
     )
 
@@ -270,12 +284,12 @@ def dsir_logweights(docs: DataFrame, text_col: str, target: Column) -> DataFrame
     feats_s, _ = dsir_features_sql(text_col)
     occ = docs.select(
         "doc_id",
-        col("lang"),
+        target.cast("long").alias("_t"),
         F.explode(F.expr(feats_s)).alias("h"),
-    ).select("doc_id", "lang", (col("h") % DSIR_BUCKETS).alias("b"))
+    ).select("doc_id", "_t", (col("h") % DSIR_BUCKETS).alias("b"))
     rates = occ.groupBy("b").agg(
         F.count("*").alias("rbc"),
-        F.sum(target.cast("long")).alias("tbc"),
+        F.sum("_t").alias("tbc"),
     )
     w = Window.partitionBy()
     rates = rates.select(
@@ -296,8 +310,6 @@ def dsir_logweights(docs: DataFrame, text_col: str, target: Column) -> DataFrame
             "doc_id",
             "n_feats",
             "logw_q",
-            F.round(
-                col("logw_q").cast("double") / col("n_feats") / LOG_SCALE, 4
-            ).alias("avg_logw"),
+            F.expr(avg_presentation_sql("logw_q", "n_feats")).alias("avg_logw"),
         )
     )

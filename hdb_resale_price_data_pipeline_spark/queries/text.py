@@ -789,7 +789,7 @@ scored AS (
 SELECT doc_id,
        count(*) AS n_bigrams,
        CAST(-sum(lpq) AS BIGINT) AS nll_q,
-       round(CAST(-sum(lpq) AS DOUBLE) / count(*) / {SC.LOG_SCALE}, 4) AS avg_nll
+       {SC.avg_presentation_sql("-sum(lpq)", "count(*)")} AS avg_nll
 FROM scored GROUP BY doc_id
 """
 
@@ -839,7 +839,7 @@ tot AS (SELECT CAST(sum(rbc) AS BIGINT) AS rt, CAST(sum(tbc) AS BIGINT) AS tt
 lr AS (SELECT b, {lrq} AS lrq FROM rates CROSS JOIN tot)
 SELECT doc_id, count(*) AS n_feats,
        CAST(sum(lrq) AS BIGINT) AS logw_q,
-       round(CAST(sum(lrq) AS DOUBLE) / count(*) / {SC.LOG_SCALE}, 4) AS avg_logw
+       {SC.avg_presentation_sql("sum(lrq)", "count(*)")} AS avg_logw
 FROM bux JOIN lr USING (b)
 GROUP BY doc_id
 """

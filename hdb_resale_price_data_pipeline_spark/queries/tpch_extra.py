@@ -335,8 +335,6 @@ GROUP BY 1
 # operators (this module was explicitly ordered to fall off first).
 QUERIES: dict[str, QuerySpec] = {}
 
-# Subsumed by lineitem_filter_suite (q6/q14/q19) or near-duplicate of
-# graded demos (q22 = scalar subquery + anti join, both graded elsewhere);
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: two-sided dimension resolution (supplier nation
     AND customer nation via separate nation aliases), nation-pair filter
@@ -640,12 +638,23 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(ns), col("s_nationkey") == col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(col("supp_nation") == "NATION_5", vol).otherwise(
-                    F.lit(0).cast("decimal(18,4)")
-                )).cast("double")
-                / F.sum(vol).cast("double"),
-                4,
+            # floor(q*1e4 + 0.5)/1e4, not round(q, 4): the quotient of
+            # two exact DECIMAL sums is a bit-identical double on both
+            # engines, but round() consults the decimal repr in Spark vs
+            # the binary value in DuckDB and diverges on .xxxx5 ties;
+            # floor is repr-free.
+            (
+                F.floor(
+                    F.sum(
+                        F.when(col("supp_nation") == "NATION_5", vol).otherwise(
+                            F.lit(0).cast("decimal(18,4)")
+                        )
+                    ).cast("double")
+                    / F.sum(vol).cast("double")
+                    * 10000
+                    + 0.5
+                ).cast("double")
+                / 10000
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -654,11 +663,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = """
 SELECT year(o_orderdate) AS o_year,
-       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+       CAST(floor(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
                            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
              / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                    AS DOUBLE), 4) AS mkt_share
+                    AS DOUBLE) * 10000 + 0.5) AS DOUBLE) / 10000 AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -867,6 +876,8 @@ ORDER BY s_suppkey
 """
 
 
+# Subsumed by lineitem_filter_suite (q6/q14/q19) or near-duplicate of
+# graded demos (q22 = scalar subquery + anti join, both graded elsewhere);
 # still oracle-verified by tests/test_correctness.py. approx_stats is
 # rows-only for the driver (sketch internals differ across engines), so
 # its graded slot went to an exact-oracle query; tests/test_approx.py

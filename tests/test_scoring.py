@@ -77,10 +77,11 @@ def test_bm25_plan_has_no_data_sized_shuffle(spark):
     docs = read_table(spark, TEST_SF_DIR, "documents")
     plan = SC.bm25_topk(docs, "text", ["vector"], 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    # corpus rows reach the top-k without a repartition: no shuffle
-    # between the documents scan and the TakeOrdered (the single
-    # Exchange in the plan belongs to the 1-row global aggregate).
-    assert plan.count("Exchange") <= 2  # partial->final agg pair only
+    # corpus rows reach the top-k without a repartition: the only
+    # exchanges allowed are the 1-row stats aggregate's single-partition
+    # exchange and the broadcast of its result — never a data-sized
+    # hash-partitioned shuffle of the corpus.
+    assert "Exchange hashpartitioning" not in plan
 
 
 # --- logistic-regression classifier (operators/classifier.py) --------------

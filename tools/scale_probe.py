@@ -368,11 +368,16 @@ def probe_scaling(spark) -> None:
     # subset filter for probing just-added operators without re-running
     # the whole (expensive) sweep: SPARK_GRAFT_SCALING_ONLY=a,b,c
     only = os.environ.get("SPARK_GRAFT_SCALING_ONLY")
-    probe_list = (
-        [q for q in SCALING_QUERIES if q in only.split(",")]
-        if only
-        else SCALING_QUERIES
-    )
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = sorted(set(wanted) - set(SCALING_QUERIES))
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALING_ONLY names not in SCALING_QUERIES: {unknown}"
+            )
+        probe_list = [q for q in SCALING_QUERIES if q in wanted]
+    else:
+        probe_list = SCALING_QUERIES
     dirs: dict[int, str] = {}
     for c in SCALING_COPIES:
         if c == 1:
