@@ -44,7 +44,16 @@ def avg_token_len(text_col: str) -> Column:
     total = F.expr(
         f"aggregate(transform({toks}, x -> length(x)), 0, (acc, x) -> acc + x)"
     )
-    return F.round(total.cast("double") / F.size(F.expr(toks)), 4)
+    # floor(q*1e4 + 0.5)/1e4, not round(q, 4): integer-ratio quotients
+    # land on exact 5th-decimal .5 ties structurally (e.g. odd char sum /
+    # 64 tokens), where Spark's repr-round and DuckDB's binary-round can
+    # disagree; floor over the bit-identical quotient is repr-free.
+    return (
+        F.floor(
+            total.cast("double") / F.size(F.expr(toks)) * 10000 + F.lit(0.5)
+        ).cast("double")
+        / 10000
+    )
 
 
 def stopword_count(text_col: str, lang: str) -> Column:
@@ -87,18 +96,33 @@ def quality_score(text_col: str) -> Column:
     sw = stopword_count(text_col, "en")
     length_ok = F.when((n_tok >= 20) & (n_tok <= 400), 1).otherwise(0)
     has_stopwords = F.when(sw * 10 >= n_tok, 1).otherwise(0)  # ≥10% stopwords
-    diversity = F.round(n_distinct.cast("double") / n_tok, 4)
-    return F.round((length_ok + has_stopwords + diversity) / F.lit(3.0), 4)
+    # repr-free floor(q*1e4 + 0.5)/1e4 rounding (see avg_token_len): the
+    # diversity ratio and the /3 average are integer-ratio quotients
+    # where Spark's repr-round and DuckDB's binary-round can split ties.
+    diversity = (
+        F.floor(n_distinct.cast("double") / n_tok * 10000 + F.lit(0.5)).cast("double")
+        / 10000
+    )
+    return (
+        F.floor(
+            (length_ok + has_stopwords + diversity) / F.lit(3.0) * 10000 + F.lit(0.5)
+        ).cast("double")
+        / 10000
+    )
 
 
 def quality_score_duck(text_col: str) -> str:
     toks = H.tokens(text_col)[1]
     dtoks = H.distinct_tokens(text_col)[1]
     sw = stopword_count_duck(text_col, "en")
+    diversity = (
+        f"CAST(floor(len({dtoks})::DOUBLE / len({toks}) * 10000 + 0.5) AS DOUBLE)"
+        f" / 10000"
+    )
     return (
-        f"round((CASE WHEN len({toks}) BETWEEN 20 AND 400 THEN 1 ELSE 0 END"
+        f"CAST(floor((CASE WHEN len({toks}) BETWEEN 20 AND 400 THEN 1 ELSE 0 END"
         f" + CASE WHEN {sw} * 10 >= len({toks}) THEN 1 ELSE 0 END"
-        f" + round(len({dtoks})::DOUBLE / len({toks}), 4)) / 3.0, 4)"
+        f" + {diversity}) / 3.0 * 10000 + 0.5) AS DOUBLE) / 10000"
     )
 
 

@@ -32,9 +32,10 @@ SELECT doc_id,
        length(text) AS n_chars_actual,
        len({H.tokens("text")[1]}) AS n_tokens,
        len({H.distinct_tokens("text")[1]}) AS n_distinct_tokens,
-       round(list_reduce(list_prepend(0, list_transform({H.tokens("text")[1]},
+       CAST(floor(list_reduce(list_prepend(0, list_transform({H.tokens("text")[1]},
              x -> length(x))), (acc, x) -> acc + x)::DOUBLE
-             / len({H.tokens("text")[1]}), 4) AS avg_token_len
+             / len({H.tokens("text")[1]}) * 10000 + 0.5) AS DOUBLE)
+             / 10000 AS avg_token_len
 FROM documents
 """
 
@@ -112,9 +113,10 @@ SELECT doc_id,
        length(text) AS n_chars_actual,
        len({H.tokens("text")[1]}) AS n_tokens,
        len({H.distinct_tokens("text")[1]}) AS n_distinct_tokens,
-       round(list_reduce(list_prepend(0, list_transform({H.tokens("text")[1]},
+       CAST(floor(list_reduce(list_prepend(0, list_transform({H.tokens("text")[1]},
              x -> length(x))), (acc, x) -> acc + x)::DOUBLE
-             / len({H.tokens("text")[1]}), 4) AS avg_token_len,
+             / len({H.tokens("text")[1]}) * 10000 + 0.5) AS DOUBLE)
+             / 10000 AS avg_token_len,
        {T.quality_score_duck("text")} AS quality,
        CASE WHEN {T.quality_score_duck("text")} >= 0.6 THEN 'keep'
             WHEN {T.quality_score_duck("text")} >= 0.4 THEN 'review'
