@@ -45,6 +45,7 @@ EXTRA_LOCAL_QUERIES = [
     "lineitem_filter_suite",
     "events_daily_rollup",
     "stream_doc_quality",
+    "stream_dedup_gate",
     "stream_sliding_counts",
     "multimodal_resize",
     "text_repeated_passages",

@@ -32,6 +32,7 @@ in SQL for ASCII payloads (operators/multimodal.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..operators.multimodal import (
@@ -345,7 +346,46 @@ FROM documents
 """
 
 
+def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup gate (streaming/documents.py): arriving
+    documents checked against the existing corpus (doc_id % 3 == 0
+    slice) — exact-fingerprint and prefix-fingerprint broadcast
+    stream-static joins, routed drop_exact/review_neardup/ingest.
+    Map-only append stream → exact batch-twin oracle."""
+    from ..streaming.documents import documents_stream, stream_dedup_gate
+
+    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return run_stream_to_df(
+        stream_dedup_gate(documents_stream(spark, sf_dir), corpus), spark
+    )
+
+
+def _stream_dedup_gate_oracle() -> str:
+    from ..functions import hashing as H
+    from ..operators.incremental import prefix_fingerprint_duck
+    from ..streaming.documents import GATE_PREFIX_K
+
+    fp = H.string_hash("lower(text)")[1]
+    pfp = prefix_fingerprint_duck("text", GATE_PREFIX_K)
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+ce AS (SELECT DISTINCT {fp} AS c_fp FROM corpus),
+cp AS (SELECT DISTINCT {pfp} AS c_pfp FROM corpus),
+s AS (SELECT doc_id, lang, {fp} AS fp, {pfp} AS pfp FROM documents)
+SELECT doc_id, lang,
+       CAST(c_fp IS NOT NULL AS INT) AS is_exact_dup,
+       CAST(c_pfp IS NOT NULL AS INT) AS is_prefix_dup,
+       CASE WHEN c_fp IS NOT NULL THEN 'drop_exact'
+            WHEN c_pfp IS NOT NULL THEN 'review_neardup'
+            ELSE 'ingest' END AS gate
+FROM s
+LEFT JOIN ce ON fp = c_fp
+LEFT JOIN cp ON pfp = c_pfp
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "stream_dedup_gate": QuerySpec(q_stream_dedup_gate, _stream_dedup_gate_oracle()),
     "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),
     "stream_static_enrich": QuerySpec(q_stream_static_enrich, _STREAM_STATIC_SQL),
     "stream_doc_quality": QuerySpec(q_stream_doc_quality, _stream_doc_quality_oracle()),

@@ -64,6 +64,56 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GATE_PREFIX_K = 2  # short prefix → real boilerplate-collision band
+
+
+def stream_dedup_gate(docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Stream-static dedup gate: every arriving document is checked
+    against the EXISTING corpus — exact duplicate via the full-text
+    fingerprint, boilerplate near-dup via the ``GATE_PREFIX_K``-token
+    prefix fingerprint — and routed drop/review/ingest BEFORE landing.
+
+    This lifts the incremental-curation plan shape
+    (operators/incremental.py: corpus fingerprints meet the batch via
+    broadcast, the corpus is never shuffled) into the ingest stream:
+    both corpus fingerprint sets are distinct-reduced once and broadcast
+    into each micro-batch as stream-static left joins. Map-only, no
+    watermark, no state store — append emits every row, so the
+    batch-twin oracle is exact. At 100 TB the broadcast side is the
+    fingerprint *index* (one BIGINT per corpus doc), not the corpus.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from ..functions import hashing as H
+    from ..operators.incremental import prefix_fingerprint
+
+    exact_fp = F.expr(H.string_hash("lower(text)")[0])
+    corpus_exact = corpus.select(exact_fp.alias("c_fp")).distinct()
+    corpus_prefix = corpus.select(
+        prefix_fingerprint("text", GATE_PREFIX_K).alias("c_pfp")
+    ).distinct()
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        exact_fp.alias("fp"),
+        prefix_fingerprint("text", GATE_PREFIX_K).alias("pfp"),
+    )
+    return (
+        scored.join(broadcast(corpus_exact), col("fp") == col("c_fp"), "left")
+        .join(broadcast(corpus_prefix), col("pfp") == col("c_pfp"), "left")
+        .select(
+            "doc_id",
+            "lang",
+            col("c_fp").isNotNull().cast("int").alias("is_exact_dup"),
+            col("c_pfp").isNotNull().cast("int").alias("is_prefix_dup"),
+            F.when(col("c_fp").isNotNull(), "drop_exact")
+            .when(col("c_pfp").isNotNull(), "review_neardup")
+            .otherwise("ingest")
+            .alias("gate"),
+        )
+    )
+
+
 def stream_quality_gate(docs: DataFrame) -> DataFrame:
     """Score + route each arriving document (map-only append stream):
     the quality band decides keep/review/drop at the ingest boundary.

@@ -455,3 +455,48 @@ def test_doc_quality_gate_streams_in_micro_batches(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_gate_flags_corpus_collisions(spark):
+    """Stream-static dedup gate (streaming/documents.py): every arriving
+    doc that IS in the static corpus slice must flag drop_exact; docs
+    sharing only a short prefix with a corpus doc go review_neardup; the
+    rest ingest. Runs as a real availableNow stream across micro-batches."""
+    import uuid
+
+    from hdb_resale_price_data_pipeline_spark.sources import read_table
+    from hdb_resale_price_data_pipeline_spark.streaming.documents import (
+        STREAM_SLICES,
+        documents_stream,
+        stream_dedup_gate,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = read_table(spark, TEST_SF_DIR, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    gated = stream_dedup_gate(documents_stream(spark, TEST_SF_DIR), corpus)
+    name = f"dedup_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches == STREAM_SLICES
+
+    rows = spark.table(name).collect()
+    by_id = {r.doc_id: r for r in rows}
+    n_docs = read_table(spark, TEST_SF_DIR, "documents").count()
+    assert len(rows) == n_docs  # append emits every arriving doc exactly once
+    # every corpus-slice doc collides with itself -> drop_exact
+    for doc_id, r in by_id.items():
+        if doc_id % 3 == 0:
+            assert r.gate == "drop_exact", doc_id
+            assert r.is_exact_dup == 1 and r.is_prefix_dup == 1
+    # all three routes actually occur on this corpus
+    gates = {r.gate for r in rows}
+    assert gates == {"drop_exact", "review_neardup", "ingest"}
