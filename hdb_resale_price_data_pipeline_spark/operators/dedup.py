@@ -180,7 +180,11 @@ def jaccard_expr(tokens_a: str, tokens_b: str) -> Column:
     union = (
         F.size(col(tokens_a)) + F.size(col(tokens_b))
     ).cast("double") - F.size(F.array_intersect(col(tokens_a), col(tokens_b)))
-    return F.round(inter / union, 4)
+    # repr-free floor(q*1e4 + 0.5)/1e4: |I|/|U| is an integer ratio that
+    # lands on exact 5th-decimal ties whenever |U| is 2^a*5^b (40, 50,
+    # 64 ... are common union sizes), where Spark's repr-round and
+    # DuckDB's binary-round can split.
+    return F.floor(inter / union * 10000 + F.lit(0.5)).cast("double") / 10000
 
 
 def verify_jaccard_pairs(
@@ -331,10 +335,14 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                col("n_common").cast("double")
-                / ((col("na") + col("nb")).cast("double") - col("n_common")),
-                4,
+            (
+                F.floor(
+                    col("n_common").cast("double")
+                    / ((col("na") + col("nb")).cast("double") - col("n_common"))
+                    * 10000
+                    + F.lit(0.5)
+                ).cast("double")
+                / 10000
             ).alias("jaccard"),
         )
         .filter(col("jaccard") >= threshold)

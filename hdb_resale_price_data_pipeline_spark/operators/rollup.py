@@ -60,8 +60,16 @@ def daily_from_hourly(rollup: DataFrame) -> DataFrame:
             "event_type",
             "n_events",
             col("sum_value").cast("double").alias("total_value"),
-            F.round(
-                col("sum_value").cast("double") / col("n_events").cast("double"), 6
+            # repr-free floor rounding: the decimal-sum / count quotient
+            # can land on exact 7th-decimal ties (see operators/dedup.py
+            # jaccard_expr for the Spark-vs-DuckDB round() split)
+            (
+                F.floor(
+                    col("sum_value").cast("double") / col("n_events").cast("double")
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("double")
+                / 1000000
             ).alias("avg_value"),
         )
     )

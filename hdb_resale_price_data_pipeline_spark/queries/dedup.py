@@ -188,9 +188,9 @@ WITH melted AS (
     SELECT doc_id, {toks} AS toks FROM documents
 ), scored AS (
     SELECT doc_a, doc_b,
-           round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
-                 / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))),
-                 4) AS jaccard
+           CAST(floor(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                 / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+                 * 10000 + 0.5) AS DOUBLE) / 10000 AS jaccard
     FROM pairs
     JOIN toks ta ON ta.doc_id = doc_a
     JOIN toks tb ON tb.doc_id = doc_b
@@ -232,9 +232,9 @@ WITH base AS (
     SELECT doc_id, lang AS block, list_distinct({grams}) AS grams FROM documents
 ), scored AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.grams, b.grams))::DOUBLE
-                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
-                 4) AS jaccard
+           CAST(floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 * 10000 + 0.5) AS DOUBLE) / 10000 AS jaccard
     FROM base a
     JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
 )
@@ -278,10 +278,10 @@ WITH RECURSIVE melted AS (
 ), verified AS (
     SELECT doc_a, doc_b FROM (
         SELECT doc_a, doc_b,
-               round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+               CAST(floor(len(list_intersect(ta.toks, tb.toks))::DOUBLE
                      / (len(ta.toks) + len(tb.toks)
-                        - len(list_intersect(ta.toks, tb.toks))),
-                     4) AS jaccard
+                        - len(list_intersect(ta.toks, tb.toks)))
+                     * 10000 + 0.5) AS DOUBLE) / 10000 AS jaccard
         FROM cand
         JOIN toks ta ON ta.doc_id = doc_a
         JOIN toks tb ON tb.doc_id = doc_b
@@ -357,10 +357,10 @@ WITH RECURSIVE corpus AS (
 ), verified AS (
     SELECT doc_a, doc_b FROM (
         SELECT doc_a, doc_b,
-               round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+               CAST(floor(len(list_intersect(ta.toks, tb.toks))::DOUBLE
                      / (len(ta.toks) + len(tb.toks)
-                        - len(list_intersect(ta.toks, tb.toks))),
-                     4) AS jaccard
+                        - len(list_intersect(ta.toks, tb.toks)))
+                     * 10000 + 0.5) AS DOUBLE) / 10000 AS jaccard
         FROM cand
         JOIN toks ta ON ta.doc_id = doc_a
         JOIN toks tb ON tb.doc_id = doc_b
@@ -491,9 +491,10 @@ def _curation_increment_oracle() -> str:
     grams = doc_shingle_hashes_duck("text", P.DECONTAM_N)
     fp = T.fingerprint_duck("text")
     jac = (
-        "round(len(list_intersect(bt.toks, ct.toks))::DOUBLE"
+        "CAST(floor(len(list_intersect(bt.toks, ct.toks))::DOUBLE"
         " / (len(bt.toks) + len(ct.toks)"
-        " - len(list_intersect(bt.toks, ct.toks))), 4)"
+        " - len(list_intersect(bt.toks, ct.toks)))"
+        " * 10000 + 0.5) AS DOUBLE) / 10000"
     )
     return f"""
 WITH batch AS (

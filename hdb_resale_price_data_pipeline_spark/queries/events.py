@@ -133,7 +133,14 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.max("session_seq").alias("n_sessions"),
-            F.round(F.avg("n_events"), 2).alias("avg_events_per_session"),
+            # integer-sum / count quotient: repr-free floor rounding
+            # (Spark repr-round vs DuckDB binary-round split exact ties)
+            (
+                F.floor(
+                    F.sum("n_events") / F.count(F.lit(1)) * 100 + F.lit(0.5)
+                ).cast("double")
+                / 100
+            ).alias("avg_events_per_session"),
             F.max("n_events").alias("max_session_events"),
         )
     )
@@ -157,7 +164,8 @@ WITH flagged AS (
 )
 SELECT user_id,
        CAST(max(session_seq) AS BIGINT) AS n_sessions,
-       round(avg(n_events), 2) AS avg_events_per_session,
+       CAST(floor(sum(n_events) / count(*) * 100 + 0.5) AS DOUBLE) / 100
+         AS avg_events_per_session,
        max(n_events) AS max_session_events
 FROM per_session
 GROUP BY 1
@@ -201,7 +209,10 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 2).alias("avg_k"),
+            (
+                F.floor(F.sum("k") / F.count("k") * 100 + F.lit(0.5)).cast("double")
+                / 100
+            ).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.count(F.when(col("k") > 50, 1)).alias("n_high"),
         )
@@ -210,7 +221,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_JSON_SQL = """
 SELECT event_type,
-       round(avg(k), 2) AS avg_k,
+       CAST(floor(sum(k) / count(k) * 100 + 0.5) AS DOUBLE) / 100 AS avg_k,
        max(k) AS max_k,
        count(*) FILTER (k > 50) AS n_high
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
@@ -378,8 +389,9 @@ SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS total_value,
-       round(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS avg_value
+       CAST(floor(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+         AS avg_value
 FROM events
 GROUP BY 1, 2
 """

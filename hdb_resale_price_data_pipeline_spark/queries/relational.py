@@ -24,13 +24,43 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # sum_qty / sum_base_price: sums of integer-valued / exact
+            # 2-decimal terms — tie-free at round-2, left as-is. The
+            # PRODUCT sum and the averages are the tie-prone shapes
+            # (see q10 in tpch_extra.py): products of 2-decimal values
+            # are 4-decimal rationals whose sums land on exact .xx5
+            # round-2 boundaries ~1/100 of the time, where Spark's
+            # repr-round and DuckDB's binary-round split — so the
+            # product sums go through exact DECIMAL terms rounded in
+            # the DECIMAL domain, and the averages through the
+            # repr-free floor(q*grid + 0.5)/grid fold.
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(
+                    (col("l_extendedprice") * (1 - col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (
+                F.floor(
+                    F.sum("l_quantity") / F.count(F.lit(1)) * 100 + F.lit(0.5)
+                ).cast("double")
+                / 100
+            ).alias("avg_qty"),
+            (
+                F.floor(
+                    F.sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                ).cast("double")
+                / 10000
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -40,9 +70,13 @@ _PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                            AS sum_qty,
        round(sum(l_extendedprice), 2)                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
-       round(avg(l_quantity), 2)                            AS avg_qty,
-       round(avg(l_discount), 4)                            AS avg_disc,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+                  2) AS DOUBLE)                             AS sum_disc_price,
+       CAST(floor(sum(l_quantity) / count(*) * 100 + 0.5) AS DOUBLE) / 100
+                                                            AS avg_qty,
+       CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) * 10000 + 0.5) AS DOUBLE) / 10000
+                                                            AS avg_disc,
        count(*)                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -66,8 +100,20 @@ def q_avg_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
         .groupBy(col("r_name").alias("region_name"), F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(F.avg("o_totalprice"), 2).alias("avg_revenue"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            # exact DECIMAL(18,2) sum (order-proof), then repr-free
+            # floor-rounded quotient for the average
+            (
+                F.floor(
+                    F.sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("double")
+                / 100
+            ).alias("avg_revenue"),
+            F.sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_revenue"),
             F.count(F.lit(1)).alias("num_orders"),
         )
     )
@@ -76,8 +122,9 @@ def q_avg_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AVG_REVENUE_SQL = """
 SELECT r_name AS region_name,
        year(o_orderdate) AS order_year,
-       round(avg(o_totalprice), 2) AS avg_revenue,
-       round(sum(o_totalprice), 2) AS total_revenue,
+       CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) * 100 + 0.5) AS DOUBLE) / 100 AS avg_revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
        count(*) AS num_orders
 FROM orders
 LEFT JOIN customer ON o_custkey = c_custkey
@@ -106,14 +153,25 @@ def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue")
+            # DECIMAL-domain rounded product sum (see pricing_summary)
+            F.round(
+                F.sum(
+                    (col("l_extendedprice") * (1 - col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
 
 _REGION_NATION_REVENUE_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+                  2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -138,7 +196,16 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("l_shipdate") > F.lit("1998-03-15"))
         .groupBy("l_orderkey", col("o_orderdate").cast("date").cast("string").alias("orderdate"))
         .agg(
-            F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue")
+            F.round(
+                F.sum(
+                    (col("l_extendedprice") * (1 - col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(col("revenue").desc(), col("l_orderkey"))
         .limit(10)
@@ -148,7 +215,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHIPPING_PRIORITY_SQL = """
 SELECT l_orderkey,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+                  2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -205,7 +273,16 @@ def q_priority_case_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority_class")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            # exact DECIMAL sum + repr-free floor-rounded quotient
+            (
+                F.floor(
+                    F.sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("double")
+                / 100
+            ).alias("avg_price"),
         )
     )
 
@@ -216,7 +293,8 @@ SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
             WHEN regexp_matches(o_orderpriority, '^[34]') THEN 'normal'
             ELSE 'low' END AS priority_class,
        count(*) AS n,
-       round(avg(o_totalprice), 2) AS avg_price
+       CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) * 100 + 0.5) AS DOUBLE) / 100 AS avg_price
 FROM orders
 WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
 GROUP BY 1
@@ -292,7 +370,15 @@ def q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+            (
+                F.floor(
+                    F.sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("double")
+                / 100
+            ).alias("avg_balance"),
         )
     )
 
@@ -300,7 +386,8 @@ def q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNION_SEGMENTS_SQL = """
 SELECT c_mktsegment,
        count(*) AS n,
-       round(avg(c_acctbal), 2) AS avg_balance
+       CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) * 100 + 0.5) AS DOUBLE) / 100 AS avg_balance
 FROM (
     SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
     UNION
@@ -635,7 +722,15 @@ def q_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_active"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+            (
+                F.floor(
+                    F.sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("double")
+                / 100
+            ).alias("avg_balance"),
         )
     )
 
@@ -643,7 +738,8 @@ def q_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ACTIVE_SEMI_SQL = """
 SELECT c_mktsegment,
        count(*) AS n_active,
-       round(avg(c_acctbal), 2) AS avg_balance
+       CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) * 100 + 0.5) AS DOUBLE) / 100 AS avg_balance
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
@@ -665,7 +761,15 @@ def q_customer_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+            (
+                F.floor(
+                    F.sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("double")
+                / 100
+            ).alias("avg_balance"),
         )
         .select(F.lit("active_1995").alias("activity"), "c_mktsegment", "n_customers", "avg_balance")
     )
@@ -674,7 +778,15 @@ def q_customer_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+            (
+                F.floor(
+                    F.sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("double")
+                / 100
+            ).alias("avg_balance"),
         )
         .select(F.lit("inactive").alias("activity"), "c_mktsegment", "n_customers", "avg_balance")
     )
@@ -684,7 +796,8 @@ def q_customer_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSTOMER_ORDER_ACTIVITY_SQL = """
 SELECT 'active_1995' AS activity, c_mktsegment,
        count(*) AS n_customers,
-       round(avg(c_acctbal), 2) AS avg_balance
+       CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) * 100 + 0.5) AS DOUBLE) / 100 AS avg_balance
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
@@ -692,7 +805,8 @@ GROUP BY 2
 UNION ALL
 SELECT 'inactive' AS activity, c_mktsegment,
        count(*) AS n_customers,
-       round(avg(c_acctbal), 2) AS avg_balance
+       CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) * 100 + 0.5) AS DOUBLE) / 100 AS avg_balance
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 2
@@ -933,7 +1047,11 @@ def q_orders_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(frame_sum, 2).alias("movsum4"),
         F.ntile(4).over(wr).alias("quartile"),
-        F.round(F.percent_rank().over(wr), 4).alias("pct_rank"),
+        # percent_rank = (rank-1)/(n-1): integer ratio -> repr-free round
+        (
+            F.floor(F.percent_rank().over(wr) * 10000 + F.lit(0.5)).cast("double")
+            / 10000
+        ).alias("pct_rank"),
         F.lead("o_totalprice", 1).over(wr).alias("next_price"),
     )
 
@@ -945,7 +1063,8 @@ SELECT o_orderkey, o_custkey,
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE),
              2) AS movsum4,
        CAST(ntile(4) OVER w AS INT) AS quartile,
-       round(percent_rank() OVER w, 4) AS pct_rank,
+       CAST(floor(percent_rank() OVER w * 10000 + 0.5) AS DOUBLE) / 10000
+         AS pct_rank,
        lead(o_totalprice, 1) OVER w AS next_price
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

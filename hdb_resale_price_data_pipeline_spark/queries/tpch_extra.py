@@ -24,12 +24,21 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (col("l_discount") <= 0.07)
             & (col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(col("l_extendedprice") * col("l_discount")), 2).alias("revenue"))
+        .agg(
+            # DECIMAL-domain rounded product sum (see q10's comment)
+            F.round(
+                F.sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
 _Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -42,24 +51,36 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (col("l_shipdate") >= F.lit("1997-01-01")) & (col("l_shipdate") < F.lit("1997-04-01"))
     )
     part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = col("l_extendedprice") * (1 - col("l_discount"))
+    rev = (col("l_extendedprice") * (1 - col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
     return (
         li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(col("p_type") == "ECONOMY", rev).otherwise(0.0))
-                / F.sum(rev),
-                2,
+            # exact DECIMAL numerator/denominator; repr-free floor round
+            # of the (bit-identical) ratio quotient
+            (
+                F.floor(
+                    F.lit(100.0)
+                    * F.sum(F.when(col("p_type") == "ECONOMY", rev).otherwise(zero)).cast(
+                        "double"
+                    )
+                    / F.sum(rev).cast("double")
+                    * 100
+                    + F.lit(0.5)
+                ).cast("double")
+                / 100
             ).alias("promo_pct")
         )
     )
 
 
 _Q14_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+SELECT CAST(floor(100.0
+             * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS DOUBLE) * 100 + 0.5) AS DOUBLE) / 100 AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
 """
@@ -116,13 +137,19 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((col("p_brand") == "Brand#3") & (col("p_size").between(36, 50)) & (col("l_quantity").between(20, 40)))
     )
     return joined.filter(bands).agg(
-        F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias("revenue"),
+        F.round(
+            F.sum((col("l_extendedprice") * (1 - col("l_discount"))).cast("decimal(18,4)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 _Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+                  2) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -136,12 +163,20 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     balances) + anti join, grouped by nation."""
     customer = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").select("o_custkey")
-    avg_bal = (
+    # exact DECIMAL sum / count: the scalar threshold must be the SAME
+    # double on both engines, or a customer whose balance coincides with
+    # an order-sensitive float avg flips membership
+    avg_bal_row = (
         customer.filter(col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("ab"))
+        .agg(
+            (
+                F.sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
         .first()
-        .ab
     )
+    avg_bal = avg_bal_row.ab
     return (
         customer.filter(col("c_acctbal") > avg_bal)
         .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
@@ -158,7 +193,9 @@ SELECT c_nationkey,
        count(*) AS n_customers,
        round(sum(c_acctbal), 2) AS total_balance
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey
 """
@@ -188,29 +225,20 @@ def q_lineitem_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q6.unionByName(q14).unionByName(q19)
 
 
+# Built FROM the single-query oracle strings so the suite can never
+# drift from the standalone q6/q14/q19 formulas (the repr-round fixes
+# apply to both automatically).
 _FILTER_SUITE_SQL = f"""
-SELECT 'q6_forecast_revenue' AS metric, value FROM (
-    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS value
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-)
+SELECT 'q6_forecast_revenue' AS metric, CAST(revenue AS DOUBLE) AS value
+FROM ({_Q6_SQL})
 UNION ALL
-SELECT 'q14_promo_pct' AS metric, value FROM (
-    SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
-                                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS value
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
-)
+SELECT 'q14_promo_pct' AS metric, CAST(promo_pct AS DOUBLE) AS value
+FROM ({_Q14_SQL})
 UNION ALL
 SELECT metric, value FROM (
-    SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS q19_revenue,
-           CAST(count(*) AS DOUBLE) AS q19_n_lines
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
-       OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 10 AND 30)
-       OR (p_brand = 'Brand#3' AND p_size BETWEEN 36 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    SELECT CAST(revenue AS DOUBLE) AS q19_revenue,
+           CAST(n_lines AS DOUBLE) AS q19_n_lines
+    FROM ({_Q19_SQL})
 ) UNPIVOT (value FOR metric IN (q19_revenue, q19_n_lines))
 """
 

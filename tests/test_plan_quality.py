@@ -35,7 +35,9 @@ def test_flagship_broadcasts_all_dims(spark):
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     assert _shuffles(plan) == 1  # only the final aggregation
-    assert "partial_avg" in plan  # map-side combine before the shuffle
+    # map-side combine before the shuffle (the avg is computed as an
+    # exact DECIMAL partial_sum + partial_count since the repr-round fix)
+    assert "partial_sum" in plan
 
 
 def test_pricing_summary_pushdown_and_pruning(spark):
