@@ -860,10 +860,13 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn BPE merges on the corpus (operators/bpe.py — the
     vocabulary-table iterative shape: corpus scanned once, iterations
     over word frequencies) and encode every document with them.
-    Iterative training is not SQL-expressible → rows-only driver
-    check; exact model parity + determinism + monotonicity are pinned
-    in tests/test_bpe.py. Merges cached per (session, corpus) like the
-    ANN indexes."""
+    Carries a FULL oracle since round 4: the fixed merge count unrolls
+    as CTE layers (the BPE analog of the Lloyd-unroll k-means oracle),
+    with greedy left-to-right merge application expressed as a single
+    ``replace()`` over a separator-flanked symbol string — see
+    ``_bpe_learn_oracle``. Exact model parity + determinism +
+    monotonicity are additionally pinned in tests/test_bpe.py. Merges
+    cached per (session, corpus) like the ANN indexes."""
     from ..operators.bpe import bpe_apply, bpe_train
     from ..operators.similarity import session_cache_key
 
@@ -876,6 +879,84 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     docs = widen(t(spark, sf_dir, "documents"))
     return bpe_apply(docs, "text", merges)
+
+
+def _bpe_learn_oracle() -> str:
+    """DuckDB twin of ``bpe_train`` + ``bpe_apply`` with the merge loop
+    unrolled as CTE layers (one per learned merge, like the Lloyd-unroll
+    k-means oracle). The crux is greedy LEFT-TO-RIGHT non-overlapping
+    merge application — ``replace()`` scans exactly that way, so each
+    word's symbol sequence is carried as a flanked string
+    ``U+sym1+UU+sym2+UU+...+U`` (U = chr(31), never in a symbol): the
+    pattern ``U+a+UU+b+U`` can only match whole adjacent symbols, each
+    match consumes its flanking separators so runs like (a,a,a) merge
+    greedily to (aa,a), and the replacement re-flanks the merged symbol
+    so chained pairs (a,b,a,b) both merge. A layer whose best pair falls
+    under min_count=2 degrades to an impossible pattern (a=b=U), which
+    reproduces ``bpe_train``'s early break as a no-op tail."""
+    from ..operators.bpe import END
+
+    u = "chr(31)"
+    uu = f"{u}||{u}"
+    toks = H.tokens("text")[1]
+    parts = [
+        f"""w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({toks}) AS word FROM documents)
+  GROUP BY word),
+s0 AS (
+  SELECT word,
+         {u} || array_to_string(
+             list_append([substring(word, i, 1) for i in range(1, length(word) + 1)],
+                         '{END}'), {uu}) || {u} AS s,
+         cnt
+  FROM w0)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        p = i - 1
+        parts.append(
+            f"""p{i} AS (
+  SELECT pr['a'] AS a, pr['b'] AS b, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (
+    SELECT unnest([{{'a': sy[j], 'b': sy[j + 1]}} for j in range(1, len(sy))]) AS pr,
+           cnt
+    FROM (SELECT string_split(substring(s, 2, length(s) - 2), {uu}) AS sy, cnt
+          FROM s{p})
+  ) GROUP BY 1, 2),
+m{i} AS (
+  SELECT CASE WHEN n >= 2 THEN a ELSE chr(31) END AS a{i},
+         CASE WHEN n >= 2 THEN b ELSE chr(31) END AS b{i}
+  FROM (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)),
+s{i} AS (
+  SELECT word,
+         replace(s, {u}||a{i}||{uu}||b{i}||{u}, {u}||a{i}||b{i}||{u}) AS s,
+         cnt
+  FROM s{p} CROSS JOIN m{i})"""
+        )
+    n = BPE_MERGES
+    parts.append(
+        f"""perword AS (
+  SELECT word, string_split(substring(s, 2, length(s) - 2), {uu}) AS pieces
+  FROM s{n}),
+docw AS (
+  SELECT doc_id, ww['wi'] AS wi, ww['word'] AS word
+  FROM (SELECT doc_id,
+               unnest([{{'wi': i, 'word': w[i]}} for i in range(1, len(w) + 1)]) AS ww
+        FROM (SELECT doc_id, {toks} AS w FROM documents))),
+agg AS (
+  SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT) AS bpe_n_pieces,
+         flatten(list(pieces ORDER BY wi)) AS allp
+  FROM docw JOIN perword USING (word)
+  GROUP BY doc_id)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT d.doc_id,
+       coalesce(a.bpe_n_pieces, 0) AS bpe_n_pieces,
+       coalesce(a.allp[1:32], CAST([] AS VARCHAR[])) AS bpe_pieces
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 _LR_W_CACHE = _IndexCache()  # trained LR weights per (session, corpus)
@@ -1000,7 +1081,7 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_model_selection": QuerySpec(
         q_text_model_selection, _model_selection_oracle()
     ),
-    "text_bpe_learn": QuerySpec(q_text_bpe_learn, None),
+    "text_bpe_learn": QuerySpec(q_text_bpe_learn, _bpe_learn_oracle()),
     "text_repeated_passages": QuerySpec(
         q_text_repeated_passages, _repeated_passages_oracle()
     ),

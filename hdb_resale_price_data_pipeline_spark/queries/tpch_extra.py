@@ -244,16 +244,85 @@ SELECT metric, value FROM (
 
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, quantile sketch) — sketch
-    internals differ across engines, so this is a rows-only driver check;
-    tests/test_approx.py bounds the error against exact values."""
+    """Approximate aggregates (HLL distinct, quantile sketch) emitted as
+    a VERIFIED error-bound projection. Sketch internals differ across
+    engines, so the raw estimates can't be hash-compared — but their
+    error bounds can: the query computes the exact values alongside the
+    sketches IN Spark, checks each sketch against its published bound
+    (HLL rsd default 0.05; percentile_approx rank error 1/accuracy =
+    1e-4, checked against a loose 0.02 rank band that also absorbs
+    value ties), and emits ``(exact values, bound flags)``. The DuckDB
+    twin computes the same exact values and expects every flag = 1, so
+    a sketch regression breaks the hash. All inputs are deterministic
+    (HLL and KLL merges are order-free on fixed data), making the
+    projection stable across partitionings — pinned in
+    tests/test_approx.py. Three scans of single columns; each is one
+    partial-agg'd codegen pass, so the shape stays scan-bound at 100 TB.
+    """
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("a_med"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("a_p99"),
     )
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ranks = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(approx))
+        .agg(
+            F.sum((col("l_extendedprice") <= col("a_med")).cast("long")).alias(
+                "rank_med"
+            ),
+            F.sum((col("l_extendedprice") <= col("a_p99")).cast("long")).alias(
+                "rank_p99"
+            ),
+            F.first("a_orders").alias("a_orders"),
+            F.first("a_parts").alias("a_parts"),
+        )
+    )
+    ok = lambda c: c.cast("int")  # noqa: E731
+    return (
+        exact.crossJoin(F.broadcast(ranks))
+        .select(
+            "exact_orders",
+            "exact_parts",
+            "n_rows",
+            ok(
+                F.abs(col("a_orders") - col("exact_orders"))
+                / col("exact_orders")
+                <= 0.05
+            ).alias("orders_in_bound"),
+            ok(
+                F.abs(col("a_parts") - col("exact_parts")) / col("exact_parts")
+                <= 0.05
+            ).alias("parts_in_bound"),
+            ok(
+                F.abs(col("rank_med") / col("n_rows") - F.lit(0.5)) <= 0.02
+            ).alias("median_in_bound"),
+            ok(
+                F.abs(col("rank_p99") / col("n_rows") - F.lit(0.99)) <= 0.02
+            ).alias("p99_in_bound"),
+        )
+    )
+
+
+# The oracle recomputes the exact side and expects every sketch to sit
+# inside its bound — any flag the Spark side drops to 0 breaks the hash.
+_APPROX_STATS_SQL = """
+SELECT count(DISTINCT l_orderkey) AS exact_orders,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(*) AS n_rows,
+       1 AS orders_in_bound,
+       1 AS parts_in_bound,
+       1 AS median_in_bound,
+       1 AS p99_in_bound
+FROM lineitem
+"""
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,13 +975,14 @@ ORDER BY s_suppkey
 
 # Subsumed by lineitem_filter_suite (q6/q14/q19) or near-duplicate of
 # graded demos (q22 = scalar subquery + anti join, both graded elsewhere);
-# still oracle-verified by tests/test_correctness.py. approx_stats is
-# rows-only for the driver (sketch internals differ across engines), so
-# its graded slot went to an exact-oracle query; tests/test_approx.py
-# still error-bounds it every run.
+# still oracle-verified by tests/test_correctness.py. approx_stats emits
+# a verified error-bound projection (sketch internals differ across
+# engines, so raw estimates can't hash — their bounds can), making it
+# fully oracle-checkable; tests/test_approx.py still bounds the raw
+# sketch values every run.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "lineitem_filter_suite": QuerySpec(q_lineitem_filter_suite, _FILTER_SUITE_SQL),
-    "approx_stats": QuerySpec(q_approx_stats, None),
+    "approx_stats": QuerySpec(q_approx_stats, _APPROX_STATS_SQL),
     "q4_order_priority": QuerySpec(q4_order_priority, _Q4_SQL),
     "q17_small_quantity": QuerySpec(q17_small_quantity, _Q17_SQL),
     "q21_stuck_orders": QuerySpec(q21_stuck_orders, _Q21_SQL),
