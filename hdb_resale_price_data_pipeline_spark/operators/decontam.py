@@ -30,6 +30,9 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,4 +98,122 @@ def contamination_report(
             ).alias("contamination_ratio"),
             (F.col("n_contaminated") >= min_hits).cast("int").alias("is_contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the 100 TB variant of the report above.
+#
+# ``contamination_report`` broadcasts the exact eval n-gram SET, which works
+# while benchmarks are thousands of docs. When the "eval" side is itself
+# huge (a full held-out corpus, a web-scale blocklist: billions of grams),
+# the exact set no longer fits an executor — the standard move (Dolma's
+# bloom-filter deduper, CCNet) is a Bloom bitset: fixed memory regardless of
+# cardinality, no false NEGATIVES (nothing contaminated slips through),
+# and a bounded, tunable false-positive rate on flagged docs.
+#
+# Scale shape: the corpus probe is a MAP-ONLY pass — the bitset rides a
+# 1-row broadcast as a map<word_idx, bits>, each gram tests K bit positions
+# via codegen arithmetic, and the training corpus is never shuffled at all
+# (the exact report shuffles once on doc_id; this one not even that).
+# Construction cost is one aggregation over eval-gram bit positions — at
+# most N_WORDS output rows. Both sides are pure integer arithmetic on the
+# 31-bit polynomial gram hashes, so the DuckDB oracle reproduces the
+# bitset (and therefore every false positive) bit-for-bit.
+#
+# Words carry 63 live bits, not 64: DuckDB rejects ``1::BIGINT << 63`` as
+# overflow, and dodging the sign bit keeps the two engines' bit_or/AND
+# semantics trivially identical.
+
+BLOOM_WORD_BITS = 63
+BLOOM_N_WORDS = 1 << 14  # 16Ki words ≈ 1.03M bits ≈ 128 KiB broadcast
+BLOOM_M_BITS = BLOOM_WORD_BITS * BLOOM_N_WORDS
+BLOOM_K = 3  # probes per gram (double hashing: h1 + j*h2 mod M)
+
+_POW2 = None  # lazy: array<long> literal [1, 2, 4, ...] for column-shift
+
+
+def _pow2_array() -> Column:
+    global _POW2
+    if _POW2 is None:
+        _POW2 = F.array(
+            *[F.lit(1 << i).cast("long") for i in range(BLOOM_WORD_BITS)]
+        )
+    return _POW2
+
+
+def bloom_bitset(eval_grams: DataFrame, gram_col: str = "gram") -> DataFrame:
+    """Aggregate distinct eval gram hashes into a one-row Bloom bitset
+    ``map<long word_idx, long bits>`` (absent word → 0)."""
+    g = F.col(gram_col)
+    h1 = g % BLOOM_M_BITS
+    h2 = 1 + (g % (BLOOM_M_BITS - 1))
+    positions = F.array(*[(h1 + F.lit(j) * h2) % BLOOM_M_BITS for j in range(BLOOM_K)])
+    return (
+        eval_grams.select(F.explode(positions).alias("pos"))
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").cast("long").alias("w"),
+            F.element_at(
+                _pow2_array(), (F.col("pos") % BLOOM_WORD_BITS + 1).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom"))
+    )
+
+
+def _bloom_probe(g: Column, bloom: Column) -> Column:
+    """True iff all K probe bits for gram ``g`` are set in ``bloom``."""
+    h1 = g % BLOOM_M_BITS
+    h2 = 1 + (g % (BLOOM_M_BITS - 1))
+    conds = []
+    for j in range(BLOOM_K):
+        p = (h1 + F.lit(j) * h2) % BLOOM_M_BITS
+        bit = p % BLOOM_WORD_BITS
+        w = ((p - bit) / BLOOM_WORD_BITS).cast("long")  # exact: p < 2^21
+        word = F.coalesce(F.element_at(bloom, w), F.lit(0).cast("long"))
+        mask = F.element_at(_pow2_array(), (bit + 1).cast("int"))
+        conds.append(word.bitwiseAND(mask) != 0)
+    return functools.reduce(operator.and_, conds)
+
+
+def bloom_contamination_report(
+    docs: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-training-document contamination flags vs a Bloom bitset of
+    the eval partition's n-grams. Same output shape as
+    :func:`contamination_report` (``n_flagged`` ≥ the exact
+    ``n_contaminated`` — supersets by construction, never misses);
+    the corpus side is one shuffle-free map pass."""
+    from ..functions.arrow_text import distinct_gram_hashes_udf
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    gram_arr = distinct_gram_hashes_udf(n)(F.col(text_col))
+    eval_grams = (
+        docs.filter(eval_pred).select(F.explode(gram_arr).alias("gram")).distinct()
+    )
+    bloom = bloom_bitset(eval_grams)
+    train = docs.filter(~eval_pred).select(F.col(id_col), gram_arr.alias("grams"))
+    probed = train.crossJoin(F.broadcast(bloom)).select(
+        id_col,
+        F.size("grams").alias("n_shingles"),
+        F.size(
+            F.filter("grams", lambda g: _bloom_probe(g, F.col("bloom")))
+        ).alias("n_flagged"),
+    )
+    return probed.select(
+        id_col,
+        F.col("n_shingles").cast("long"),
+        F.col("n_flagged").cast("long"),
+        F.round(F.col("n_flagged").cast("double") / F.col("n_shingles"), 4).alias(
+            "flagged_ratio"
+        ),
+        (F.col("n_flagged") >= min_hits).cast("int").alias("is_flagged"),
     )

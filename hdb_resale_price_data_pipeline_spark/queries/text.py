@@ -306,6 +306,73 @@ GROUP BY t.doc_id
 """
 
 
+def q_text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/decontam.py): same eval
+    slice as ``text_decontaminate``, but the eval n-grams are folded
+    into a fixed-size Bloom bitset instead of an exact broadcast set —
+    the shape for eval/blocklist sides too big to materialize (billions
+    of grams: Dolma's bloom deduper, CCNet). The corpus probe is a
+    shuffle-free map pass against a 128 KiB one-row broadcast. The
+    bitset is pure integer arithmetic on both engines, so the oracle
+    reproduces every false positive bit-for-bit; no-false-negative
+    containment vs the exact report is pinned in tests/test_decontam.py.
+    """
+    from ..operators.decontam import bloom_contamination_report
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return bloom_contamination_report(
+        docs, eval_pred=col("doc_id") % 10 == 0, n=DECONTAM_N
+    )
+
+
+def _bloom_decontam_oracle() -> str:
+    from ..operators.decontam import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        BLOOM_WORD_BITS,
+    )
+
+    m, wb = BLOOM_M_BITS, BLOOM_WORD_BITS
+    return f"""
+WITH ev AS (
+    SELECT DISTINCT unnest({_DECONTAM_GRAMS}) AS g
+    FROM documents WHERE doc_id % 10 = 0
+),
+pos AS (
+    SELECT DISTINCT ((g % {m}) + j * (1 + (g % {m - 1}))) % {m} AS p
+    FROM ev CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j)
+),
+words AS (
+    SELECT p // {wb} AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % {wb} AS INT)) AS bits
+    FROM pos GROUP BY 1
+),
+train AS (
+    SELECT doc_id, unnest({_DECONTAM_GRAMS}) AS g
+    FROM documents WHERE doc_id % 10 <> 0
+),
+trainpos AS (
+    SELECT doc_id, g, ((g % {m}) + j * (1 + (g % {m - 1}))) % {m} AS p
+    FROM train CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j)
+),
+pergram AS (
+    SELECT doc_id, g,
+           min(CASE WHEN w.bits IS NOT NULL
+                     AND (w.bits & (CAST(1 AS BIGINT) << CAST(tp.p % {wb} AS INT))) <> 0
+                    THEN 1 ELSE 0 END) AS hit
+    FROM trainpos tp LEFT JOIN words w ON tp.p // {wb} = w.w
+    GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(hit) AS BIGINT) AS n_flagged,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS flagged_ratio,
+       CAST(sum(hit) >= 1 AS INT) AS is_flagged
+FROM pergram
+GROUP BY doc_id
+"""
+
+
 CHUNK_WINDOW = 64
 CHUNK_STRIDE = 48  # 25% overlap
 
@@ -1072,6 +1139,9 @@ def _bm25_oracle() -> str:
 
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "text_bloom_decontaminate": QuerySpec(
+        q_text_bloom_decontaminate, _bloom_decontam_oracle()
+    ),
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
     "text_quality_classifier": QuerySpec(
         q_text_quality_classifier, _lr_query_oracle()
