@@ -319,6 +319,7 @@ SCALING_QUERIES = [
     "text_bm25_topk",
     "text_dsir_weights",
     "text_quality_classifier",
+    "text_bloom_decontaminate",
 ]
 
 
