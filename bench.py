@@ -57,6 +57,7 @@ EXTRA_LOCAL_QUERIES = [
     "text_dsir_weights",
     "text_quality_classifier",
     "text_model_selection",
+    "text_bloom_decontaminate",
 ]
 
 _GRADED = all_queries()
