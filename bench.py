@@ -58,6 +58,7 @@ EXTRA_LOCAL_QUERIES = [
     "text_quality_classifier",
     "text_model_selection",
     "text_bloom_decontaminate",
+    "emb_filtered_topk",
 ]
 
 _GRADED = all_queries()

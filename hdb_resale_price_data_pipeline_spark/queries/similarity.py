@@ -1310,6 +1310,92 @@ QUERIES["emb_semdedup"] = QuerySpec(q_emb_semdedup, _semdedup_oracle())
 QUERIES["emb_ivfpq_topk"] = QuerySpec(q_ivfpq_topk, _ivfpq_oracle())
 
 
+FILTER_LABEL = 3  # ~10% selectivity (10 labels, near-uniform)
+FILTERED_NPROBE = 4  # over-probe: 2× the unfiltered width
+
+
+def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN: top-k cosine among vectors satisfying a metadata
+    predicate (``label = FILTER_LABEL``) — the classic serving problem
+    where a selective filter decimates each probed list's candidates
+    (~10% survive here), so recall@k at the unfiltered probe width
+    collapses. The standard compensation is over-probing: widen nprobe
+    by ~1/selectivity (capped; here 2× as the rule-of-thumb floor —
+    recall vs the filtered brute force is gated in
+    tests/test_similarity_recall.py).
+
+    The predicate is applied BEFORE the cosine, so scoring touches only
+    surviving candidates; on a cluster the inverted lists would be
+    partitioned by ``ivf_cid`` and the label filter rides the parquet
+    scan as a pushed predicate — probe pruning and row-group pruning
+    compose. Shares the session-cached trained index with the whole
+    k-means family (zero extra build cost)."""
+    codebook, assigned = _ivf_kmeans_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    q_vec = [
+        float(v)
+        for v in emb.filter(col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    dim = len(q_vec)
+    probe_ids = _probe_ids(codebook, q_vec, FILTERED_NPROBE)
+    query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
+        col("embedding").alias("q_emb")
+    )
+    return (
+        assigned.filter(
+            col("ivf_cid").isin(probe_ids)
+            & (col("label") == FILTER_LABEL)
+            & (col("vec_id") != QUERY_VEC_ID)
+        )
+        .crossJoin(broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            col("ivf_cid"),
+            S.cosine_expr("embedding", "q_emb", dim=dim).alias("cosine"),
+        )
+        .orderBy(col("cosine").desc(), col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _filtered_topk_oracle() -> str:
+    """The trained-IVF oracle tail with the label predicate and the
+    widened probe count grafted in."""
+    from ..operators.ivf import duck_ivf_dist
+
+    cos = S.cosine("e.embedding", "q.qe")[1]
+    cents = f"cents{KMEANS_ITERS}"
+    return f"""
+{_kmeans_cents_cte()},
+q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), probe AS (
+    SELECT cid FROM (
+        SELECT c.cid, row_number() OVER (ORDER BY {duck_ivf_dist("c.cent", "q.qe")}, c.cid) AS rn
+        FROM {cents} c, q
+    ) WHERE rn <= {FILTERED_NPROBE}
+), assigned AS (
+    SELECT vec_id, label, embedding, cid AS ivf_cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
+        FROM embeddings e, {cents} c
+    ) WHERE rn = 1
+)
+SELECT e.vec_id AS vec_id, e.label AS label, e.ivf_cid AS ivf_cid, {cos} AS cosine
+FROM assigned e, q
+WHERE e.ivf_cid IN (SELECT cid FROM probe)
+  AND e.label = {FILTER_LABEL}
+  AND e.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
 # Not driver-registered: emb_ann_lsh_topk exercises the same bucketing
 # expression end-to-end, and label centroids are the same posexplode +
 # group-reduction shape as kmeans; oracle-verified locally.
@@ -1325,4 +1411,5 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_quantize": QuerySpec(q_emb_quantize, _EMB_QUANTIZE_SQL),
     "emb_batch_topk": QuerySpec(q_batch_topk, _batch_topk_oracle()),
     "emb_ivf_kmeans_topk": QuerySpec(q_ivf_kmeans_topk, _ivf_kmeans_oracle()),
+    "emb_filtered_topk": QuerySpec(q_filtered_topk, _filtered_topk_oracle()),
 }

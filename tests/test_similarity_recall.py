@@ -51,6 +51,50 @@ def test_pq_codes_shape(spark):
     assert encoded.count() == encoded.select("vec_id").distinct().count()
 
 
+def test_filtered_topk_recall_vs_filtered_brute_force(spark):
+    """Filtered ANN must recover the top-k of the PREDICATE-RESTRICTED
+    brute force; over-probing (nprobe 2 -> 4) compensates for the ~10%
+    label selectivity decimating each probed list."""
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.operators import similarity as S
+    from hdb_resale_price_data_pipeline_spark.queries.base import t
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        FILTER_LABEL,
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    emb = t(spark, TEST_SF_DIR, "embeddings")
+    q_vec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .first()
+        .embedding
+    ]
+    q_lit = F.array(*[F.lit(v) for v in q_vec]).cast("array<float>")
+    exact = {
+        r.vec_id
+        for r in (
+            emb.filter(
+                (F.col("label") == FILTER_LABEL)
+                & (F.col("vec_id") != QUERY_VEC_ID)
+            )
+            .withColumn("q_emb", q_lit)
+            .select(
+                "vec_id",
+                S.cosine_expr("embedding", "q_emb", dim=len(q_vec)).alias("c"),
+            )
+            .orderBy(F.col("c").desc(), F.col("vec_id"))
+            .limit(TOP_K)
+            .collect()
+        )
+    }
+    approx = set(_topk_ids(spark, "emb_filtered_topk"))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"filtered recall {recall}"
+
+
 def test_ivf_kmeans_matches_sampled_ivf_shape(spark):
     """Same output schema and k as the sampled-codebook IVF — the
     trained index is a drop-in replacement."""
