@@ -18,6 +18,7 @@ from ..sources.readers import read_historical_csv_dir, read_listing_json
 from ..sources.warehouse import load_day_partitioned
 from .historical import historical_pipeline
 from .merge import merge_dedup_pipeline
+from .observe import with_load_metrics
 from .propnex import propnex_pipeline
 from .srx import srx_pipeline
 
@@ -79,6 +80,7 @@ def run_all(
     warehouse_dir: str,
     as_of: datetime.date | None = None,
     concurrent: bool = True,
+    metrics_out: dict | None = None,
 ) -> dict[str, DataFrame]:
     """One full DAG run, reproducing the reference's task graph
     (dags/pipeline.py:282-288): propnex ∥ srx transforms feed
@@ -96,6 +98,11 @@ def run_all(
     against the other's compute (measured ~40% off the wall-clock at
     bench scale: 4.3s -> 2.5s). ``concurrent=False`` keeps the linear order for
     debugging; either way a branch failure surfaces independently.
+
+    Pass ``metrics_out={}`` to collect per-branch load counters
+    (plans/observe.py: rows_loaded, loaded date range, key-null
+    counts). The counters are computed INSIDE each load job via the
+    Observation API — enabling them adds no extra scan or action.
     """
     as_of = as_of or datetime.date.today()
     district_code = seeds.district_code(spark)
@@ -108,9 +115,18 @@ def run_all(
             district_code,
             district_region,
         )
-        load_day_partitioned(
-            historical, f"{warehouse_dir}/historical_data", "date_of_sale"
+        to_load, obs = (
+            with_load_metrics(
+                historical, ["general_location", "price"], "date_of_sale"
+            )
+            if metrics_out is not None
+            else (historical, None)
         )
+        load_day_partitioned(
+            to_load, f"{warehouse_dir}/historical_data", "date_of_sale"
+        )
+        if obs is not None:
+            metrics_out["historical"] = obs.get
         return historical
 
     def branch_scraped() -> DataFrame:
@@ -128,9 +144,21 @@ def run_all(
             as_of.year,
         )
         merged = merge_dedup_pipeline(p, s, as_of)
-        load_day_partitioned(
-            merged, f"{warehouse_dir}/scraped_data", "transformed_date"
+        # the merge filter guarantees NOT NULL on the dedup keys
+        # (merge.py) — a non-zero null counter here means upstream
+        # cleaning regressed
+        to_load, obs = (
+            with_load_metrics(
+                merged, ["agent_id", "location", "price"], "transformed_date"
+            )
+            if metrics_out is not None
+            else (merged, None)
         )
+        load_day_partitioned(
+            to_load, f"{warehouse_dir}/scraped_data", "transformed_date"
+        )
+        if obs is not None:
+            metrics_out["scraped"] = obs.get
         return merged
 
     if concurrent:

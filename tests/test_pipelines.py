@@ -209,3 +209,39 @@ def test_run_all_dag_end_to_end(spark, tmp_path):
     run_all(spark, csv_dir, propnex_json, srx_json, wh, as_of=AS_OF)
     assert spark.read.parquet(f"{wh}/historical_data").count() == 5
     assert spark.read.parquet(f"{wh}/scraped_data").count() == 4
+
+
+def test_run_all_load_metrics(spark, tmp_path):
+    """Observation-API load counters (plans/observe.py): computed inside
+    the load jobs themselves, they must match what a separate scan of
+    the written tables reports — rows, date range, zero key-nulls (the
+    merge filter guarantees NOT NULL dedup keys)."""
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.plans.runner import run_all
+
+    csv_dir = fixtures.write_historical_csvs(str(tmp_path))
+    propnex_json, srx_json = fixtures.write_listing_jsons(str(tmp_path))
+    wh = str(tmp_path / "warehouse")
+
+    metrics: dict = {}
+    run_all(
+        spark, csv_dir, propnex_json, srx_json, wh, as_of=AS_OF, metrics_out=metrics
+    )
+    assert set(metrics) == {"historical", "scraped"}
+
+    hist = spark.read.parquet(f"{wh}/historical_data")
+    m = metrics["historical"]
+    assert m["rows_loaded"] == hist.count() == 5
+    lo, hi = hist.agg(
+        F.min("date_of_sale").cast("string"), F.max("date_of_sale").cast("string")
+    ).first()
+    assert (m["min_date"], m["max_date"]) == (lo, hi)
+    assert m["null_general_location"] == 0 and m["null_price"] == 0
+
+    s = metrics["scraped"]
+    assert s["rows_loaded"] == spark.read.parquet(f"{wh}/scraped_data").count() == 4
+    assert s["null_agent_id"] == 0
+    assert s["null_location"] == 0
+    assert s["null_price"] == 0
+    assert s["min_date"] == s["max_date"] == str(AS_OF)
