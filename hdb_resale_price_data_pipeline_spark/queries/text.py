@@ -373,6 +373,80 @@ GROUP BY doc_id
 """
 
 
+# Corpus snapshot diff: deterministic v1/v2 slices of the documents
+# table (v2 drops doc_id%17==5, adds doc_id%17==3, and revises
+# doc_id%13==0) so every diff status actually occurs.
+DIFF_DROP_V1, DIFF_DROP_V2, DIFF_REV = 3, 5, 13
+
+
+def q_text_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff — the snapshot-to-snapshot accounting an
+    operator runs before shipping a new training corpus: which docs
+    were added / removed / changed / unchanged, by COUNT and id
+    checksum. Each side is projected to ``(doc_id, fingerprint)``
+    BEFORE the full-outer join, so the join ships 16 bytes per doc
+    regardless of document size, and the single doc_id shuffle
+    disappears entirely if both snapshots are bucketed on doc_id
+    (sources/warehouse.write_bucketed). Text is compared by the
+    rolling-hash fingerprint, not bytes — the same normalization the
+    dedup family uses."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    fp = T.fingerprint("text")
+    v1 = docs.filter(col("doc_id") % 17 != DIFF_DROP_V1).select(
+        "doc_id", fp.alias("fp1")
+    )
+    v2 = (
+        docs.filter(col("doc_id") % 17 != DIFF_DROP_V2)
+        .withColumn(
+            "text",
+            F.when(
+                col("doc_id") % DIFF_REV == 0, F.concat(col("text"), F.lit(" rev2"))
+            ).otherwise(col("text")),
+        )
+        .select("doc_id", fp.alias("fp2"))
+    )
+    status = (
+        F.when(col("fp1").isNull(), "added")
+        .when(col("fp2").isNull(), "removed")
+        .when(col("fp1") != col("fp2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("docid_checksum"),
+        )
+    )
+
+
+def _corpus_diff_oracle() -> str:
+    return f"""
+WITH v1 AS (
+    SELECT doc_id, {T.fingerprint_duck("text")} AS fp1
+    FROM documents WHERE doc_id % 17 <> {DIFF_DROP_V1}
+),
+v2 AS (
+    SELECT doc_id, {T.fingerprint_duck("text2")} AS fp2 FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % {DIFF_REV} = 0 THEN text || ' rev2'
+                    ELSE text END AS text2
+        FROM documents WHERE doc_id % 17 <> {DIFF_DROP_V2}
+    )
+)
+SELECT CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 <> fp2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(COALESCE(v1.doc_id, v2.doc_id)) AS BIGINT) AS docid_checksum
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+GROUP BY 1
+"""
+
+
 CHUNK_WINDOW = 64
 CHUNK_STRIDE = 48  # 25% overlap
 
@@ -1142,6 +1216,7 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_bloom_decontaminate": QuerySpec(
         q_text_bloom_decontaminate, _bloom_decontam_oracle()
     ),
+    "text_corpus_diff": QuerySpec(q_text_corpus_diff, _corpus_diff_oracle()),
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
     "text_quality_classifier": QuerySpec(
         q_text_quality_classifier, _lr_query_oracle()

@@ -47,6 +47,18 @@ def load_day_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     )
 
 
+def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
+    """Read a day-partitioned warehouse table with SCHEMA EVOLUTION:
+    ``mergeSchema`` unions the column sets across partition vintages,
+    so a later daily load that added a column neither hides it (the
+    default read samples one footer) nor breaks earlier partitions
+    (rows from pre-evolution days surface NULL in the new column).
+    At 100 TB footer-merging costs one pass over file METADATA only —
+    it never reads row groups — and is the price of letting producers
+    evolve without a coordinated table rewrite."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

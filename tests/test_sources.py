@@ -426,3 +426,63 @@ def test_inplace_compaction_touches_only_oversized_partitions(spark, tmp_path):
 
     again = compact_partitions_inplace(spark, root, "lang")
     assert again["rewritten"] == 0  # steady state: nothing to do
+
+
+def test_warehouse_schema_evolution_mergeschema(spark, tmp_path):
+    """A later daily load adds a column: read_warehouse must surface
+    the union schema, with pre-evolution partitions NULL in the new
+    column — and the new column must not be silently hidden (the
+    default read samples one footer, so which vintage wins is
+    nondeterministic; mergeSchema removes the ambiguity)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.sources.warehouse import (
+        load_day_partitioned,
+        read_warehouse,
+    )
+
+    path = str(tmp_path / "wh")
+    d1, d2 = datetime.date(2025, 6, 1), datetime.date(2025, 6, 2)
+    day1 = spark.createDataFrame([(1, "a", d1), (2, "b", d1)], "id long, v string, d date")
+    load_day_partitioned(day1, path, "d")
+    day2 = spark.createDataFrame(
+        [(3, "c", 9.5, d2)], "id long, v string, score double, d date"
+    )
+    load_day_partitioned(day2, path, "d")
+
+    got = read_warehouse(spark, path)
+    assert set(got.columns) == {"id", "v", "score", "d"}
+    rows = {r.id: r for r in got.collect()}
+    assert len(rows) == 3
+    assert rows[1].score is None and rows[2].score is None  # old vintage
+    assert rows[3].score == 9.5
+    # evolution is append-only here; the idempotent re-load of day 1
+    # (no score column) must still not disturb day 2
+    load_day_partitioned(day1, path, "d")
+    assert read_warehouse(spark, path).filter(F.col("score").isNotNull()).count() == 1
+
+
+def test_corrupt_file_fails_loudly_by_default(spark, tmp_path):
+    """A truncated/garbage parquet part must fail the read ACTION with
+    an error (silent row loss is the worst outcome for a training
+    corpus); the documented escape hatch is ignoreCorruptFiles=true,
+    which skips the bad file and keeps every intact row."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).withColumnRenamed("id", "doc_id").write.parquet(path)
+    with open(f"{path}/part-corrupt-00099.snappy.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet footer")
+
+    with _pytest.raises(Exception) as exc:
+        spark.read.parquet(path).count()
+    assert "parquet" in str(exc.value).lower() or "footer" in str(exc.value).lower()
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(path).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
