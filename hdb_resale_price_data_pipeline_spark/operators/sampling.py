@@ -91,6 +91,107 @@ def sample_domain_mixture(
     )
 
 
+# Quantization grid for per-domain sqrt terms: summing FLOORED
+# sqrt·2^20 values as BIGINTs makes the cross-domain total order-free
+# exact (float sums depend on iteration order; integer sums don't) —
+# the same grid trick the LM-perplexity and GD-classifier oracles use.
+TEMP_SCALE = 1 << 20
+
+
+def temperature_rates(
+    features: DataFrame, domain_col: str, budget_tokens: int
+) -> DataFrame:
+    """Per-domain acceptance rates for a τ=0.5 TEMPERATURE mixture
+    (multilingual-sampling style: sampled share ∝ (domain share)^τ —
+    up-weights small domains relative to proportional sampling without
+    flattening to uniform). τ=0.5 is the standard setting AND the one
+    whose power is IEEE-exact cross-engine (sqrt is correctly rounded;
+    an arbitrary ``pow`` is not), so the oracle stays bit-identical.
+
+    ``budget_d = budget · √tokens_d / Σ_e √tokens_e``;
+    ``rate_d = min(1, budget_d / tokens_d)``. The Σ runs over quantized
+    BIGINT terms (order-free); the final rate is a fixed dag of double
+    ops on exact integers, written identically in the DuckDB twin.
+    """
+    dom = features.groupBy(domain_col).agg(
+        F.sum("n_tok").alias("domain_tokens")
+    )
+    dom = dom.withColumn(
+        "s",
+        F.floor(
+            F.sqrt(col("domain_tokens").cast("double")) * TEMP_SCALE
+        ).cast("bigint"),
+    )
+    total_s = F.sum("s").over(Window.partitionBy())  # BIGINT: order-free
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(budget_tokens)) * col("s").cast("double"))
+        / (total_s.cast("double") * col("domain_tokens").cast("double")),
+    )
+    return dom.select(domain_col, "domain_tokens", rate.alias("rate"))
+
+
+def sample_temperature_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sampled corpus rows ``(id, domain, n_tok)`` for a τ=0.5
+    temperature mixture of roughly ``budget_tokens`` tokens. Same
+    plan shape as :func:`sample_domain_mixture`: one 2-column corpus
+    aggregation for the rate table, then a broadcast-rate hash filter
+    — the corpus is never shuffled."""
+    features = _doc_sampling_features(docs, domain_col, id_col, text_col)
+    rates = temperature_rates(features, domain_col, budget_tokens)
+    return (
+        features.join(
+            F.broadcast(rates.select(domain_col, "rate")), domain_col
+        )
+        .filter(col("_fp").cast("double") < col("rate") * float(ACCEPT_MOD))
+        .select(id_col, domain_col, "n_tok")
+    )
+
+
+def sample_temperature_mixture_duck(
+    budget_tokens: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`sample_temperature_mixture`."""
+    toks = H.tokens(text_col)[1]
+    fp = T.fingerprint_duck(text_col)
+    return f"""
+WITH d AS (
+    SELECT {id_col}, {domain_col},
+           CAST(len({toks}) AS BIGINT) AS n_tok,
+           ({fp}) % {ACCEPT_MOD} AS fp
+    FROM {table}
+), dom AS (
+    SELECT {domain_col}, CAST(sum(n_tok) AS BIGINT) AS domain_tokens
+    FROM d GROUP BY {domain_col}
+), doms AS (
+    SELECT {domain_col}, domain_tokens,
+           CAST(floor(sqrt(CAST(domain_tokens AS DOUBLE)) * {TEMP_SCALE}) AS BIGINT) AS s
+    FROM dom
+), tot AS (
+    SELECT CAST(sum(s) AS BIGINT) AS st FROM doms
+), r AS (
+    SELECT {domain_col},
+           least(CAST(1.0 AS DOUBLE),
+                 (CAST({float(budget_tokens)} AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(st AS DOUBLE) * CAST(domain_tokens AS DOUBLE))) AS rate
+    FROM doms CROSS JOIN tot
+)
+SELECT d.{id_col}, d.{domain_col}, d.n_tok
+FROM d JOIN r ON d.{domain_col} = r.{domain_col}
+WHERE CAST(d.fp AS DOUBLE) < r.rate * {float(ACCEPT_MOD)}
+"""
+
+
 def sample_domain_mixture_duck(
     budget_tokens: int,
     domain_col: str = "source",

@@ -537,6 +537,21 @@ def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_DOMAIN_MIX_SQL = S.sample_domain_mixture_duck(MIX_BUDGET_TOKENS)
 
 
+def q_text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=0.5 temperature domain mixture (operators/sampling.py):
+    sampled share ∝ √(domain share) — the standard multilingual
+    re-weighting between proportional (τ=1) and uniform (τ→0). Same
+    zero-corpus-shuffle plan as the equal-budget mixture; τ=0.5 keeps
+    the power IEEE-exact (sqrt), so the oracle hash-matches."""
+    from ..operators.sampling import sample_temperature_mixture
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return sample_temperature_mixture(docs, MIX_BUDGET_TOKENS)
+
+
+_TEXT_TEMP_MIX_SQL = S.sample_temperature_mixture_duck(MIX_BUDGET_TOKENS)
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/text.py pattern chain). The
     corpus text is word salad with no PII, so each doc is SALTED with
@@ -1217,6 +1232,7 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
         q_text_bloom_decontaminate, _bloom_decontam_oracle()
     ),
     "text_corpus_diff": QuerySpec(q_text_corpus_diff, _corpus_diff_oracle()),
+    "text_temperature_mix": QuerySpec(q_text_temperature_mix, _TEXT_TEMP_MIX_SQL),
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
     "text_quality_classifier": QuerySpec(
         q_text_quality_classifier, _lr_query_oracle()
