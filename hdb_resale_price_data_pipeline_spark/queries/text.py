@@ -552,6 +552,80 @@ def q_text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_TEMP_MIX_SQL = S.sample_temperature_mixture_duck(MIX_BUDGET_TOKENS)
 
 
+CURRICULUM_SHARDS = 8
+
+
+def q_text_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum shard assignment: split the corpus into N ordered
+    shards by quality (highest-quality shard first) WITHOUT a global
+    sort. A window ``ntile`` over all docs would collapse to a single
+    task at scale (no partitionBy), and ``repartitionByRange`` samples
+    its boundaries non-deterministically; instead this uses
+    HISTOGRAM-QUANTILE sharding: quality lives on a 1e-4 grid, so a
+    ≤10001-row histogram + one cumulative window over it yields exact
+    integer shard boundaries, broadcast back as a bucket→shard map —
+    one tiny aggregation plus a map-only join, deterministic, and the
+    corpus is never globally sorted. Docs sharing a grid value share a
+    shard (ties never split), so shard sizes are approximately — not
+    exactly — equal. Emitted per shard: count, quality-bucket range,
+    id checksum; ordering invariants in tests/test_sampling.py."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    from pyspark.sql.window import Window as W
+
+    feats = docs.select(
+        "doc_id",
+        F.floor(T.quality_score("text") * 10000).cast("int").alias("qb"),
+    )
+    hist = feats.groupBy("qb").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy(col("qb").desc())
+    buckets = hist.select(
+        "qb",
+        (F.sum("cnt").over(w) - col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(W.partitionBy()).alias("total"),
+    ).select(
+        "qb",
+        F.expr(
+            f"CAST(1 + (cum_before * {CURRICULUM_SHARDS}) DIV total AS INT)"
+        ).alias("shard"),
+    )
+    return (
+        feats.join(F.broadcast(buckets), "qb")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("qb").alias("min_qb"),
+            F.max("qb").alias("max_qb"),
+            F.sum("doc_id").alias("docid_checksum"),
+        )
+    )
+
+
+def _curriculum_oracle() -> str:
+    qd = T.quality_score_duck("text")
+    n = CURRICULUM_SHARDS
+    return f"""
+WITH f AS (
+    SELECT doc_id, CAST(floor(({qd}) * 10000) AS INT) AS qb FROM documents
+),
+h AS (SELECT qb, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY qb),
+c AS (
+    SELECT qb,
+           CAST(sum(cnt) OVER (ORDER BY qb DESC ROWS UNBOUNDED PRECEDING) - cnt
+                AS BIGINT) AS cum_before,
+           CAST(sum(cnt) OVER () AS BIGINT) AS total
+    FROM h
+),
+m AS (SELECT qb, CAST(1 + (cum_before * {n}) // total AS INT) AS shard FROM c)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(qb) AS min_qb,
+       max(qb) AS max_qb,
+       CAST(sum(doc_id) AS BIGINT) AS docid_checksum
+FROM f JOIN m USING (qb)
+GROUP BY shard
+"""
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/text.py pattern chain). The
     corpus text is word salad with no PII, so each doc is SALTED with
@@ -1233,6 +1307,9 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     ),
     "text_corpus_diff": QuerySpec(q_text_corpus_diff, _corpus_diff_oracle()),
     "text_temperature_mix": QuerySpec(q_text_temperature_mix, _TEXT_TEMP_MIX_SQL),
+    "text_curriculum_shards": QuerySpec(
+        q_text_curriculum_shards, _curriculum_oracle()
+    ),
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
     "text_quality_classifier": QuerySpec(
         q_text_quality_classifier, _lr_query_oracle()

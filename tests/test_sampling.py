@@ -61,3 +61,29 @@ def test_temperature_budget_is_met_in_expectation(spark):
         .first()[0]
     )
     assert abs(got - budget) < 1.0  # quantized-sqrt grid: sub-token error
+
+
+def test_curriculum_shards_ordered_and_complete(spark):
+    """Histogram-quantile curriculum shards: quality ranges must be
+    disjoint and monotone decreasing with shard number, every doc lands
+    in exactly one shard, and sizes stay near-equal (ties never split,
+    so exact equality isn't guaranteed)."""
+    from conftest import TEST_SF_DIR
+    from hdb_resale_price_data_pipeline_spark.queries.text import (
+        CURRICULUM_SHARDS,
+        q_text_curriculum_shards,
+    )
+    from hdb_resale_price_data_pipeline_spark.sources import read_table
+
+    rows = sorted(
+        q_text_curriculum_shards(spark, TEST_SF_DIR).collect(),
+        key=lambda r: r.shard,
+    )
+    assert [r.shard for r in rows] == list(range(1, CURRICULUM_SHARDS + 1))
+    n_docs = read_table(spark, TEST_SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for hi, lo in zip(rows, rows[1:]):
+        assert hi.min_qb > lo.max_qb  # shard k strictly above shard k+1
+    avg = n_docs / CURRICULUM_SHARDS
+    for r in rows:
+        assert r.n_docs < 2 * avg  # near-equal under tie-bunching
