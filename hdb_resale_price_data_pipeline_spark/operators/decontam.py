@@ -185,13 +185,19 @@ def bloom_probe_expr(g: Column, bloom: Column) -> Column:
     return functools.reduce(operator.and_, conds)
 
 
-def _bloom_probe_udf(bloom_np):
+def _bloom_probe_udf(bloom_bc):
     """Arrow-vectorized probe: array<long> grams → count of grams whose
-    K probe bits are all set in the dense ``bloom_np`` word array."""
+    K probe bits are all set in the dense bitset. ``bloom_bc`` is a
+    ``SparkContext.broadcast`` of the word array — NOT a closure
+    capture: a production bitset sized for billions of grams is
+    hundreds of MB, and the broadcast machinery ships it once per
+    executor (torrent, off the task path) where a closure would bloat
+    every serialized task."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def probe(grams: pd.Series) -> pd.Series:
+        bloom_np = bloom_bc.value
         lengths = np.fromiter((len(g) for g in grams), np.int64, len(grams))
         total = int(lengths.sum())
         if total == 0:
@@ -245,7 +251,7 @@ def bloom_contamination_report(
     bloom_np = np.zeros(BLOOM_N_WORDS, dtype=np.int64)
     for row in bloom_bitset_words(eval_grams).collect():  # bounded ≤ N_WORDS
         bloom_np[row["w"]] = row["bits"]
-    probe = _bloom_probe_udf(bloom_np)
+    probe = _bloom_probe_udf(docs.sparkSession.sparkContext.broadcast(bloom_np))
     train = docs.filter(~eval_pred).select(
         F.col(id_col),
         F.size(gram_arr).cast("long").alias("n_shingles"),
