@@ -552,6 +552,84 @@ def q_text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_TEMP_MIX_SQL = S.sample_temperature_mixture_duck(MIX_BUDGET_TOKENS)
 
 
+def q_text_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level curation — the stage a web pipeline runs BEFORE
+    fetching content (crawl frontiers dedupe and blocklist on URLs,
+    not documents). The corpus has no URL column, so each doc is
+    SALTED with a deterministic doc_id-derived URL (same discipline as
+    text_pii_redact): varied TLDs, tracking query params on every 4th,
+    fragments on every 5th — so normalization, domain extraction, and
+    URL-dedup all do real work under a real value oracle.
+
+    Stages, all map-only codegen until the final small aggregation:
+    normalize (strip query/fragment), extract registered domain
+    (regexp in the RE2 ∩ Java dialect, like the PII chain), blocklist
+    match (the 'src1' domains), then per-domain accounting: raw URLs,
+    distinct normalized URLs (tracking params collapse → real dedup),
+    blocked count."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    url = F.concat(
+        F.lit("https://"),
+        col("source"),
+        F.lit(".example"),
+        F.element_at(
+            F.array(F.lit(".com"), F.lit(".org"), F.lit(".net")),
+            (col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit("/p/"),
+        (col("doc_id") % 40).cast("string"),
+        F.lit("/"),
+        col("doc_id").cast("string"),
+        F.when(
+            col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), (col("doc_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(col("doc_id") % 5 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    norm = F.regexp_replace(col("url"), r"[?#].*$", "")
+    domain = F.regexp_extract(col("url"), r"^https://([^/]+)/", 1)
+    staged = base.select(
+        "doc_id",
+        norm.alias("norm_url"),
+        domain.alias("domain"),
+        domain.startswith("src1.").cast("int").alias("blocked"),
+    )
+    return staged.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("norm_url").alias("n_distinct_norm"),
+        F.sum("blocked").alias("n_blocked"),
+    )
+
+
+_URL_CURATION_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           'https://' || source || '.example' ||
+           (['.com', '.org', '.net'])[CAST(doc_id % 3 + 1 AS INT)] ||
+           '/p/' || CAST(doc_id % 40 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR) ||
+           CASE WHEN doc_id % 4 = 0
+                THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+                ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END AS url
+    FROM documents
+),
+staged AS (
+    SELECT doc_id,
+           regexp_replace(url, '[?#].*$', '') AS norm_url,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS domain
+    FROM base
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT norm_url) AS BIGINT) AS n_distinct_norm,
+       CAST(sum(CASE WHEN domain LIKE 'src1.%' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blocked
+FROM staged
+GROUP BY domain
+"""
+
+
 CURRICULUM_SHARDS = 8
 
 
@@ -1310,6 +1388,7 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_curriculum_shards": QuerySpec(
         q_text_curriculum_shards, _curriculum_oracle()
     ),
+    "text_url_curation": QuerySpec(q_text_url_curation, _URL_CURATION_SQL),
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
     "text_quality_classifier": QuerySpec(
         q_text_quality_classifier, _lr_query_oracle()
