@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from .index_cache import IndexCache
 
 
 def doc_shingle_hashes(text_col: str, n: int, a: int = 131, b: int = 7) -> Column:
@@ -133,16 +134,12 @@ BLOOM_N_WORDS = 1 << 14  # 16Ki words ≈ 1.03M bits ≈ 128 KiB broadcast
 BLOOM_M_BITS = BLOOM_WORD_BITS * BLOOM_N_WORDS
 BLOOM_K = 3  # probes per gram (double hashing: h1 + j*h2 mod M)
 
-_POW2 = None  # lazy: array<long> literal [1, 2, 4, ...] for column-shift
-
 
 def _pow2_array() -> Column:
-    global _POW2
-    if _POW2 is None:
-        _POW2 = F.array(
-            *[F.lit(1 << i).cast("long") for i in range(BLOOM_WORD_BITS)]
-        )
-    return _POW2
+    """array<long> literal [1, 2, 4, ...] for column-indexed shifts.
+    Built fresh per call — 63 literals cost microseconds, and a cached
+    module-global Column would couple to the first session's gateway."""
+    return F.array(*[F.lit(1 << i).cast("long") for i in range(BLOOM_WORD_BITS)])
 
 
 def bloom_bitset_words(eval_grams: DataFrame, gram_col: str = "gram") -> DataFrame:
@@ -198,12 +195,17 @@ def _bloom_probe_udf(bloom_bc):
     @pandas_udf("long")
     def probe(grams: pd.Series) -> pd.Series:
         bloom_np = bloom_bc.value
-        lengths = np.fromiter((len(g) for g in grams), np.int64, len(grams))
+        # g is None for NULL-text rows (callers filter them out to match
+        # the exact report's doc set, but the probe must not crash the
+        # task if one slips through)
+        lengths = np.fromiter(
+            (0 if g is None else len(g) for g in grams), np.int64, len(grams)
+        )
         total = int(lengths.sum())
         if total == 0:
             return pd.Series(np.zeros(len(grams), np.int64))
         flat = np.concatenate(
-            [np.asarray(g, dtype=np.int64) for g in grams if len(g)]
+            [np.asarray(g, dtype=np.int64) for g in grams if g is not None and len(g)]
         )
         ok = np.ones(total, dtype=bool)
         h1 = flat % BLOOM_M_BITS
@@ -219,6 +221,13 @@ def _bloom_probe_udf(bloom_bc):
     return probe
 
 
+# Built bitset broadcasts per (session, caller key): a long-lived
+# session re-running decontamination daily must not accumulate
+# destroyed-only-at-exit broadcasts (production bitsets are hundreds of
+# MB). Eviction destroys the broadcast (IndexCache._release).
+_BLOOM_BC_CACHE = IndexCache()
+
+
 def bloom_contamination_report(
     docs: DataFrame,
     eval_pred: Column,
@@ -226,32 +235,50 @@ def bloom_contamination_report(
     text_col: str = "text",
     n: int = 5,
     min_hits: int = 1,
+    cache_key: object = None,
 ) -> DataFrame:
     """Per-training-document contamination flags vs a Bloom bitset of
     the eval partition's n-grams. Same output shape as
     :func:`contamination_report` (``n_flagged`` ≥ the exact
     ``n_contaminated`` — supersets by construction, never misses);
-    the corpus side is one shuffle-free Arrow map pass.
+    the corpus side is one shuffle-free Arrow map pass. NULL-text rows
+    are dropped on both sides, matching the exact report's doc set
+    (its explode skips them).
 
     The sparse bitset words are collected to the driver (bounded:
     ≤ BLOOM_N_WORDS longs, 128 KiB — the same K-sized-collect
-    discipline as the k-means codebooks) and shipped dense inside the
-    probe UDF's closure, giving O(1) word lookups; the map-typed
-    broadcast + expression probe alternative measured ~16× slower at
-    the 16× corpus because Spark map ``element_at`` scans entries
-    linearly and lambda HOFs run interpreted."""
+    discipline as the k-means codebooks) and shipped dense via a
+    ``SparkContext.broadcast`` for O(1) word lookups; the map-typed
+    column + expression probe alternative measured ~16× slower at the
+    16× corpus because Spark map ``element_at`` scans entries linearly
+    and lambda HOFs run interpreted. Pass a stable ``cache_key`` to
+    reuse (and bound, via LRU destroy-on-evict) the built broadcast
+    across calls in one session."""
     from ..functions.arrow_text import distinct_gram_hashes_udf
     from ..shipping import ensure_package_shipped
+    from .similarity import session_cache_key
 
     ensure_package_shipped(docs.sparkSession)
+    docs = docs.filter(F.col(text_col).isNotNull())
     gram_arr = distinct_gram_hashes_udf(n)(F.col(text_col))
-    eval_grams = (
-        docs.filter(eval_pred).select(F.explode(gram_arr).alias("gram")).distinct()
-    )
-    bloom_np = np.zeros(BLOOM_N_WORDS, dtype=np.int64)
-    for row in bloom_bitset_words(eval_grams).collect():  # bounded ≤ N_WORDS
-        bloom_np[row["w"]] = row["bits"]
-    probe = _bloom_probe_udf(docs.sparkSession.sparkContext.broadcast(bloom_np))
+    bc = None
+    full_key = None
+    if cache_key is not None:
+        full_key = (session_cache_key(docs.sparkSession), cache_key, n)
+        bc = _BLOOM_BC_CACHE.get(full_key)
+    if bc is None:
+        eval_grams = (
+            docs.filter(eval_pred)
+            .select(F.explode(gram_arr).alias("gram"))
+            .distinct()
+        )
+        bloom_np = np.zeros(BLOOM_N_WORDS, dtype=np.int64)
+        for row in bloom_bitset_words(eval_grams).collect():  # bounded ≤ N_WORDS
+            bloom_np[row["w"]] = row["bits"]
+        bc = docs.sparkSession.sparkContext.broadcast(bloom_np)
+        if full_key is not None:
+            _BLOOM_BC_CACHE.put(full_key, bc)
+    probe = _bloom_probe_udf(bc)
     train = docs.filter(~eval_pred).select(
         F.col(id_col),
         F.size(gram_arr).cast("long").alias("n_shingles"),

@@ -49,6 +49,8 @@ class IndexCache:
 
     @staticmethod
     def _release(value: Any) -> None:
+        from pyspark import Broadcast
+
         parts = value if isinstance(value, (tuple, list)) else (value,)
         for part in parts:
             if isinstance(part, DataFrame):
@@ -56,3 +58,10 @@ class IndexCache:
                     part.unpersist()
                 except Exception:
                     pass  # session already stopped — nothing to release
+            elif isinstance(part, Broadcast):
+                # broadcast variables (e.g. the Bloom bitset) pin
+                # executor+driver memory until destroyed
+                try:
+                    part.destroy()
+                except Exception:
+                    pass

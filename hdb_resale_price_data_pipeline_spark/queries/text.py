@@ -321,7 +321,10 @@ def q_text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = widen(t(spark, sf_dir, "documents"))
     return bloom_contamination_report(
-        docs, eval_pred=col("doc_id") % 10 == 0, n=DECONTAM_N
+        docs,
+        eval_pred=col("doc_id") % 10 == 0,
+        n=DECONTAM_N,
+        cache_key=(sf_dir, "mod10"),
     )
 
 
@@ -1232,9 +1235,13 @@ s0 AS (
           FROM s{p})
   ) GROUP BY 1, 2),
 m{i} AS (
-  SELECT CASE WHEN n >= 2 THEN a ELSE chr(31) END AS a{i},
-         CASE WHEN n >= 2 THEN b ELSE chr(31) END AS b{i}
-  FROM (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)),
+  -- aggregate form: ALWAYS one row, even when p{i} is empty (every
+  -- word fully merged) — an empty m{i} would CROSS JOIN the whole
+  -- vocabulary away; bpe_train's break becomes a no-op pattern instead
+  SELECT coalesce(max(CASE WHEN rn = 1 AND n >= 2 THEN a END), chr(31)) AS a{i},
+         coalesce(max(CASE WHEN rn = 1 AND n >= 2 THEN b END), chr(31)) AS b{i}
+  FROM (SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rn
+        FROM p{i})),
 s{i} AS (
   SELECT word,
          replace(s, {u}||a{i}||{uu}||b{i}||{u}, {u}||a{i}||b{i}||{u}) AS s,

@@ -248,10 +248,13 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a VERIFIED error-bound projection. Sketch internals differ across
     engines, so the raw estimates can't be hash-compared — but their
     error bounds can: the query computes the exact values alongside the
-    sketches IN Spark, checks each sketch against its published bound
-    (HLL rsd default 0.05; percentile_approx rank error 1/accuracy =
-    1e-4, checked against a loose 0.02 rank band that also absorbs
-    value ties), and emits ``(exact values, bound flags)``. The DuckDB
+    sketches IN Spark, checks each sketch against its accuracy contract
+    (HLL rsd default 0.05 is a relative STANDARD DEVIATION, not a
+    ceiling — the flag uses a 3σ band, 0.15, so healthy variance on any
+    corpus can't trip it while a broken sketch still does;
+    percentile_approx rank error 1/accuracy = 1e-4, checked against a
+    loose 0.02 rank band that also absorbs value ties), and emits
+    ``(exact values, bound flags)``. The DuckDB
     twin computes the same exact values and expects every flag = 1, so
     a sketch regression breaks the hash. All inputs are deterministic
     (HLL and KLL merges are order-free on fixed data), making the
@@ -295,11 +298,11 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok(
                 F.abs(col("a_orders") - col("exact_orders"))
                 / col("exact_orders")
-                <= 0.05
+                <= 0.15
             ).alias("orders_in_bound"),
             ok(
                 F.abs(col("a_parts") - col("exact_parts")) / col("exact_parts")
-                <= 0.05
+                <= 0.15
             ).alias("parts_in_bound"),
             ok(
                 F.abs(col("rank_med") / col("n_rows") - F.lit(0.5)) <= 0.02

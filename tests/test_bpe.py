@@ -95,3 +95,37 @@ def test_word_frequencies_matches_driver_count(spark):
             if w:
                 want[w] += 1
     assert got == dict(want)
+
+
+def test_bpe_oracle_survives_exhausted_merges(spark):
+    """A corpus whose vocabulary fully merges before the unrolled layer
+    count is exhausted: bpe_train breaks early, and the oracle's
+    tail layers must degrade to no-ops (aggregate-form m{i} — an empty
+    argmax layer once CROSS JOINed the whole vocabulary away and
+    reported every doc as zero pieces)."""
+    import duckdb
+
+    from hdb_resale_price_data_pipeline_spark.queries.text import (
+        BPE_MERGES,
+        _bpe_learn_oracle,
+    )
+
+    rows = [(i, "ab ab") for i in range(4)]
+    # Spark side: train + apply on the tiny corpus directly
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, "text", n_merges=BPE_MERGES)
+    assert len(merges) < BPE_MERGES  # early break actually happens
+    spark_out = {
+        r.doc_id: (r.bpe_n_pieces, list(r.bpe_pieces))
+        for r in bpe_apply(docs, "text", merges).collect()
+    }
+    assert all(n > 0 for n, _ in spark_out.values())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck_out = {
+        r[0]: (r[1], list(r[2]))
+        for r in con.execute(_bpe_learn_oracle()).fetchall()
+    }
+    assert duck_out == spark_out
