@@ -59,6 +59,10 @@ EXTRA_LOCAL_QUERIES = [
     "text_model_selection",
     "text_bloom_decontaminate",
     "emb_filtered_topk",
+    "text_corpus_diff",
+    "text_temperature_mix",
+    "text_curriculum_shards",
+    "text_url_curation",
 ]
 
 _GRADED = all_queries()

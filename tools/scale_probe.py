@@ -320,6 +320,11 @@ SCALING_QUERIES = [
     "text_dsir_weights",
     "text_quality_classifier",
     "text_bloom_decontaminate",
+    "text_corpus_diff",
+    "text_temperature_mix",
+    "text_curriculum_shards",
+    "text_url_curation",
+    "emb_filtered_topk",
 ]
 
 
