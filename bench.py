@@ -63,6 +63,7 @@ EXTRA_LOCAL_QUERIES = [
     "text_temperature_mix",
     "text_curriculum_shards",
     "text_url_curation",
+    "emb_outliers",
 ]
 
 _GRADED = all_queries()

@@ -112,6 +112,43 @@ def assign_to_codebook(
     return df.withColumn("ivf_cid", _nearest_centroid(F.col(emb_col)))
 
 
+def affinity_to_assigned(
+    df: DataFrame, emb_col: str, cid_col: str, codebook: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Append ``aff``: the centroid affinity |c|² − 2⟨c,e⟩ of each row
+    to its ALREADY-ASSIGNED centroid (``cid_col``) — the per-vector
+    anomaly signal the outlier detector thresholds. Same Arrow batch
+    shape and the same dimension-order accumulation as
+    :func:`assign_to_codebook`, so the value is bit-identical to the
+    ``duck_ivf_dist`` fold the oracle computes at its ``rn = 1`` row."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    ordered = sorted(codebook)
+    cents_np = None
+
+    @pandas_udf("double")
+    def _aff(emb: pd.Series, cid: pd.Series) -> pd.Series:
+        import numpy as np
+
+        nonlocal cents_np
+        if cents_np is None:
+            cents_np = np.asarray([[float(v) for v in c] for _, c in ordered])
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        mat = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        cs = cents_np[cid.to_numpy(dtype=np.int64)]  # n × dim gather
+        sq = np.array([_sq_norm(list(c)) for _, c in ordered])[
+            cid.to_numpy(dtype=np.int64)
+        ]
+        acc = mat[:, 0] * cs[:, 0]
+        for j in range(1, mat.shape[1]):
+            acc = acc + mat[:, j] * cs[:, j]  # dimension-order fold
+        return pd.Series(sq - 2.0 * acc)
+
+    return df.withColumn("aff", _aff(F.col(emb_col), F.col(cid_col)))
+
+
 def pairwise_affinity_expr(cent: str, e: str, dim: int) -> Column:
     """|c|² − 2⟨c, e⟩ between two array columns (cent, query), codegen
     chain with the same op order as ``duck_ivf_dist``."""

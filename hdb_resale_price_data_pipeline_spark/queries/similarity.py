@@ -1310,6 +1310,104 @@ QUERIES["emb_semdedup"] = QuerySpec(q_emb_semdedup, _semdedup_oracle())
 QUERIES["emb_ivfpq_topk"] = QuerySpec(q_ivfpq_topk, _ivfpq_oracle())
 
 
+OUTLIER_P = 0.99  # per-cluster distance quantile above which = outlier
+OUTLIER_GRID = 1_000_000  # affinity → integer grid (deterministic p99)
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection — the cleaning step that flags
+    vectors anomalously far from their own cluster (mis-embedded docs,
+    garbage inputs, distribution drift): each vector's affinity to its
+    ASSIGNED trained centroid, thresholded at the per-cluster p99.
+
+    The quantile is computed the scale-correct way (same discipline as
+    curriculum sharding): affinities quantized to an integer grid, a
+    per-cluster histogram + one cumulative window over the (bounded)
+    histogram yields an exact deterministic threshold — no
+    percentile_approx (sketch, not oracle-expressible), no global sort.
+    The affinity recomputation is one shuffle-free Arrow pass over the
+    cached assignment frame (``affinity_to_assigned`` — bit-identical
+    fold to the oracle's ``duck_ivf_dist``). Emits per-cluster counts,
+    threshold, and an outlier id checksum."""
+    from ..operators.ivf import affinity_to_assigned
+
+    codebook, assigned = _ivf_kmeans_index(spark, sf_dir)
+    scored = affinity_to_assigned(assigned, "embedding", "ivf_cid", codebook)
+    from pyspark.sql.window import Window as W
+
+    sc = scored.select(
+        "vec_id",
+        col("ivf_cid").alias("cid"),
+        F.floor(col("aff") * OUTLIER_GRID).cast("long").alias("qd"),
+    )
+    hist = sc.groupBy("cid", "qd").agg(F.count(F.lit(1)).alias("cnt"))
+    hh = hist.select(
+        "cid",
+        "qd",
+        F.sum("cnt").over(W.partitionBy("cid").orderBy("qd")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("cid")).alias("n"),
+    )
+    thr = (
+        hh.filter(col("cum") >= F.ceil(col("n") * OUTLIER_P))
+        .groupBy("cid")
+        .agg(F.min("qd").alias("thr_qd"))
+    )
+    return (
+        sc.join(broadcast(thr), "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((col("qd") > col("thr_qd")).cast("long")).alias("n_outliers"),
+            F.min("thr_qd").alias("thr_qd"),
+            F.sum(
+                F.when(col("qd") > col("thr_qd"), col("vec_id")).otherwise(0)
+            ).alias("outlier_checksum"),
+        )
+    )
+
+
+def _emb_outliers_oracle() -> str:
+    from ..operators.ivf import duck_ivf_dist
+
+    cents = f"cents{KMEANS_ITERS}"
+    d = duck_ivf_dist("c.cent", "e.embedding")
+    return f"""
+{_kmeans_cents_cte()},
+assigned AS (
+    SELECT vec_id, cid, d FROM (
+        SELECT e.vec_id, c.cid, {d} AS d,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d}, c.cid) AS rn
+        FROM embeddings e, {cents} c
+    ) WHERE rn = 1
+),
+sc AS (
+    SELECT vec_id, cid, CAST(floor(d * {OUTLIER_GRID}) AS BIGINT) AS qd
+    FROM assigned
+),
+h AS (SELECT cid, qd, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY 1, 2),
+hh AS (
+    SELECT cid, qd,
+           CAST(sum(cnt) OVER (PARTITION BY cid ORDER BY qd
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY cid) AS BIGINT) AS n
+    FROM h
+),
+thr AS (
+    SELECT cid, min(qd) AS thr_qd
+    FROM hh WHERE cum >= CAST(ceil(n * {OUTLIER_P}) AS BIGINT)
+    GROUP BY cid
+)
+SELECT sc.cid AS cid,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN qd > thr_qd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       min(thr_qd) AS thr_qd,
+       CAST(sum(CASE WHEN qd > thr_qd THEN vec_id ELSE 0 END) AS BIGINT)
+           AS outlier_checksum
+FROM sc JOIN thr ON sc.cid = thr.cid
+GROUP BY sc.cid
+"""
+
+
 FILTER_LABEL = 3  # ~10% selectivity (10 labels, near-uniform)
 FILTERED_NPROBE = 4  # over-probe: 2× the unfiltered width
 
@@ -1412,4 +1510,5 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_batch_topk": QuerySpec(q_batch_topk, _batch_topk_oracle()),
     "emb_ivf_kmeans_topk": QuerySpec(q_ivf_kmeans_topk, _ivf_kmeans_oracle()),
     "emb_filtered_topk": QuerySpec(q_filtered_topk, _filtered_topk_oracle()),
+    "emb_outliers": QuerySpec(q_emb_outliers, _emb_outliers_oracle()),
 }

@@ -156,3 +156,17 @@ def test_ivfadc_recall_vs_brute_force(spark):
     approx = set(_topk_ids(spark, "emb_ivfadc_topk"))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"recall {recall}"
+
+
+def test_emb_outliers_fraction_and_extremity(spark):
+    """Per-cluster p99 thresholding: outliers are ≈1% of each cluster
+    (at most the tie-bunched ceiling), never more than the cluster
+    size, and every cluster reports a threshold."""
+    rows = REGISTRY["emb_outliers"].fn(spark, TEST_SF_DIR).collect()
+    assert len(rows) > 0
+    total = sum(r.n_vecs for r in rows)
+    out = sum(r.n_outliers for r in rows)
+    assert 0 <= out / total <= 0.02  # ~1%, grid ties only shrink it
+    for r in rows:
+        assert 0 <= r.n_outliers < r.n_vecs
+        assert r.thr_qd is not None
