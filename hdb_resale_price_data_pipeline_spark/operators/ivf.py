@@ -121,30 +121,31 @@ def affinity_to_assigned(
     shape and the same dimension-order accumulation as
     :func:`assign_to_codebook`, so the value is bit-identical to the
     ``duck_ivf_dist`` fold the oracle computes at its ``rn = 1`` row."""
+    import numpy as np
+
     from ..shipping import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
     ordered = sorted(codebook)
-    cents_np = None
+    assert [cid for cid, _ in ordered] == list(range(len(ordered))), (
+        "codebook ids must be 0..K-1"  # cents_np[cid] gathers by position
+    )
+    # precomputed once at closure-build time, like assign_to_codebook —
+    # per-batch Python folds over K×dim would be pure repeated work
+    cents_np = np.asarray([[float(v) for v in c] for _, c in ordered])
+    sq_np = np.asarray([_sq_norm([float(v) for v in c]) for _, c in ordered])
 
     @pandas_udf("double")
     def _aff(emb: pd.Series, cid: pd.Series) -> pd.Series:
-        import numpy as np
-
-        nonlocal cents_np
-        if cents_np is None:
-            cents_np = np.asarray([[float(v) for v in c] for _, c in ordered])
         if len(emb) == 0:
             return pd.Series([], dtype="float64")
         mat = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
-        cs = cents_np[cid.to_numpy(dtype=np.int64)]  # n × dim gather
-        sq = np.array([_sq_norm(list(c)) for _, c in ordered])[
-            cid.to_numpy(dtype=np.int64)
-        ]
+        cix = cid.to_numpy(dtype=np.int64)
+        cs = cents_np[cix]  # n × dim gather
         acc = mat[:, 0] * cs[:, 0]
         for j in range(1, mat.shape[1]):
             acc = acc + mat[:, j] * cs[:, j]  # dimension-order fold
-        return pd.Series(sq - 2.0 * acc)
+        return pd.Series(sq_np[cix] - 2.0 * acc)
 
     return df.withColumn("aff", _aff(F.col(emb_col), F.col(cid_col)))
 

@@ -1325,10 +1325,14 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster histogram + one cumulative window over the (bounded)
     histogram yields an exact deterministic threshold — no
     percentile_approx (sketch, not oracle-expressible), no global sort.
-    The affinity recomputation is one shuffle-free Arrow pass over the
+    The affinity recomputation is ONE shuffle-free Arrow pass over the
     cached assignment frame (``affinity_to_assigned`` — bit-identical
-    fold to the oracle's ``duck_ivf_dist``). Emits per-cluster counts,
-    threshold, and an outlier id checksum."""
+    fold to the oracle's ``duck_ivf_dist``): the scored frame feeds
+    both the threshold subtree and the final join, so it is lazily
+    localCheckpointed — without it the executed plan runs the
+    full-corpus affinity UDF twice (the GC-managed checkpoint is the
+    ngram-postings discipline from operators/dedup.py). Emits
+    per-cluster counts, threshold, and an outlier id checksum."""
     from ..operators.ivf import affinity_to_assigned
 
     codebook, assigned = _ivf_kmeans_index(spark, sf_dir)
@@ -1339,7 +1343,7 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         col("ivf_cid").alias("cid"),
         F.floor(col("aff") * OUTLIER_GRID).cast("long").alias("qd"),
-    )
+    ).localCheckpoint(eager=False)
     hist = sc.groupBy("cid", "qd").agg(F.count(F.lit(1)).alias("cnt"))
     hh = hist.select(
         "cid",

@@ -84,15 +84,23 @@ def _drop_initial_plan(plan: str) -> str:
     DataFrame object), ``executedPlan().toString()`` prints BOTH
     '== Final Plan ==' and '== Initial Plan ==' sections — every
     operator would be counted twice, making the signature depend on
-    session history rather than plan shape."""
+    session history rather than plan shape.
+
+    MUST run AFTER ``_strip_cached_subtrees``: a cached
+    InMemoryRelation's nested AQE printout embeds its OWN (deeper)
+    '== Initial Plan ==' marker, and cutting at that first occurrence
+    used to truncate the signature before the query's real subtrees
+    (emb_outliers lost its broadcast-threshold branch entirely —
+    the snapshot gate was vacuous for everything below the nested
+    cache printout)."""
     marker = "+- == Initial Plan =="
     idx = plan.find(marker)
     return plan if idx < 0 else plan[:idx]
 
 
 def plan_signature(df) -> dict[str, int]:
-    plan = _strip_cached_subtrees(
-        _drop_initial_plan(df._jdf.queryExecution().executedPlan().toString())
+    plan = _drop_initial_plan(
+        _strip_cached_subtrees(df._jdf.queryExecution().executedPlan().toString())
     )
     return {
         key: len(re.findall(pat, plan))
