@@ -64,6 +64,7 @@ EXTRA_LOCAL_QUERIES = [
     "text_curriculum_shards",
     "text_url_curation",
     "emb_outliers",
+    "text_bpe_encode_ids",
 ]
 
 _GRADED = all_queries()

@@ -117,6 +117,97 @@ def _merge_seq(syms: list[str], a: str, b: str) -> list[str]:
     return out
 
 
+def bpe_vocab(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]], top_v: int
+) -> dict[str, int]:
+    """Ranked vocabulary from the trained merges: piece → id, where the
+    corpus's ``top_v`` most frequent pieces (ties → lexicographic) get
+    ids 1..V in rank order and everything else maps to 0 (UNK).
+
+    Frequencies come from the VOCABULARY-sized word table (distinct
+    words × cnt — one aggregation, never a corpus-token explode), and
+    the distinct piece set is bounded by |alphabet| + |merges| + 1, so
+    the collect and the driver rank fold are both trivially bounded."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    frozen = list(merges)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            words, counts = [], []
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                syms = list(word) + [END]
+                for a, b in frozen:
+                    syms = _merge_seq(syms, a, b)
+                for s in syms:
+                    words.append(s)
+                    counts.append(int(cnt))
+            yield pd.DataFrame({"piece": words, "cnt": counts})
+
+    freqs = (
+        word_frequencies(df, text_col)
+        .mapInPandas(gen, schema="piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("freq"))
+        .collect()  # bounded: ≤ |alphabet| + |merges| + 1 pieces
+    )
+    ranked = sorted(freqs, key=lambda r: (-r["freq"], r["piece"]))
+    return {
+        r["piece"]: (i + 1 if i < top_v else 0) for i, r in enumerate(ranked)
+    }
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    head: int = 32,
+) -> DataFrame:
+    """Encode each document to vocabulary ids (0 = UNK) with the
+    trained merges — one shuffle-free Arrow pass; merges + vocab ride
+    the closure (both bounded)."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    frozen = list(merges)
+    vmap = dict(vocab)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_pieces, n_oov, heads = [], [], []
+            for text in pdf[text_col]:
+                ids: list[int] = []
+                oov = 0
+                for word in (text or "").lower().split(" "):
+                    if not word:
+                        continue
+                    syms = list(word) + [END]
+                    for a, b in frozen:
+                        syms = _merge_seq(syms, a, b)
+                    for s in syms:
+                        pid = vmap.get(s, 0)
+                        ids.append(pid)
+                        if pid == 0:
+                            oov += 1
+                n_pieces.append(len(ids))
+                n_oov.append(oov)
+                heads.append(ids[:head])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_pieces": n_pieces,
+                    "n_oov": n_oov,
+                    "id_head": heads,
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        gen, schema="doc_id long, n_pieces long, n_oov long, id_head array<int>"
+    )
+
+
 def bpe_apply(
     df: DataFrame, text_col: str, merges: list[tuple[str, str]]
 ) -> DataFrame:

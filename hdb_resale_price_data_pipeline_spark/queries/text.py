@@ -1192,19 +1192,23 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, "text", merges)
 
 
-def _bpe_learn_oracle() -> str:
-    """DuckDB twin of ``bpe_train`` + ``bpe_apply`` with the merge loop
-    unrolled as CTE layers (one per learned merge, like the Lloyd-unroll
-    k-means oracle). The crux is greedy LEFT-TO-RIGHT non-overlapping
-    merge application — ``replace()`` scans exactly that way, so each
-    word's symbol sequence is carried as a flanked string
-    ``U+sym1+UU+sym2+UU+...+U`` (U = chr(31), never in a symbol): the
-    pattern ``U+a+UU+b+U`` can only match whole adjacent symbols, each
-    match consumes its flanking separators so runs like (a,a,a) merge
-    greedily to (aa,a), and the replacement re-flanks the merged symbol
-    so chained pairs (a,b,a,b) both merge. A layer whose best pair falls
-    under min_count=2 degrades to an impossible pattern (a=b=U), which
-    reproduces ``bpe_train``'s early break as a no-op tail."""
+def _bpe_cte_parts() -> list[str]:
+    """Shared BPE-unroll CTE prefix (DuckDB twin of ``bpe_train``):
+    w0/s0 plus one (p, m, s) layer per merge, ending with ``perword``
+    (word → final pieces, with cnt) and ``docw`` (doc → ordered words).
+    The crux is greedy LEFT-TO-RIGHT non-overlapping merge application
+    — ``replace()`` scans exactly that way, so each word's symbol
+    sequence is carried as a flanked string ``U+sym1+UU+sym2+UU+...+U``
+    (U = chr(31), never in a symbol): the pattern ``U+a+UU+b+U`` can
+    only match whole adjacent symbols, each match consumes its flanking
+    separators so runs like (a,a,a) merge greedily to (aa,a), and the
+    replacement re-flanks the merged symbol so chained pairs (a,b,a,b)
+    both merge. A layer whose best pair falls under min_count=2 (or
+    whose pair set is empty) degrades to an impossible pattern
+    (a=b=U), which reproduces ``bpe_train``'s early break as a no-op
+    tail. Consumed by ``_bpe_learn_oracle`` and
+    ``_bpe_encode_ids_oracle`` (same discipline as the shared
+    Lloyd-unroll prefix in queries/similarity.py)."""
     from ..operators.bpe import END
 
     u = "chr(31)"
@@ -1251,25 +1255,99 @@ s{i} AS (
     n = BPE_MERGES
     parts.append(
         f"""perword AS (
-  SELECT word, string_split(substring(s, 2, length(s) - 2), {uu}) AS pieces
+  SELECT word, string_split(substring(s, 2, length(s) - 2), {uu}) AS pieces, cnt
   FROM s{n}),
 docw AS (
   SELECT doc_id, ww['wi'] AS wi, ww['word'] AS word
   FROM (SELECT doc_id,
                unnest([{{'wi': i, 'word': w[i]}} for i in range(1, len(w) + 1)]) AS ww
-        FROM (SELECT doc_id, {toks} AS w FROM documents))),
+        FROM (SELECT doc_id, {toks} AS w FROM documents)))"""
+    )
+    return parts
+
+
+def _bpe_learn_oracle() -> str:
+    """DuckDB twin of ``bpe_train`` + ``bpe_apply``: the shared unroll
+    prefix (see ``_bpe_cte_parts``) plus per-doc piece re-assembly."""
+    body = ",\n".join(_bpe_cte_parts())
+    return f"""
+WITH {body},
 agg AS (
   SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT) AS bpe_n_pieces,
          flatten(list(pieces ORDER BY wi)) AS allp
   FROM docw JOIN perword USING (word)
-  GROUP BY doc_id)"""
-    )
-    body = ",\n".join(parts)
-    return f"""
-WITH {body}
+  GROUP BY doc_id)
 SELECT d.doc_id,
        coalesce(a.bpe_n_pieces, 0) AS bpe_n_pieces,
        coalesce(a.allp[1:32], CAST([] AS VARCHAR[])) AS bpe_pieces
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+BPE_VOCAB = 30  # top-V pieces get ids 1..V; everything else → 0 (UNK)
+
+
+def q_text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer SERVING step: encode every document to vocabulary
+    IDS with the trained merges — what a training pipeline actually
+    feeds the model. Vocabulary = the corpus's top-``BPE_VOCAB`` pieces
+    by frequency (ties → lexicographic), ids 1..V in rank order, all
+    other pieces → 0 (UNK) — a deliberately truncated vocab so the OOV
+    path is exercised and counted.
+
+    Scale shape mirrors the trained-model family: piece frequencies
+    come from the VOCABULARY-sized word table (one aggregation over
+    distinct words × cnt, never a corpus explode), the ranked vocab is
+    a bounded driver fold (≤ alphabet + merges symbols) shipped in the
+    encode UDF's closure, and encoding is one shuffle-free Arrow pass
+    over the corpus. Merges + vocab ride the session cache."""
+    from ..operators.bpe import bpe_encode_ids, bpe_train, bpe_vocab
+    from ..operators.similarity import session_cache_key
+
+    key = (session_cache_key(spark), sf_dir, BPE_MERGES, "ids", BPE_VOCAB)
+    cached = _BPE_MERGE_CACHE.get(key)
+    if cached is None:
+        docs_train = t(spark, sf_dir, "documents")
+        merges = bpe_train(docs_train, "text", n_merges=BPE_MERGES)
+        vocab = bpe_vocab(docs_train, "text", merges, top_v=BPE_VOCAB)
+        cached = _BPE_MERGE_CACHE.put(key, (merges, vocab))
+    merges, vocab = cached
+    docs = widen(t(spark, sf_dir, "documents"))
+    return bpe_encode_ids(docs, "text", merges, vocab)
+
+
+def _bpe_encode_ids_oracle() -> str:
+    body = ",\n".join(_bpe_cte_parts())
+    return f"""
+WITH {body},
+vocab AS (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM (SELECT unnest(pieces) AS piece, cnt FROM perword)
+  GROUP BY piece),
+vr AS (
+  SELECT piece,
+         CAST(row_number() OVER (ORDER BY freq DESC, piece) AS INT) AS rk
+  FROM vocab),
+vtop AS (
+  SELECT piece, CASE WHEN rk <= {BPE_VOCAB} THEN rk ELSE 0 END AS pid FROM vr),
+docp AS (SELECT doc_id, wi, pieces FROM docw JOIN perword USING (word)),
+dpp AS (
+  SELECT doc_id, wi,
+         unnest([{{'pi': i, 'p': pieces[i]}} for i in range(1, len(pieces) + 1)]) AS pp
+  FROM docp),
+dids AS (
+  SELECT doc_id, wi, pp['pi'] AS pi,
+         COALESCE(v.pid, 0) AS pid
+  FROM dpp LEFT JOIN vtop v ON pp['p'] = v.piece),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+         CAST(sum(CASE WHEN pid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         list(pid ORDER BY wi, pi) AS ids
+  FROM dids GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_pieces, 0) AS n_pieces,
+       coalesce(a.n_oov, 0) AS n_oov,
+       coalesce(a.ids[1:32], CAST([] AS INT[])) AS id_head
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
@@ -1396,6 +1474,9 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
         q_text_curriculum_shards, _curriculum_oracle()
     ),
     "text_url_curation": QuerySpec(q_text_url_curation, _URL_CURATION_SQL),
+    "text_bpe_encode_ids": QuerySpec(
+        q_text_bpe_encode_ids, _bpe_encode_ids_oracle()
+    ),
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
     "text_quality_classifier": QuerySpec(
         q_text_quality_classifier, _lr_query_oracle()
