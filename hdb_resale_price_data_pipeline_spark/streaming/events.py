@@ -183,6 +183,25 @@ def stream_user_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_user_dedup_bounded(events: DataFrame) -> DataFrame:
+    """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``):
+    the variant a FOREVER-RUNNING stream needs. Plain ``dropDuplicates``
+    keeps every key's state until the query dies — on an unbounded key
+    domain (user × type here is small; think event_id or URL at 100 TB)
+    the state store grows without limit. WithinWatermark guarantees
+    dedup only among duplicates arriving inside the watermark horizon
+    and EVICTS key state once the watermark passes, bounding the store
+    by the horizon's key arrival rate. The trade: a duplicate arriving
+    later than the horizon re-emits — which is the correct contract for
+    ingest dedup where upstream retries cluster in time (exactly the
+    at-least-once-delivery case this exists for)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 def stream_static_enrich(events: DataFrame, nation: DataFrame) -> DataFrame:
     """Stream-static broadcast enrichment: each streaming event joins a
     STATIC dimension (the nation table, keyed by ``user_id % 25``) —

@@ -500,3 +500,84 @@ def test_stream_dedup_gate_flags_corpus_collisions(spark):
     # all three routes actually occur on this corpus
     gates = {r.gate for r in rows}
     assert gates == {"drop_exact", "review_neardup", "ingest"}
+
+
+def test_dedup_within_watermark_bounds_state_and_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark vs plain dropDuplicates — the
+    bounded-state contract: key state is EVICTED once the watermark
+    passes its expiry, so a later duplicate re-emits (at-least-once
+    ingest semantics), while plain dropDuplicates keeps every key
+    forever and suppresses it.
+
+    Eviction timing, pinned empirically on Spark 4.1 (one event per
+    key per batch keeps this deterministic): a batch's LOOKUP still
+    sees state whose expiry is below the current watermark (eviction
+    runs at batch END, against the one-batch-lagged watermark), so a
+    duplicate in the first batch after expiry is still dropped and
+    does NOT refresh the expiry; the state is gone for the NEXT batch,
+    whose duplicate re-emits."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from hdb_resale_price_data_pipeline_spark.streaming import (
+        run_stream_to_df,
+        stream_user_dedup,
+    )
+    from hdb_resale_price_data_pipeline_spark.streaming.events import (
+        stream_user_dedup_bounded,
+    )
+    from hdb_resale_price_data_pipeline_spark.streaming.stateful import _staged_schema
+
+    stage = str(tmp_path / "dwm_src")
+    os.makedirs(stage)
+
+    def write_batch(i, rows):
+        tmp = str(tmp_path / f"_w{i}")
+        spark.createDataFrame(rows, _staged_schema()).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dest = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], dest)
+        os.utime(dest, (1_700_000_000 + i * 100,) * 2)
+
+    def ev(eid, hh, mm, user):
+        return Row(
+            event_id=eid,
+            ts=datetime.datetime(2024, 1, 1, hh, mm),
+            user_id=user,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    # b0: first A (user 1) at 00:00 → state expiry 02:00 (2h horizon)
+    write_batch(0, [ev(1, 0, 0, 1), ev(2, 0, 0, 2)])
+    # b1: user 3 at 06:00 → watermark advances to 04:00 > A's expiry
+    write_batch(1, [ev(4, 6, 0, 3)])
+    # b2: A at 06:30 — lookup still finds the stale state (eviction is
+    # end-of-batch): dropped, no expiry refresh; state evicted after b2
+    write_batch(2, [ev(5, 6, 30, 1)])
+    # b3: A at 07:00 — state gone → RE-EMITS (expiry now 09:00)
+    write_batch(3, [ev(6, 7, 0, 1)])
+
+    def staged_stream():
+        return (
+            spark.readStream.schema(_staged_schema())
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(stage)
+        )
+
+    bounded = run_stream_to_df(
+        stream_user_dedup_bounded(staged_stream()), spark
+    ).collect()
+    emitted = sorted((r.user_id, r.event_id) for r in bounded)
+    assert emitted == [(1, 1), (1, 6), (2, 2), (3, 4)]  # A emitted twice
+
+    # plain dropDuplicates: unbounded state — A suppressed forever
+    unbounded = run_stream_to_df(stream_user_dedup(staged_stream()), spark).collect()
+    assert sorted(r.event_id for r in unbounded) == [1, 2, 4]
