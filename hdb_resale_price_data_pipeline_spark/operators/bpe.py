@@ -54,6 +54,19 @@ def bpe_train(
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges; returns them in application
     order. Stops early when no pair reaches ``min_count``."""
+    merges, _ = bpe_train_with_freqs(df, text_col, n_merges, min_count)
+    return merges
+
+
+def bpe_train_with_freqs(
+    df: DataFrame, text_col: str, n_merges: int = 10, min_count: int = 2
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
+    """Like :func:`bpe_train`, but also returns the final PIECE
+    frequencies ``[(piece, freq)]`` derived from the last working
+    symbol table before it is released — the vocabulary a tokenizer
+    ships. Deriving it here costs one vocabulary-sized aggregation;
+    recomputing it afterwards would cost a full extra corpus pass plus
+    re-applying every merge (the table bpe_train already built)."""
     from ..shipping import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
@@ -86,9 +99,18 @@ def bpe_train(
             merged.count()  # materialize before dropping the parent
             work.unpersist()
             work = merged
+        freqs = [
+            (r["piece"], int(r["freq"]))
+            for r in (
+                work.select(F.explode("syms").alias("piece"), "cnt")
+                .groupBy("piece")
+                .agg(F.sum("cnt").alias("freq"))
+                .collect()  # bounded: ≤ |alphabet| + |merges| + 1 pieces
+            )
+        ]
     finally:
         work.unpersist()
-    return merges
+    return merges, freqs
 
 
 def _apply_one_merge(work: DataFrame, a: str, b: str) -> DataFrame:
@@ -117,45 +139,26 @@ def _merge_seq(syms: list[str], a: str, b: str) -> list[str]:
     return out
 
 
-def bpe_vocab(
-    df: DataFrame, text_col: str, merges: list[tuple[str, str]], top_v: int
+def _word_pieces(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Segment ONE word with the trained merges in training order —
+    the single definition every consumer (vocab ranking, id encoding,
+    piece application) shares, so segmentation can never drift between
+    them (and hence between Spark and the oracles)."""
+    syms = list(word) + [END]
+    for a, b in merges:
+        syms = _merge_seq(syms, a, b)
+    return syms
+
+
+def bpe_vocab_from_freqs(
+    freqs: list[tuple[str, int]], top_v: int
 ) -> dict[str, int]:
-    """Ranked vocabulary from the trained merges: piece → id, where the
-    corpus's ``top_v`` most frequent pieces (ties → lexicographic) get
-    ids 1..V in rank order and everything else maps to 0 (UNK).
-
-    Frequencies come from the VOCABULARY-sized word table (distinct
-    words × cnt — one aggregation, never a corpus-token explode), and
-    the distinct piece set is bounded by |alphabet| + |merges| + 1, so
-    the collect and the driver rank fold are both trivially bounded."""
-    from ..shipping import ensure_package_shipped
-
-    ensure_package_shipped(df.sparkSession)
-    frozen = list(merges)
-
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            words, counts = [], []
-            for word, cnt in zip(pdf["word"], pdf["cnt"]):
-                syms = list(word) + [END]
-                for a, b in frozen:
-                    syms = _merge_seq(syms, a, b)
-                for s in syms:
-                    words.append(s)
-                    counts.append(int(cnt))
-            yield pd.DataFrame({"piece": words, "cnt": counts})
-
-    freqs = (
-        word_frequencies(df, text_col)
-        .mapInPandas(gen, schema="piece string, cnt long")
-        .groupBy("piece")
-        .agg(F.sum("cnt").alias("freq"))
-        .collect()  # bounded: ≤ |alphabet| + |merges| + 1 pieces
-    )
-    ranked = sorted(freqs, key=lambda r: (-r["freq"], r["piece"]))
-    return {
-        r["piece"]: (i + 1 if i < top_v else 0) for i, r in enumerate(ranked)
-    }
+    """Ranked vocabulary from final piece frequencies (as returned by
+    :func:`bpe_train_with_freqs`): piece → id, where the ``top_v`` most
+    frequent pieces (ties → lexicographic) get ids 1..V in rank order
+    and everything else maps to 0 (UNK). Pure bounded driver fold."""
+    ranked = sorted(freqs, key=lambda pf: (-pf[1], pf[0]))
+    return {p: (i + 1 if i < top_v else 0) for i, (p, _) in enumerate(ranked)}
 
 
 def bpe_encode_ids(
@@ -183,10 +186,7 @@ def bpe_encode_ids(
                 for word in (text or "").lower().split(" "):
                     if not word:
                         continue
-                    syms = list(word) + [END]
-                    for a, b in frozen:
-                        syms = _merge_seq(syms, a, b)
-                    for s in syms:
+                    for s in _word_pieces(word, frozen):
                         pid = vmap.get(s, 0)
                         ids.append(pid)
                         if pid == 0:
@@ -228,10 +228,7 @@ def bpe_apply(
                 for word in (text or "").lower().split(" "):
                     if not word:
                         continue
-                    syms = list(word) + [END]
-                    for a, b in frozen:
-                        syms = _merge_seq(syms, a, b)
-                    pieces.extend(syms)
+                    pieces.extend(_word_pieces(word, frozen))
                 counts.append(len(pieces))
                 heads.append(pieces[:32])
             out = pd.DataFrame(

@@ -1167,6 +1167,26 @@ from ..operators.index_cache import IndexCache as _IndexCache  # noqa: E402
 _BPE_MERGE_CACHE = _IndexCache()
 
 
+def _bpe_model(spark: SparkSession, sf_dir: str):
+    """ONE trained BPE model per (session, corpus): (merges, final
+    piece frequencies), shared by the learn/apply query AND the
+    id-encoding query — the iterative training must not run twice for
+    the same corpus in one session, and the piece frequencies fall out
+    of training's own final symbol table for free
+    (``bpe_train_with_freqs``)."""
+    from ..operators.bpe import bpe_train_with_freqs
+    from ..operators.similarity import session_cache_key
+
+    key = (session_cache_key(spark), sf_dir, BPE_MERGES)
+    model = _BPE_MERGE_CACHE.get(key)
+    if model is None:
+        docs_train = t(spark, sf_dir, "documents")
+        model = _BPE_MERGE_CACHE.put(
+            key, bpe_train_with_freqs(docs_train, "text", n_merges=BPE_MERGES)
+        )
+    return model
+
+
 def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn BPE merges on the corpus (operators/bpe.py — the
     vocabulary-table iterative shape: corpus scanned once, iterations
@@ -1176,18 +1196,12 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     with greedy left-to-right merge application expressed as a single
     ``replace()`` over a separator-flanked symbol string — see
     ``_bpe_learn_oracle``. Exact model parity + determinism +
-    monotonicity are additionally pinned in tests/test_bpe.py. Merges
-    cached per (session, corpus) like the ANN indexes."""
-    from ..operators.bpe import bpe_apply, bpe_train
-    from ..operators.similarity import session_cache_key
+    monotonicity are additionally pinned in tests/test_bpe.py. The
+    trained model is cached per (session, corpus) and shared with the
+    id-encoding query (``_bpe_model``)."""
+    from ..operators.bpe import bpe_apply
 
-    key = (session_cache_key(spark), sf_dir, BPE_MERGES)
-    merges = _BPE_MERGE_CACHE.get(key)
-    if merges is None:
-        docs_train = t(spark, sf_dir, "documents")
-        merges = _BPE_MERGE_CACHE.put(
-            key, bpe_train(docs_train, "text", n_merges=BPE_MERGES)
-        )
+    merges, _ = _bpe_model(spark, sf_dir)
     docs = widen(t(spark, sf_dir, "documents"))
     return bpe_apply(docs, "text", merges)
 
@@ -1296,22 +1310,17 @@ def q_text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is exercised and counted.
 
     Scale shape mirrors the trained-model family: piece frequencies
-    come from the VOCABULARY-sized word table (one aggregation over
-    distinct words × cnt, never a corpus explode), the ranked vocab is
-    a bounded driver fold (≤ alphabet + merges symbols) shipped in the
-    encode UDF's closure, and encoding is one shuffle-free Arrow pass
-    over the corpus. Merges + vocab ride the session cache."""
-    from ..operators.bpe import bpe_encode_ids, bpe_train, bpe_vocab
-    from ..operators.similarity import session_cache_key
+    fall out of training's own final symbol table (one
+    vocabulary-sized aggregation — no extra corpus pass), the ranked
+    vocab is a bounded driver fold (≤ alphabet + merges symbols)
+    shipped in the encode UDF's closure, and encoding is one
+    shuffle-free Arrow pass over the corpus. The trained model is the
+    SAME cached (session, corpus) model the learn query uses
+    (``_bpe_model``) — training never runs twice."""
+    from ..operators.bpe import bpe_encode_ids, bpe_vocab_from_freqs
 
-    key = (session_cache_key(spark), sf_dir, BPE_MERGES, "ids", BPE_VOCAB)
-    cached = _BPE_MERGE_CACHE.get(key)
-    if cached is None:
-        docs_train = t(spark, sf_dir, "documents")
-        merges = bpe_train(docs_train, "text", n_merges=BPE_MERGES)
-        vocab = bpe_vocab(docs_train, "text", merges, top_v=BPE_VOCAB)
-        cached = _BPE_MERGE_CACHE.put(key, (merges, vocab))
-    merges, vocab = cached
+    merges, freqs = _bpe_model(spark, sf_dir)
+    vocab = bpe_vocab_from_freqs(freqs, top_v=BPE_VOCAB)
     docs = widen(t(spark, sf_dir, "documents"))
     return bpe_encode_ids(docs, "text", merges, vocab)
 

@@ -576,7 +576,13 @@ def test_dedup_within_watermark_bounds_state_and_reemits(spark, tmp_path):
         stream_user_dedup_bounded(staged_stream()), spark
     ).collect()
     emitted = sorted((r.user_id, r.event_id) for r in bounded)
-    assert emitted == [(1, 1), (1, 6), (2, 2), (3, 4)]  # A emitted twice
+    # Contract-guaranteed facts (survive Spark eviction-timing changes):
+    # A's first event emits, A RE-EMITS exactly once after the horizon
+    # (event 5 or 6 — which one is eviction-timing detail; on 4.1 it is
+    # 6, per the docstring), B and user 3 emit once each.
+    a_rows = [eid for (u, eid) in emitted if u == 1]
+    assert a_rows[0] == 1 and len(a_rows) == 2 and a_rows[1] in (5, 6)
+    assert [(u, e) for (u, e) in emitted if u != 1] == [(2, 2), (3, 4)]
 
     # plain dropDuplicates: unbounded state — A suppressed forever
     unbounded = run_stream_to_df(stream_user_dedup(staged_stream()), spark).collect()
