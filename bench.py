@@ -51,13 +51,14 @@ EXTRA_LOCAL_QUERIES = [
     "text_repeated_passages",
     "emb_ivfadc_topk",
     "text_cut_passages",
-    "text_bpe_learn",
     "text_lm_perplexity",
     "text_bm25_topk",
     "text_dsir_weights",
-    "text_quality_classifier",
-    "text_model_selection",
     "text_bloom_decontaminate",
+    # r5 rotation: demoted from the graded window but still timed
+    "text_profile",
+    "text_repetition",
+    "text_bpe_tokens",
     "emb_filtered_topk",
     "text_corpus_diff",
     "text_temperature_mix",
@@ -171,7 +172,7 @@ def main() -> None:
     timed("pipeline_run_all", lambda: run_pipeline_e2e(spark, sf))
 
     total = round(sum(timings.values()), 3)
-    out = {
+    detail = {
         "metric": "bench_suite_wall_clock",
         "value": total,
         "unit": "sec",
@@ -185,9 +186,36 @@ def main() -> None:
     # run — summing only the surviving queries would otherwise make a
     # regression that kills a query read as a speedup.
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+        detail["partial"] = True
+        detail["n_failed"] = len(errors)
+    # The driver captures only a bounded TAIL of stdout: round 4's single
+    # 86-query JSON line lost its head there and recorded parsed:null.
+    # So: full per-query map goes to a committed detail file; stdout gets
+    # ONE COMPACT headline line (LAST), small enough to always survive
+    # the tail window — spec-shaped ("queries" carries the slowest 10).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    out = {
+        "metric": "bench_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "repeats": REPEATS,
+        "n_queries": len(timings),
+        "n_failed": len(errors),
+        "detail": os.path.basename(detail_path),
+    }
+    if errors:
         out["partial"] = True
-        out["n_failed"] = len(errors)
     print(json.dumps(out))
     spark.stop()
 

@@ -49,6 +49,18 @@ def _to_symbols(words: DataFrame) -> DataFrame:
     )
 
 
+# Driver-local merge-loop budget: the per-merge Spark-job path is
+# correct but schedules one job per merge — fine at n_merges≈10, days
+# of scheduler overhead at a production 32k vocabulary. The word-
+# frequency table is VOCAB-sized by construction (distinct words, not
+# corpus rows), so when it fits this budget the whole merge loop runs
+# driver-local on the collected table — same algorithm, same tie-break,
+# bit-identical output (parity pinned in tests/test_bpe.py) — and 32k
+# merges cost an in-memory loop instead of 32k scheduled jobs. Above
+# the budget the Spark path still applies.
+DRIVER_VOCAB_BUDGET = 2_000_000  # distinct words; ~a few hundred MB
+
+
 def bpe_train(
     df: DataFrame, text_col: str, n_merges: int = 10, min_count: int = 2
 ) -> list[tuple[str, str]]:
@@ -58,21 +70,101 @@ def bpe_train(
     return merges
 
 
+def _driver_merge_loop(
+    vocab: list[tuple[list[str], int]], n_merges: int, min_count: int
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
+    """The merge loop over a COLLECTED word-frequency table — the exact
+    algorithm of the distributed loop (greedy most-frequent pair, ties
+    → lexicographically smallest (a, b), stop under ``min_count``),
+    with the classic incremental bookkeeping (Sennrich's learn_bpe):
+    pair counts update only for words CONTAINING the merged pair (a
+    pair→words inverted index), and the argmax is a lazy max-heap —
+    stale heap entries are discarded when their count no longer
+    matches. Python tuple order on (−n, a, b) equals the distributed
+    ``ORDER BY n DESC, a, b``: UTF-8 byte order (Spark strings) and
+    code-point order (Python str) agree by UTF-8's order-preserving
+    construction."""
+    import heapq
+    from collections import defaultdict
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (syms, cnt) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnt
+            where[p].add(idx)
+    heap = [(-n, p) for p, n in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            neg_n, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -neg_n and -neg_n > 0:
+                best = (p, -neg_n)
+                break
+        if best is None or best[1] < min_count:
+            break
+        (a, b), n = best
+        # the popped entry was valid; the pair is about to go to 0 —
+        # push nothing back
+        merges.append((a, b))
+        for idx in where.pop((a, b), ()):
+            syms, cnt = vocab[idx]
+            new = _merge_seq(syms, a, b)
+            if new == syms:
+                continue  # stale index entry: pair no longer present
+            # push a fresh heap entry on EVERY count change (decrements
+            # included): a pair whose count only ever decreased would
+            # otherwise have no matching heap entry left and become
+            # unreachable for later argmaxes
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= cnt
+                heapq.heappush(heap, (-pair_counts[p], p))
+            for p in zip(new, new[1:]):
+                pair_counts[p] += cnt
+                where[p].add(idx)
+                heapq.heappush(heap, (-pair_counts[p], p))
+            vocab[idx] = (new, cnt)
+        pair_counts.pop((a, b), None)
+    freqs: dict[str, int] = defaultdict(int)
+    for syms, cnt in vocab:
+        for s in syms:
+            freqs[s] += cnt
+    return merges, sorted(freqs.items())
+
+
 def bpe_train_with_freqs(
-    df: DataFrame, text_col: str, n_merges: int = 10, min_count: int = 2
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_count: int = 2,
+    driver_budget_words: int = DRIVER_VOCAB_BUDGET,
 ) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
     """Like :func:`bpe_train`, but also returns the final PIECE
-    frequencies ``[(piece, freq)]`` derived from the last working
-    symbol table before it is released — the vocabulary a tokenizer
-    ships. Deriving it here costs one vocabulary-sized aggregation;
-    recomputing it afterwards would cost a full extra corpus pass plus
-    re-applying every merge (the table bpe_train already built)."""
+    frequencies ``[(piece, freq)]`` (sorted by piece) derived from the
+    last working symbol table before it is released — the vocabulary a
+    tokenizer ships. Deriving it here costs one vocabulary-sized
+    aggregation; recomputing it afterwards would cost a full extra
+    corpus pass plus re-applying every merge (the table bpe_train
+    already built).
+
+    The corpus is touched exactly ONCE either way. When the word-
+    frequency table fits ``driver_budget_words`` (vocab-sized, so it
+    usually does), the merge loop runs driver-local
+    (:func:`_driver_merge_loop`) — identical results, no per-merge job
+    scheduling; pass ``driver_budget_words=0`` to force the
+    distributed loop."""
     from ..shipping import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
     work = _to_symbols(word_frequencies(df, text_col)).select("syms", "cnt").persist()
     merges: list[tuple[str, str]] = []
     try:
+        n_words = work.count()  # also materializes the persist
+        if n_words <= driver_budget_words:
+            vocab = [(list(r["syms"]), int(r["cnt"])) for r in work.collect()]
+            return _driver_merge_loop(vocab, n_merges, min_count)
         for _ in range(n_merges):
             pairs = (
                 work.select(
@@ -99,7 +191,7 @@ def bpe_train_with_freqs(
             merged.count()  # materialize before dropping the parent
             work.unpersist()
             work = merged
-        freqs = [
+        freqs = sorted(
             (r["piece"], int(r["freq"]))
             for r in (
                 work.select(F.explode("syms").alias("piece"), "cnt")
@@ -107,7 +199,7 @@ def bpe_train_with_freqs(
                 .agg(F.sum("cnt").alias("freq"))
                 .collect()  # bounded: ≤ |alphabet| + |merges| + 1 pieces
             )
-        ]
+        )  # sorted by piece: same contract as the driver-local path
     finally:
         work.unpersist()
     return merges, freqs

@@ -224,7 +224,8 @@ def _bloom_probe_udf(bloom_bc):
 # Built bitset broadcasts per (session, caller key): a long-lived
 # session re-running decontamination daily must not accumulate
 # destroyed-only-at-exit broadcasts (production bitsets are hundreds of
-# MB). Eviction destroys the broadcast (IndexCache._release).
+# MB). LRU eviction UNPERSISTS the broadcast (pending plans that
+# captured it re-fetch lazily); IndexCache.clear() destroys.
 _BLOOM_BC_CACHE = IndexCache()
 
 
@@ -252,8 +253,12 @@ def bloom_contamination_report(
     column + expression probe alternative measured ~16× slower at the
     16× corpus because Spark map ``element_at`` scans entries linearly
     and lambda HOFs run interpreted. Pass a stable ``cache_key`` to
-    reuse (and bound, via LRU destroy-on-evict) the built broadcast
-    across calls in one session."""
+    reuse (and bound, via LRU unpersist-on-evict) the built broadcast
+    across calls in one session. CONTRACT: ``cache_key`` must uniquely
+    determine ``eval_pred`` (a Column can't be hashed, so it can't be
+    folded into the key) — two calls sharing a key but selecting
+    different eval partitions would silently reuse the wrong bitset.
+    ``text_col`` and ``n`` are folded in automatically."""
     from ..functions.arrow_text import distinct_gram_hashes_udf
     from ..shipping import ensure_package_shipped
     from .similarity import session_cache_key
@@ -264,7 +269,7 @@ def bloom_contamination_report(
     bc = None
     full_key = None
     if cache_key is not None:
-        full_key = (session_cache_key(docs.sparkSession), cache_key, n)
+        full_key = (session_cache_key(docs.sparkSession), cache_key, text_col, n)
         bc = _BLOOM_BC_CACHE.get(full_key)
     if bc is None:
         eval_grams = (

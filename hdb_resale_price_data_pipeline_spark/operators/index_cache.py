@@ -42,13 +42,13 @@ class IndexCache:
     def clear(self) -> None:
         while self._data:
             _, evicted = self._data.popitem(last=False)
-            self._release(evicted)
+            self._release(evicted, destroy=True)
 
     def __len__(self) -> int:
         return len(self._data)
 
     @staticmethod
-    def _release(value: Any) -> None:
+    def _release(value: Any, destroy: bool = False) -> None:
         from pyspark import Broadcast
 
         parts = value if isinstance(value, (tuple, list)) else (value,)
@@ -59,9 +59,14 @@ class IndexCache:
                 except Exception:
                     pass  # session already stopped — nothing to release
             elif isinstance(part, Broadcast):
-                # broadcast variables (e.g. the Bloom bitset) pin
-                # executor+driver memory until destroyed
+                # Broadcast variables (e.g. the Bloom bitset) pin
+                # executor+driver memory. LRU eviction must UNPERSIST,
+                # not destroy: a still-unexecuted (or retained) plan that
+                # captured the evicted broadcast re-fetches lazily from
+                # the driver after unpersist but fails hard after
+                # destroy. destroy() is reserved for clear() — explicit
+                # session teardown, where no pending plan may outlive it.
                 try:
-                    part.destroy()
+                    part.destroy() if destroy else part.unpersist()
                 except Exception:
                     pass

@@ -59,6 +59,12 @@ def domain_rates(
     dom = features.groupBy(domain_col).agg(
         F.sum("n_tok").alias("domain_tokens")
     )
+    # Zero-token domains (all-empty docs) are excluded BEFORE the rate
+    # quotient in both engines: budget/0 is NULL in Spark but +inf →
+    # rate 1.0 under DuckDB double division — a latent cross-engine
+    # divergence on degenerate data (same guard as temperature_rates).
+    # n_domains therefore counts domains with content, in both engines.
+    dom = dom.filter(col("domain_tokens") > 0)
     # Unbounded window on the domains-sized agg output: single task, but
     # the frame is tiny by construction and this keeps one plan (a
     # crossJoin against a separate count(*) agg would re-scan the corpus).
@@ -116,6 +122,14 @@ def temperature_rates(
     dom = features.groupBy(domain_col).agg(
         F.sum("n_tok").alias("domain_tokens")
     )
+    # A domain whose every doc is empty/whitespace has domain_tokens=0:
+    # its rate quotient is 0/0 — NULL in Spark but a different value
+    # under DuckDB's double division. Such a domain has no tokens to
+    # sample anyway, so exclude it from the rate table in BOTH engines
+    # (the twin carries the same WHERE) instead of leaning on divergent
+    # degenerate-division semantics. Its s-term was 0, so the Σ over the
+    # remaining domains is unchanged.
+    dom = dom.filter(col("domain_tokens") > 0)
     dom = dom.withColumn(
         "s",
         F.floor(
@@ -177,6 +191,7 @@ WITH d AS (
     SELECT {domain_col}, domain_tokens,
            CAST(floor(sqrt(CAST(domain_tokens AS DOUBLE)) * {TEMP_SCALE}) AS BIGINT) AS s
     FROM dom
+    WHERE domain_tokens > 0
 ), tot AS (
     SELECT CAST(sum(s) AS BIGINT) AS st FROM doms
 ), r AS (
@@ -212,6 +227,7 @@ WITH d AS (
 ), dom AS (
     SELECT {domain_col}, CAST(sum(n_tok) AS BIGINT) AS domain_tokens
     FROM d GROUP BY {domain_col}
+    HAVING CAST(sum(n_tok) AS BIGINT) > 0
 ), r AS (
     SELECT {domain_col},
            least(CAST(1.0 AS DOUBLE),

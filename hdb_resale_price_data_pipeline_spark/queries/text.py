@@ -477,14 +477,19 @@ QUERIES: dict[str, QuerySpec] = {
     "text_chunk_overlap": QuerySpec(q_text_chunk_overlap, _TEXT_CHUNK_SQL),
     "text_train_test_split": QuerySpec(q_text_train_test_split, _TRAIN_TEST_SQL),
     "text_decontaminate": QuerySpec(q_text_decontaminate, _TEXT_DECONTAM_SQL),
-    "text_repetition": QuerySpec(q_text_repetition, _TEXT_REPETITION_SQL),
-    "text_bpe_tokens": QuerySpec(q_text_bpe_tokens, _TEXT_BPE_SQL),
-    "text_profile": QuerySpec(q_text_profile, _TEXT_PROFILE_SQL),
     # r4: the C4/Gopher corpus filters join the graded window below
     # (after their definitions); text_fingerprint and text_top_tokens
     # move to LOCAL_QUERIES — the polynomial fingerprint hash is
     # exercised by every graded dedup query and the global token agg by
     # the pivot/top-k family, so they were the most redundant rows.
+    # r5 rotation (per the r4 verdict): text_profile / text_repetition /
+    # text_bpe_tokens demote to LOCAL_QUERIES — their X-row coverage is
+    # anchored by string_conform / hdb_cleaning_semantics and the C4/
+    # Gopher filters — freeing graded slots for the round-4 flagship
+    # model-based-selection family: text_bpe_learn (distributed BPE
+    # training), text_quality_classifier (trained LR selection), and
+    # text_model_selection (4-signal consensus), registered below after
+    # their definitions. No §2-anchoring query is demoted.
 }
 
 # Subsumed column-for-column by text_profile; oracle-verified locally.
@@ -1473,6 +1478,16 @@ def _bm25_oracle() -> str:
     return SC.bm25_topk_oracle(BM25_TERMS, BM25_K, H.tokens("text")[1])
 
 
+# r5 promotions into the graded window (defined only here, after their
+# oracles exist; see the rotation note on QUERIES above).
+QUERIES["text_bpe_learn"] = QuerySpec(q_text_bpe_learn, _bpe_learn_oracle())
+QUERIES["text_quality_classifier"] = QuerySpec(
+    q_text_quality_classifier, _lr_query_oracle()
+)
+QUERIES["text_model_selection"] = QuerySpec(
+    q_text_model_selection, _model_selection_oracle()
+)
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_bloom_decontaminate": QuerySpec(
         q_text_bloom_decontaminate, _bloom_decontam_oracle()
@@ -1487,15 +1502,12 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
         q_text_bpe_encode_ids, _bpe_encode_ids_oracle()
     ),
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
-    "text_quality_classifier": QuerySpec(
-        q_text_quality_classifier, _lr_query_oracle()
-    ),
     "text_bm25_topk": QuerySpec(q_text_bm25_topk, _bm25_oracle()),
     "text_dsir_weights": QuerySpec(q_text_dsir_weights, _dsir_oracle()),
-    "text_model_selection": QuerySpec(
-        q_text_model_selection, _model_selection_oracle()
-    ),
-    "text_bpe_learn": QuerySpec(q_text_bpe_learn, _bpe_learn_oracle()),
+    # r5 demotions out of the graded window (rotation note on QUERIES):
+    "text_repetition": QuerySpec(q_text_repetition, _TEXT_REPETITION_SQL),
+    "text_bpe_tokens": QuerySpec(q_text_bpe_tokens, _TEXT_BPE_SQL),
+    "text_profile": QuerySpec(q_text_profile, _TEXT_PROFILE_SQL),
     "text_repeated_passages": QuerySpec(
         q_text_repeated_passages, _repeated_passages_oracle()
     ),

@@ -129,3 +129,41 @@ def test_bpe_oracle_survives_exhausted_merges(spark):
         for r in con.execute(_bpe_learn_oracle()).fetchall()
     }
     assert duck_out == spark_out
+
+
+def test_driver_and_distributed_merge_loops_are_bit_identical(spark):
+    """r5: the bounded driver-local merge loop (lazy-heap incremental
+    pair counts) must reproduce the distributed per-merge-job loop
+    exactly — merges IN ORDER and final piece frequencies — on a real
+    corpus slice. driver_budget_words=0 forces the distributed path."""
+    from hdb_resale_price_data_pipeline_spark.operators.bpe import (
+        bpe_train_with_freqs,
+    )
+
+    docs = read_table(spark, TEST_SF_DIR, "documents").limit(150)
+    m_driver, f_driver = bpe_train_with_freqs(docs, "text", n_merges=8)
+    m_spark, f_spark = bpe_train_with_freqs(
+        docs, "text", n_merges=8, driver_budget_words=0
+    )
+    assert m_driver == m_spark
+    assert f_driver == f_spark
+
+
+def test_driver_merge_loop_handles_large_merge_counts_fast(spark):
+    """The production-vocab shape the distributed loop can't serve
+    (one scheduled job per merge): 1000 requested merges on the real
+    corpus must complete driver-local in seconds, stopping early only
+    if pairs are exhausted under min_count."""
+    import time
+
+    from hdb_resale_price_data_pipeline_spark.operators.bpe import (
+        bpe_train_with_freqs,
+    )
+
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    t0 = time.perf_counter()
+    merges, freqs = bpe_train_with_freqs(docs, "text", n_merges=1000)
+    wall = time.perf_counter() - t0
+    assert len(merges) > 100  # the corpus genuinely supports deep vocab
+    assert len(merges) == len(set(merges))  # no pair merged twice
+    assert wall < 60, f"driver merge loop took {wall:.1f}s"

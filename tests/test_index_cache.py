@@ -67,3 +67,22 @@ def test_similarity_caches_build_and_evict_across_datasets(spark):
     finally:
         cache.clear()
         cache.max_entries = saved_max
+
+def test_broadcast_eviction_unpersists_not_destroys(spark):
+    """ADVICE r4: a plan that captured an LRU-evicted broadcast must
+    keep working (unpersist → executors lazily re-fetch); destroy() is
+    reserved for clear()."""
+    cache = IndexCache(max_entries=1)
+    bc_a = spark.sparkContext.broadcast([1, 2, 3])
+    bc_b = spark.sparkContext.broadcast([4, 5])
+    cache.put("a", (bc_a,))
+    cache.put("b", (bc_b,))  # evicts "a" → unpersist only
+    assert bc_a.value == [1, 2, 3], "evicted broadcast must stay usable"
+    cache.clear()  # teardown → destroy
+    try:
+        destroyed = False
+        bc_b.value  # noqa: B018 — probing destroyed-ness
+    except Exception:
+        destroyed = True
+    assert destroyed, "clear() must destroy broadcasts"
+    bc_a.destroy()

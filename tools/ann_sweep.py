@@ -76,6 +76,10 @@ def sweep(spark) -> None:
     n_vec = emb.count()
     print(f"embeddings: {n_vec:,} rows at {SF_DIR}")
     queries = _query_vecs(emb, N_QUERIES)
+    # Recall denominators use len(exact[qid]) sums, not len(queries) *
+    # TOP_K: a filtered/small dataset can yield fewer than TOP_K exact
+    # candidates per query, and the fixed denominator would understate
+    # recall on it.
     exact = {
         qid: set(_exact_topk(emb, qid, qv, TOP_K)) for qid, qv in queries.items()
     }
@@ -107,7 +111,7 @@ def sweep(spark) -> None:
                     )
                 ]
                 hits += len(set(ids) & exact[qid])
-            return hits / (len(queries) * TOP_K)
+            return hits / sum(len(exact[q]) for q in queries)
 
         return run
 
@@ -126,7 +130,7 @@ def sweep(spark) -> None:
                     ).collect()
                 ]
                 hits += len(set(ids) & exact[qid])
-            return hits / (len(queries) * TOP_K)
+            return hits / sum(len(exact[q]) for q in queries)
 
         return run
 
