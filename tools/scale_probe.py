@@ -325,6 +325,9 @@ SCALING_QUERIES = [
     "text_curriculum_shards",
     "text_url_curation",
     "emb_filtered_topk",
+    # r5: the Bloom-gated streaming dedup gate (fixed-memory bitset +
+    # Bloom-hit-only confirm joins) — the r4 corpus-broadcast scale fix
+    "stream_dedup_gate",
 ]
 
 
@@ -429,6 +432,96 @@ def probe_scaling(spark) -> None:
         )
 
 
+TPCH_STAGE = "/tmp/tpch_sf1"
+TPCH_COPIES = 10  # sf0.1 → sf1: 600k → 6M lineitem rows
+# One replica of the whole relational schema per copy: every fact AND
+# its joinable dims get the same key offset, so copy i joins copy i —
+# per-key fan-outs stay sf-realistic instead of multiplying into one
+# shared dim. region/nation stay verbatim (they are fixed-size in TPC-H
+# at every sf). events offsets only event_id: user/ts skew structure is
+# preserved, so the hot keys events_salted_totals salts against grow
+# 10× like a real traffic scale-up.
+_TPCH_OFFSETS = {
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "events": ("event_id",),
+}
+_TPCH_VERBATIM = ("region", "nation")
+
+TPCH_QUERIES = [
+    "pricing_summary",
+    "region_nation_revenue",
+    "avg_revenue_by_region_year",
+    "shipping_priority_top10",
+    "q9_product_profit",
+    "q21_stuck_orders",
+    "q18_large_orders",
+    "events_salted_totals",
+    "customer_windows",
+]
+
+
+def stage_tpch(spark) -> None:
+    if os.path.exists(f"{TPCH_STAGE}/_done"):
+        return
+    for table, keys in _TPCH_OFFSETS.items():
+        base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        out = base
+        for i in range(1, TPCH_COPIES):
+            rep = base
+            for key in keys:
+                rep = rep.withColumn(key, col(key) + F.lit(i * 10_000_000))
+            out = out.unionByName(rep)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{TPCH_STAGE}/{table}.parquet"
+        )
+    for table in _TPCH_VERBATIM:
+        spark.read.parquet(f"{SF_DIR}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{TPCH_STAGE}/{table}.parquet")
+    open(f"{TPCH_STAGE}/_done", "w").close()
+
+
+def probe_tpch(spark) -> None:
+    """The relational/TPC-H family at sf1-equivalent volume (6M-row
+    lineitem — the r4 verdict's unmeasured gap: the doc/embedding sweeps
+    scaled to ≈sf1.6 but lineitem had only ever run at sf0.1). Times
+    each query at 1× (sf0.1) and 10× under the noop sink and prints the
+    log-log slope; ≈1 → linear, the textbook expectation for these
+    scan-agg/broadcast-join/AQE-join shapes."""
+    import math
+
+    from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+    registry = local_queries()
+    stage_tpch(spark)
+    n1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    n10 = spark.read.parquet(f"{TPCH_STAGE}/lineitem.parquet").count()
+    print(f"lineitem rows: 1x={n1:,} 10x={n10:,}")
+
+    for name in TPCH_QUERIES:  # shared warmup (codegen/JIT/scan cache)
+        _noop(registry[name].fn(spark, SF_DIR))
+
+    print("\n| query | t@sf0.1 | t@sf1 | slope |")
+    print("|---|---|---|---|")
+    for name in TPCH_QUERIES:
+        fn = registry[name].fn
+        t: dict[str, float] = {}
+        for label, d in (("1x", SF_DIR), ("10x", TPCH_STAGE)):
+            runs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                _noop(fn(spark, d))
+                runs.append(time.perf_counter() - t0)
+            t[label] = min(runs)
+        slope = math.log(t["10x"] / t["1x"]) / math.log(10)
+        print(f"| {name} | {t['1x']:.2f}s | {t['10x']:.2f}s | {slope:.2f} |")
+
+
 def probe_layout(spark) -> None:
     """Layout probe at 16×: natural vs linear-sort vs z-order layouts of
     the replicated lineitem, judged by (a) fraction of row groups a 2-D
@@ -510,6 +603,10 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         probe_scaling(spark)
+        spark.stop()
+        return
+    if "--tpch" in sys.argv:
+        probe_tpch(spark)
         spark.stop()
         return
     stage(spark)
