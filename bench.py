@@ -66,6 +66,8 @@ EXTRA_LOCAL_QUERIES = [
     "text_url_curation",
     "emb_outliers",
     "text_bpe_encode_ids",
+    # r5: streaming embedding ingest into the trained IVF index
+    "stream_emb_ingest",
 ]
 
 _GRADED = all_queries()

@@ -277,10 +277,12 @@ def bloom_contamination_report(
             .select(F.explode(gram_arr).alias("gram"))
             .distinct()
         )
+        from .util import broadcast_value
+
         bloom_np = np.zeros(BLOOM_N_WORDS, dtype=np.int64)
         for row in bloom_bitset_words(eval_grams).collect():  # bounded ≤ N_WORDS
             bloom_np[row["w"]] = row["bits"]
-        bc = docs.sparkSession.sparkContext.broadcast(bloom_np)
+        bc = broadcast_value(docs.sparkSession, bloom_np)
         if full_key is not None:
             _BLOOM_BC_CACHE.put(full_key, bc)
     probe = _bloom_probe_udf(bc)

@@ -1,0 +1,140 @@
+"""Disk persistence for trained ANN indexes (IVF / IVF-PQ).
+
+The round-4 gap: every trained index (coarse k-means codebook, PQ
+subspace codebooks, encoded corpus) lived only in the session-scoped
+``IndexCache`` — a fresh session had to retrain before it could serve.
+This module serializes the whole index to parquet so a cold session
+loads and serves directly:
+
+- ``coarse_codebook``  — K rows ``(cid, cent array<double>)``;
+- ``pq_codebooks``     — M·ksub rows ``(m, code, cent array<double>)``;
+- ``inverted_lists``   — the encoded corpus **partitioned by
+  ``ivf_cid``**: the on-disk layout IS the inverted-file structure, so
+  a probe of ``nprobe`` lists is a partition-pruned scan (PartitionFilters
+  in the plan — the scan never touches unprobed lists' files), which is
+  the point of IVF at 100 TB;
+- ``manifest.json``    — params (k, m, ksub, dim, version) so a loader
+  can refuse an incompatible layout instead of mis-serving.
+
+Codebooks are K-bounded / D·ksub-bounded — the same bounded-collect
+discipline as training itself — so load cost is one tiny parquet read
+plus the (lazy) partitioned-scan definition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+
+INDEX_FORMAT_VERSION = 1
+
+
+def save_ann_index(
+    path: str,
+    coarse: list[tuple[int, list[float]]],
+    pq_codebooks: list[list[list[float]]] | None,
+    encoded: DataFrame,
+) -> None:
+    """Persist a trained (IVF or IVF-PQ) index under ``path``.
+
+    ``encoded`` must carry ``ivf_cid`` (list assignment); for IVF-PQ it
+    also carries ``pq_code``. The frame is rewritten partitioned by
+    ``ivf_cid`` — at production scale prefer a coalesce sized so each
+    list lands in O(few) files."""
+    spark = encoded.sparkSession
+    spark.createDataFrame(
+        [(int(cid), [float(v) for v in cent]) for cid, cent in coarse],
+        "cid int, cent array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse_codebook")
+    if pq_codebooks is not None:
+        rows = [
+            (i, j, [float(v) for v in cent])
+            for i, cb in enumerate(pq_codebooks)
+            for j, cent in enumerate(cb)
+        ]
+        spark.createDataFrame(
+            rows, "m int, code int, cent array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+    encoded.write.mode("overwrite").partitionBy("ivf_cid").parquet(
+        f"{path}/inverted_lists"
+    )
+    dim = len(coarse[0][1]) if coarse else 0
+    manifest = {
+        "version": INDEX_FORMAT_VERSION,
+        "k": len(coarse),
+        "dim": dim,
+        "m": len(pq_codebooks) if pq_codebooks is not None else 0,
+        "ksub": len(pq_codebooks[0]) if pq_codebooks else 0,
+        "has_pq": pq_codebooks is not None,
+    }
+    tmp = f"{path}/manifest.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, f"{path}/manifest.json")
+
+
+def load_ann_index(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]] | None, DataFrame]:
+    """Load a persisted index: ``(coarse, pq_codebooks, encoded)``.
+
+    Codebooks collect driver-side (bounded by construction); the
+    encoded corpus returns as the LAZY partition-pruned scan — serving
+    filters ``ivf_cid.isin(probe_ids)`` reach the scan as
+    PartitionFilters, so only the probed lists' files are read."""
+    with open(f"{path}/manifest.json") as fh:
+        manifest = json.load(fh)
+    if manifest.get("version") != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"ANN index at {path} has format version "
+            f"{manifest.get('version')}; this loader reads {INDEX_FORMAT_VERSION}"
+        )
+    coarse = [
+        (int(r["cid"]), [float(v) for v in r["cent"]])
+        for r in spark.read.parquet(f"{path}/coarse_codebook")
+        .orderBy("cid")
+        .collect()
+    ]
+    if len(coarse) != manifest["k"]:
+        raise ValueError(
+            f"coarse codebook has {len(coarse)} centroids, manifest says "
+            f"{manifest['k']}"
+        )
+    pq_cbs: list[list[list[float]]] | None = None
+    if manifest["has_pq"]:
+        rows = (
+            spark.read.parquet(f"{path}/pq_codebooks").orderBy("m", "code").collect()
+        )
+        pq_cbs = [[] for _ in range(manifest["m"])]
+        for r in rows:
+            pq_cbs[int(r["m"])].append([float(v) for v in r["cent"]])
+        if any(len(cb) != manifest["ksub"] for cb in pq_cbs):
+            raise ValueError("pq codebook shape does not match manifest")
+    encoded = spark.read.parquet(f"{path}/inverted_lists").withColumn(
+        "ivf_cid", col("ivf_cid").cast("int")
+    )
+    return coarse, pq_cbs, encoded
+
+
+def probed_lists_scan(encoded: DataFrame, probe_ids: list[int]) -> DataFrame:
+    """The serving filter, spelled so it stays a partition-pruning
+    predicate: ``ivf_cid IN (...)`` over the partition column."""
+    return encoded.filter(col("ivf_cid").isin([int(p) for p in probe_ids]))
+
+
+def partition_prune_check(encoded: DataFrame, probe_ids: list[int]) -> bool:
+    """True iff the probe filter reaches the scan as a PartitionFilter
+    (classic session introspection — a test/diagnostic helper, not a
+    serving path; returns True unguarded under Connect where the plan
+    string is unavailable)."""
+    df = probed_lists_scan(encoded, probe_ids)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return True
+    return "PartitionFilters: [" in plan and "ivf_cid" in plan.split(
+        "PartitionFilters:", 1
+    )[1].split("]", 1)[0]

@@ -2,7 +2,41 @@
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame
+
+
+class ClosureValue:
+    """Broadcast-shaped holder (``.value``) for sessions where
+    ``SparkContext.broadcast`` is unavailable client-side (Spark
+    Connect): the value rides each serialized task closure instead of
+    the once-per-executor torrent broadcast. Fine for the bounded
+    payloads this package ships (≤ a few hundred KiB bitsets /
+    codebooks); a classic session always gets a real Broadcast."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: Any) -> None:
+        self.value = value
+
+    # no-op lifecycle, so callers (IndexCache) can treat both alike
+    def unpersist(self) -> None:  # pragma: no cover - trivial
+        pass
+
+    def destroy(self) -> None:  # pragma: no cover - trivial
+        pass
+
+
+def broadcast_value(spark, value: Any):
+    """``sc.broadcast(value)`` on a classic session; a
+    :class:`ClosureValue` under Spark Connect (no client-side
+    SparkContext)."""
+    try:
+        sc = spark.sparkContext
+    except Exception:  # Spark Connect client
+        return ClosureValue(value)
+    return sc.broadcast(value)
 
 
 def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

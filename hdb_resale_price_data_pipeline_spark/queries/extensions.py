@@ -384,8 +384,48 @@ LEFT JOIN cp ON pfp = c_pfp
 """
 
 
+def q_stream_emb_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding ingest (streaming/embeddings.py): arriving
+    vectors are assigned to the TRAINED coarse k-means index (the same
+    cached ``_ivf_kmeans_index`` every ANN query shares — training
+    happens once, before the stream starts) and emit (vec_id, ivf_cid,
+    grid-quantized affinity). Map-only append stream → exact batch-twin
+    oracle (coarse-assignment CTE over the shared Lloyd unroll)."""
+    from ..streaming.embeddings import embeddings_stream, stream_ivf_ingest
+    from .similarity import OUTLIER_GRID, _ivf_kmeans_index
+
+    codebook, _ = _ivf_kmeans_index(spark, sf_dir)
+    return run_stream_to_df(
+        stream_ivf_ingest(embeddings_stream(spark, sf_dir), codebook, OUTLIER_GRID),
+        spark,
+    )
+
+
+def _stream_emb_ingest_oracle() -> str:
+    from ..operators.ivf import duck_ivf_dist
+    from .similarity import (
+        KMEANS_ITERS,
+        OUTLIER_GRID,
+        _kmeans_cents_cte,
+    )
+
+    cents = f"cents{KMEANS_ITERS}"
+    d = duck_ivf_dist("c.cent", "e.embedding")
+    return f"""
+{_kmeans_cents_cte()}
+SELECT vec_id, CAST(cid AS INT) AS ivf_cid,
+       CAST(floor(d * {OUTLIER_GRID}) AS BIGINT) AS qaff
+FROM (
+    SELECT e.vec_id, c.cid, {d} AS d,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d}, c.cid) AS rn
+    FROM embeddings e, {cents} c
+) WHERE rn = 1
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "stream_dedup_gate": QuerySpec(q_stream_dedup_gate, _stream_dedup_gate_oracle()),
+    "stream_emb_ingest": QuerySpec(q_stream_emb_ingest, _stream_emb_ingest_oracle()),
     "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),
     "stream_static_enrich": QuerySpec(q_stream_static_enrich, _STREAM_STATIC_SQL),
     "stream_doc_quality": QuerySpec(q_stream_doc_quality, _stream_doc_quality_oracle()),

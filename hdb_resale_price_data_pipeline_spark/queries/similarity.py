@@ -831,16 +831,46 @@ LIMIT {TOP_K}
 _IVFPQ_CACHE = IndexCache()
 
 
+def _ann_store_path(sf_dir: str) -> str | None:
+    """Disk location for the persisted IVF-PQ index, if the operator
+    has a store configured (``SPARK_GRAFT_ANN_STORE``). One directory
+    per (dataset, index params) so incompatible layouts can't collide."""
+    import os
+
+    store = os.environ.get("SPARK_GRAFT_ANN_STORE")
+    if not store:
+        return None
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_k{IVF_K}_m{PQ_M}_ks{PQ_KSUB}"
+    return os.path.join(store, tag)
+
+
 def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build — or, r5, COLD-LOAD — the IVF-PQ index. With
+    ``SPARK_GRAFT_ANN_STORE`` set, a fresh session first tries
+    ``operators/index_store.load_ann_index`` (codebooks are a bounded
+    parquet collect; the encoded corpus is a lazy ivf_cid-partitioned
+    scan, so probes partition-prune on disk) and only trains when the
+    store is empty — training then persists the index for the next
+    session. Without the env var, behavior is unchanged (session cache
+    only) so plan snapshots and oracles stay byte-stable."""
+    import os
+
     from ..operators import pq as P
+    from ..operators.index_store import load_ann_index, save_ann_index
 
     key = (S.session_cache_key(spark), sf_dir, IVF_K, PQ_M, PQ_KSUB)
     hit = _IVFPQ_CACHE.get(key)
     if hit is not None:
         return hit
+    store_path = _ann_store_path(sf_dir)
+    if store_path and os.path.exists(f"{store_path}/manifest.json"):
+        coarse, pq_cbs, encoded = load_ann_index(spark, store_path)
+        return _IVFPQ_CACHE.put(key, (coarse, pq_cbs, encoded.persist()))
     coarse, assigned = _ivf_kmeans_index(spark, sf_dir)
     pq_cbs, _ = _pq_index(spark, sf_dir)
     encoded = P.pq_encode(assigned, "embedding", pq_cbs).persist()
+    if store_path:
+        save_ann_index(store_path, coarse, pq_cbs, encoded)
     return _IVFPQ_CACHE.put(key, (coarse, pq_cbs, encoded))
 
 

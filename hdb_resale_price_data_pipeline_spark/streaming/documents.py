@@ -78,11 +78,12 @@ def _fp_bloom_broadcast(fps: DataFrame, fp_col: str):
     import numpy as np
 
     from ..operators.decontam import BLOOM_N_WORDS, bloom_bitset_words
+    from ..operators.util import broadcast_value
 
     bloom = np.zeros(BLOOM_N_WORDS, dtype=np.int64)
     for row in bloom_bitset_words(fps, fp_col).collect():  # bounded ≤ N_WORDS
         bloom[row["w"]] = row["bits"]
-    return fps.sparkSession.sparkContext.broadcast(bloom)
+    return broadcast_value(fps.sparkSession, bloom)
 
 
 def _fp_bloom_probe_udf(bloom_bc):

@@ -22,6 +22,17 @@ TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+# SPARK_GRAFT_CONNECT_SWEEP=1 → the gateway surface (sparkContext/_jvm/
+# _jsc/_sc) raises AttributeError for PACKAGE frames only, emulating a
+# Spark Connect client for this package's call sites while pyspark
+# internals keep working (see tools/connect_guard.py).
+if os.environ.get("SPARK_GRAFT_CONNECT_SWEEP"):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from connect_guard import install_connect_guard
+
+    install_connect_guard()
+
+
 @pytest.fixture(scope="session")
 def spark():
     session = get_spark_session(

@@ -1,0 +1,135 @@
+"""Disk-persisted ANN index (operators/index_store.py): a cold session
+must serve the SAME results as the session that trained, from a
+partition-pruned on-disk inverted-file layout, without retraining."""
+
+from __future__ import annotations
+
+import shutil
+
+from conftest import SMOKE_SF_DIR
+
+from hdb_resale_price_data_pipeline_spark.operators.index_store import (
+    load_ann_index,
+    partition_prune_check,
+    probed_lists_scan,
+    save_ann_index,
+)
+
+STORE = "/tmp/ann_index_store_test"
+
+
+def _built_index(spark):
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        _ivfpq_index,
+    )
+
+    return _ivfpq_index(spark, SMOKE_SF_DIR)
+
+
+def _serve(spark, coarse, pq_cbs, encoded, q_vec, probe_ids, k=5):
+    from pyspark.sql.functions import col
+
+    from hdb_resale_price_data_pipeline_spark.operators.pq import pq_topk_refined
+
+    return pq_topk_refined(
+        probed_lists_scan(encoded, probe_ids).filter(col("vec_id") != 0),
+        q_vec,
+        pq_cbs,
+        k=k,
+        refine_factor=4,
+    ).collect()
+
+
+def test_cold_load_serves_identically_to_trained_session(spark):
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        _IVFPQ_CACHE,
+        _IVF_KM_CACHE,
+        _PQ_INDEX_CACHE,
+        _probe_ids,
+    )
+
+    shutil.rmtree(STORE, ignore_errors=True)
+    coarse, pq_cbs, encoded = _built_index(spark)
+    q_vec = [
+        float(v)
+        for v in encoded.filter("vec_id = 0").select("embedding").first().embedding
+    ]
+    probe = _probe_ids(coarse, q_vec, 2)
+    warm = _serve(spark, coarse, pq_cbs, encoded, q_vec, probe)
+
+    save_ann_index(STORE, coarse, pq_cbs, encoded)
+
+    # emulate a cold start: drop every in-session index and cached block
+    for cache in (_IVFPQ_CACHE, _IVF_KM_CACHE, _PQ_INDEX_CACHE):
+        cache.clear()
+    spark.catalog.clearCache()
+
+    l_coarse, l_pq, l_encoded = load_ann_index(spark, STORE)
+    assert l_coarse == coarse
+    assert l_pq == pq_cbs
+    cold = _serve(spark, l_coarse, l_pq, l_encoded, q_vec, probe)
+    assert [tuple(r) for r in cold] == [tuple(r) for r in warm]
+
+
+def test_probe_filter_partition_prunes_the_lists_scan(spark):
+    # relies on the index persisted by the previous test; rebuild if run alone
+    import os
+
+    if not os.path.exists(f"{STORE}/manifest.json"):
+        coarse, pq_cbs, encoded = _built_index(spark)
+        save_ann_index(STORE, coarse, pq_cbs, encoded)
+    _, _, encoded = load_ann_index(spark, STORE)
+    assert partition_prune_check(encoded, [0, 1]), (
+        "ivf_cid probe filter must reach the scan as a PartitionFilter "
+        "(the on-disk inverted-file contract)"
+    )
+
+
+def test_loader_refuses_incompatible_manifest(spark):
+    import json
+    import os
+
+    import pytest
+
+    if not os.path.exists(f"{STORE}/manifest.json"):
+        coarse, pq_cbs, encoded = _built_index(spark)
+        save_ann_index(STORE, coarse, pq_cbs, encoded)
+    with open(f"{STORE}/manifest.json") as fh:
+        manifest = json.load(fh)
+    bad = dict(manifest, version=999)
+    with open(f"{STORE}/manifest.json", "w") as fh:
+        json.dump(bad, fh)
+    try:
+        with pytest.raises(ValueError, match="format version"):
+            load_ann_index(spark, STORE)
+    finally:
+        with open(f"{STORE}/manifest.json", "w") as fh:
+            json.dump(manifest, fh)
+
+
+def test_env_store_roundtrip_via_query_path(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_ANN_STORE wiring in queries/similarity._ivfpq_index:
+    session 1 trains AND persists; an emulated fresh session (caches
+    cleared) must cold-LOAD and return the identical graded-query
+    result, never retraining (the store path is the only build input
+    left)."""
+    from hdb_resale_price_data_pipeline_spark.queries import similarity as sim
+
+    baseline = [tuple(r) for r in sim.q_ivfpq_topk(spark, SMOKE_SF_DIR).collect()]
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_STORE", str(tmp_path))
+    for cache in (sim._IVFPQ_CACHE, sim._IVF_KM_CACHE, sim._PQ_INDEX_CACHE):
+        cache.clear()
+    spark.catalog.clearCache()
+    trained = [tuple(r) for r in sim.q_ivfpq_topk(spark, SMOKE_SF_DIR).collect()]
+    assert trained == baseline
+
+    import os
+
+    store_dir = sim._ann_store_path(SMOKE_SF_DIR)
+    assert store_dir and os.path.exists(f"{store_dir}/manifest.json")
+    for cache in (sim._IVFPQ_CACHE, sim._IVF_KM_CACHE, sim._PQ_INDEX_CACHE):
+        cache.clear()
+    spark.catalog.clearCache()
+    cold = [tuple(r) for r in sim.q_ivfpq_topk(spark, SMOKE_SF_DIR).collect()]
+    assert cold == baseline

@@ -587,3 +587,44 @@ def test_dedup_within_watermark_bounds_state_and_reemits(spark, tmp_path):
     # plain dropDuplicates: unbounded state — A suppressed forever
     unbounded = run_stream_to_df(stream_user_dedup(staged_stream()), spark).collect()
     assert sorted(r.event_id for r in unbounded) == [1, 2, 4]
+
+
+def test_stream_emb_ingest_matches_batch_assignment(spark):
+    """Streaming embedding ingest (streaming/embeddings.py): arriving
+    vectors must land in exactly the inverted list the BATCH index
+    build assigns them to (same Arrow assignment pass → identity, not
+    approximation), across real micro-batches."""
+    import uuid
+
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        OUTLIER_GRID,
+        _ivf_kmeans_index,
+    )
+    from hdb_resale_price_data_pipeline_spark.streaming.embeddings import (
+        STREAM_SLICES,
+        embeddings_stream,
+        stream_ivf_ingest,
+    )
+
+    codebook, assigned = _ivf_kmeans_index(spark, TEST_SF_DIR)
+    want = {r.vec_id: r.ivf_cid for r in assigned.select("vec_id", "ivf_cid").collect()}
+
+    stream = stream_ivf_ingest(
+        embeddings_stream(spark, TEST_SF_DIR), codebook, OUTLIER_GRID
+    )
+    name = f"emb_ingest_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches == STREAM_SLICES
+
+    rows = spark.table(name).collect()
+    assert len(rows) == len(want)  # every vector ingested exactly once
+    assert {r.vec_id: r.ivf_cid for r in rows} == want
+    assert all(r.qaff is not None for r in rows)
