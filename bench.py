@@ -68,6 +68,9 @@ EXTRA_LOCAL_QUERIES = [
     "text_bpe_encode_ids",
     # r5: streaming embedding ingest into the trained IVF index
     "stream_emb_ingest",
+    # r5: WordPiece-scored tokenizer training (BPE mechanics,
+    # likelihood-scored merge selection)
+    "text_wordpiece_learn",
 ]
 
 _GRADED = all_queries()

@@ -205,6 +205,164 @@ def bpe_train_with_freqs(
     return merges, freqs
 
 
+# ---------------------------------------------------------------------------
+# WordPiece-scored merge training (Schuster & Nakajima 2012; the BERT
+# tokenizer's selection rule). Identical merge MECHANICS to BPE — the
+# difference is purely WHICH pair merges each round: BPE takes the most
+# FREQUENT pair; WordPiece takes the pair maximizing the unigram-LM
+# likelihood gain  score(a,b) = count(ab) / (count(a) · count(b)),
+# among pairs meeting min_count. The score is ONE IEEE double division
+# of exact integers (operands cast to double first, matching the
+# oracle's CAST(n AS DOUBLE)/CAST(ca*cb AS DOUBLE) bit-for-bit), ties
+# → lexicographically smallest (a, b), so selection can never diverge
+# across the driver loop, the distributed loop, and the DuckDB unroll.
+
+
+def _wp_score(n: int, ca: int, cb: int) -> float:
+    """float(n) / float(ca·cb): operand-rounding then one IEEE divide —
+    the exact op sequence of the SQL twin. (Python's int/int true
+    division is correctly rounded from the exact rational instead,
+    which can differ once operands exceed 2^53.)"""
+    return float(n) / float(ca * cb)
+
+
+def _driver_wordpiece_loop(
+    vocab: list[tuple[list[str], int]], n_merges: int, min_count: int
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
+    """WordPiece merge loop over a collected word-frequency table.
+    Keeps incremental pair counts AND symbol counts; the argmax is a
+    linear scan per merge (every merge changes count(a)/count(b) for
+    all pairs touching the merged symbols, so the BPE lazy heap does
+    not apply)."""
+    from collections import defaultdict
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    sym_counts: dict[str, int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (syms, cnt) in enumerate(vocab):
+        for s in syms:
+            sym_counts[s] += cnt
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnt
+            where[p].add(idx)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best_key = None
+        best_pair = None
+        for (a, b), n in pair_counts.items():
+            if n < min_count:
+                continue
+            key = (-_wp_score(n, sym_counts[a], sym_counts[b]), a, b)
+            if best_key is None or key < best_key:
+                best_key, best_pair = key, (a, b)
+        if best_pair is None:
+            break
+        a, b = best_pair
+        merges.append((a, b))
+        for idx in where.pop((a, b), ()):
+            syms, cnt = vocab[idx]
+            new = _merge_seq(syms, a, b)
+            if new == syms:
+                continue  # stale index entry
+            for s in syms:
+                sym_counts[s] -= cnt
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= cnt
+            for s in new:
+                sym_counts[s] += cnt
+            for p in zip(new, new[1:]):
+                pair_counts[p] += cnt
+                where[p].add(idx)
+            vocab[idx] = (new, cnt)
+        pair_counts.pop((a, b), None)
+    freqs: dict[str, int] = defaultdict(int)
+    for syms, cnt in vocab:
+        for s in syms:
+            freqs[s] += cnt
+    return merges, sorted(freqs.items())
+
+
+def wordpiece_train_with_freqs(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_count: int = 2,
+    driver_budget_words: int = DRIVER_VOCAB_BUDGET,
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
+    """Learn ``n_merges`` WordPiece merges (+ final piece frequencies,
+    sorted by piece). Same corpus-touched-ONCE / vocab-sized-iteration
+    shape as :func:`bpe_train_with_freqs`; same driver-local bound.
+    The trained merge list feeds the SAME appliers (``bpe_apply``,
+    ``bpe_encode_ids``) — application order is all that matters."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    work = _to_symbols(word_frequencies(df, text_col)).select("syms", "cnt").persist()
+    merges: list[tuple[str, str]] = []
+    try:
+        n_words = work.count()
+        if n_words <= driver_budget_words:
+            vocab = [(list(r["syms"]), int(r["cnt"])) for r in work.collect()]
+            return _driver_wordpiece_loop(vocab, n_merges, min_count)
+        for _ in range(n_merges):
+            pairs = (
+                work.select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(col("syms"), 1, F.size("syms") - 1),
+                            F.slice(col("syms"), 2, F.size("syms") - 1),
+                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p")
+                .agg(F.sum("cnt").alias("n"))
+                .filter(col("n") >= min_count)
+            )
+            syms = (
+                work.select(F.explode("syms").alias("sym"), "cnt")
+                .groupBy("sym")
+                .agg(F.sum("cnt").alias("c"))
+            )
+            best = (
+                pairs.join(syms.select(col("sym").alias("_a"), col("c").alias("ca")),
+                           col("p.a") == col("_a"))
+                .join(syms.select(col("sym").alias("_b"), col("c").alias("cb")),
+                      col("p.b") == col("_b"))
+                .select(
+                    "p",
+                    (
+                        col("n").cast("double")
+                        / (col("ca") * col("cb")).cast("double")
+                    ).alias("score"),
+                )
+                .orderBy(col("score").desc(), col("p.a"), col("p.b"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+            merges.append((a, b))
+            merged = _apply_one_merge(work, a, b).persist()
+            merged.count()
+            work.unpersist()
+            work = merged
+        freqs = sorted(
+            (r["piece"], int(r["freq"]))
+            for r in (
+                work.select(F.explode("syms").alias("piece"), "cnt")
+                .groupBy("piece")
+                .agg(F.sum("cnt").alias("freq"))
+                .collect()
+            )
+        )
+    finally:
+        work.unpersist()
+    return merges, freqs
+
+
 def _apply_one_merge(work: DataFrame, a: str, b: str) -> DataFrame:
     """Replace every adjacent (a, b) in the symbol sequences with the
     merged symbol — one Arrow pass over the vocabulary table."""

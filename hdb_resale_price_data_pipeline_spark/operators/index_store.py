@@ -119,6 +119,21 @@ def load_ann_index(
     return coarse, pq_cbs, encoded
 
 
+def append_ann_index(path: str, encoded_new: DataFrame) -> None:
+    """Index MAINTENANCE: append newly-ingested encoded vectors to the
+    persisted inverted lists (dynamic partition APPEND — only the
+    touched ``ivf_cid=`` directories gain files; existing lists'
+    files are never rewritten). The batch twin of what the streaming
+    ingest (streaming/embeddings.py) feeds per micro-batch via
+    ``foreachBatch``: vectors must arrive already assigned + encoded
+    with the STORED codebooks — re-training would orphan the existing
+    codes, so callers load codebooks via :func:`load_ann_index` and run
+    the same assign/encode passes the original build used."""
+    encoded_new.write.mode("append").partitionBy("ivf_cid").parquet(
+        f"{path}/inverted_lists"
+    )
+
+
 def probed_lists_scan(encoded: DataFrame, probe_ids: list[int]) -> DataFrame:
     """The serving filter, spelled so it stays a partition-pruning
     predicate: ``ivf_cid IN (...)`` over the partition column."""

@@ -1211,10 +1211,73 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, "text", merges)
 
 
-def _bpe_cte_parts() -> list[str]:
+def _wordpiece_model(spark: SparkSession, sf_dir: str):
+    """ONE trained WordPiece model per (session, corpus) — same cache
+    discipline as ``_bpe_model`` (distinct key: selection rule differs,
+    mechanics shared)."""
+    from ..operators.bpe import wordpiece_train_with_freqs
+    from ..operators.similarity import session_cache_key
+
+    key = (session_cache_key(spark), sf_dir, "wordpiece", BPE_MERGES)
+    model = _BPE_MERGE_CACHE.get(key)
+    if model is None:
+        docs_train = t(spark, sf_dir, "documents")
+        model = _BPE_MERGE_CACHE.put(
+            key, wordpiece_train_with_freqs(docs_train, "text", n_merges=BPE_MERGES)
+        )
+    return model
+
+
+def q_text_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn WORDPIECE merges on the corpus (operators/bpe.py — the
+    BERT tokenizer's likelihood-scored selection: the merged pair
+    maximizes count(ab)/(count(a)·count(b)) among pairs ≥ min_count,
+    vs BPE's raw frequency) and segment every document with them.
+    Merge application, corpus-pass shape, and driver-local bound are
+    shared with BPE; only the per-round argmax differs, and the unroll
+    oracle differs only in its per-layer argmax CTE
+    (``_bpe_cte_parts(scored=True)``)."""
+    from ..operators.bpe import bpe_apply
+
+    merges, _ = _wordpiece_model(spark, sf_dir)
+    docs = widen(t(spark, sf_dir, "documents"))
+    return bpe_apply(docs, "text", merges).select(
+        "doc_id",
+        col("bpe_n_pieces").alias("wp_n_pieces"),
+        col("bpe_pieces").alias("wp_pieces"),
+    )
+
+
+def _wordpiece_learn_oracle() -> str:
+    """DuckDB twin of ``wordpiece_train_with_freqs`` + ``bpe_apply``:
+    the scored unroll prefix plus per-doc piece re-assembly."""
+    body = ",\n".join(_bpe_cte_parts(scored=True))
+    return f"""
+WITH {body},
+agg AS (
+  SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT) AS wp_n_pieces,
+         flatten(list(pieces ORDER BY wi)) AS allp
+  FROM docw JOIN perword USING (word)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.wp_n_pieces, 0) AS wp_n_pieces,
+       coalesce(a.allp[1:32], CAST([] AS VARCHAR[])) AS wp_pieces
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _bpe_cte_parts(scored: bool = False) -> list[str]:
     """Shared BPE-unroll CTE prefix (DuckDB twin of ``bpe_train``):
     w0/s0 plus one (p, m, s) layer per merge, ending with ``perword``
     (word → final pieces, with cnt) and ``docw`` (doc → ordered words).
+
+    ``scored=True`` switches each layer's argmax to the WORDPIECE
+    selection rule (DuckDB twin of ``wordpiece_train_with_freqs``): a
+    per-layer symbol-count CTE ``c{i}`` joins the pair counts and the
+    winner maximizes ``CAST(n AS DOUBLE) / CAST(ca*cb AS DOUBLE)``
+    over pairs with ``n >= 2`` — operand-cast-then-divide, the exact
+    IEEE op sequence the Spark side computes (``operators/bpe._wp_score``),
+    ties → lexicographic (a, b). Merge APPLICATION is identical.
     The crux is greedy LEFT-TO-RIGHT non-overlapping merge application
     — ``replace()`` scans exactly that way, so each word's symbol
     sequence is carried as a flanked string ``U+sym1+UU+sym2+UU+...+U``
@@ -1248,6 +1311,40 @@ s0 AS (
     ]
     for i in range(1, BPE_MERGES + 1):
         p = i - 1
+        # In scored mode each layer references s{p} THREE times (pair
+        # counts, symbol counts, merge application); DuckDB inlines
+        # CTEs, so without MATERIALIZED the chain re-evaluates its
+        # whole prefix per reference — measured 257s vs ~4s at sf0.01.
+        mat = "MATERIALIZED " if scored else ""
+        if scored:
+            argmax = f"""c{i} AS (
+  SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(string_split(substring(s, 2, length(s) - 2), {uu})) AS sym, cnt
+    FROM s{p}
+  ) GROUP BY 1),
+m{i} AS (
+  -- aggregate form: ALWAYS one row, even when no pair reaches
+  -- min_count — the trainer's break becomes a no-op pattern instead
+  SELECT coalesce(max(CASE WHEN rn = 1 THEN a END), chr(31)) AS a{i},
+         coalesce(max(CASE WHEN rn = 1 THEN b END), chr(31)) AS b{i}
+  FROM (SELECT a, b, row_number() OVER (
+            ORDER BY CAST(n AS DOUBLE) / CAST(ca * cb AS DOUBLE) DESC, a, b
+        ) AS rn
+        FROM (SELECT pp.a, pp.b, pp.n, ca.c AS ca, cb.c AS cb
+              FROM p{i} pp
+              JOIN c{i} ca ON pp.a = ca.sym
+              JOIN c{i} cb ON pp.b = cb.sym
+              WHERE pp.n >= 2)))"""
+        else:
+            argmax = f"""m{i} AS (
+  -- aggregate form: ALWAYS one row, even when p{i} is empty (every
+  -- word fully merged) — an empty m{i} would CROSS JOIN the whole
+  -- vocabulary away; bpe_train's break becomes a no-op pattern instead
+  SELECT coalesce(max(CASE WHEN rn = 1 AND n >= 2 THEN a END), chr(31)) AS a{i},
+         coalesce(max(CASE WHEN rn = 1 AND n >= 2 THEN b END), chr(31)) AS b{i}
+  FROM (SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rn
+        FROM p{i}))"""
         parts.append(
             f"""p{i} AS (
   SELECT pr['a'] AS a, pr['b'] AS b, CAST(sum(cnt) AS BIGINT) AS n
@@ -1257,15 +1354,8 @@ s0 AS (
     FROM (SELECT string_split(substring(s, 2, length(s) - 2), {uu}) AS sy, cnt
           FROM s{p})
   ) GROUP BY 1, 2),
-m{i} AS (
-  -- aggregate form: ALWAYS one row, even when p{i} is empty (every
-  -- word fully merged) — an empty m{i} would CROSS JOIN the whole
-  -- vocabulary away; bpe_train's break becomes a no-op pattern instead
-  SELECT coalesce(max(CASE WHEN rn = 1 AND n >= 2 THEN a END), chr(31)) AS a{i},
-         coalesce(max(CASE WHEN rn = 1 AND n >= 2 THEN b END), chr(31)) AS b{i}
-  FROM (SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rn
-        FROM p{i})),
-s{i} AS (
+{argmax},
+s{i} AS {mat}(
   SELECT word,
          replace(s, {u}||a{i}||{uu}||b{i}||{u}, {u}||a{i}||b{i}||{u}) AS s,
          cnt
@@ -1502,6 +1592,9 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
         q_text_bpe_encode_ids, _bpe_encode_ids_oracle()
     ),
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
+    "text_wordpiece_learn": QuerySpec(
+        q_text_wordpiece_learn, _wordpiece_learn_oracle()
+    ),
     "text_bm25_topk": QuerySpec(q_text_bm25_topk, _bm25_oracle()),
     "text_dsir_weights": QuerySpec(q_text_dsir_weights, _dsir_oracle()),
     # r5 demotions out of the graded window (rotation note on QUERIES):

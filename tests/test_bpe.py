@@ -167,3 +167,43 @@ def test_driver_merge_loop_handles_large_merge_counts_fast(spark):
     assert len(merges) > 100  # the corpus genuinely supports deep vocab
     assert len(merges) == len(set(merges))  # no pair merged twice
     assert wall < 60, f"driver merge loop took {wall:.1f}s"
+
+
+def test_wordpiece_driver_and_distributed_loops_are_bit_identical(spark):
+    """WordPiece (likelihood-scored) trainer: the driver-local loop and
+    the per-merge-job loop must agree exactly — the score is one
+    operand-cast IEEE divide in both (operators/bpe._wp_score)."""
+    from hdb_resale_price_data_pipeline_spark.operators.bpe import (
+        wordpiece_train_with_freqs,
+    )
+
+    docs = read_table(spark, TEST_SF_DIR, "documents").limit(150)
+    m_driver, f_driver = wordpiece_train_with_freqs(docs, "text", n_merges=6)
+    m_spark, f_spark = wordpiece_train_with_freqs(
+        docs, "text", n_merges=6, driver_budget_words=0
+    )
+    assert m_driver == m_spark
+    assert f_driver == f_spark
+    assert len(m_driver) == 6
+
+
+def test_wordpiece_selection_differs_from_bpe_where_it_should(spark):
+    """The selection rules genuinely diverge: with a pair of RARE
+    symbols ('x','z' below) and a more frequent pair of COMMON symbols,
+    BPE merges the frequent pair first while WordPiece prefers the
+    rare-symbol pair (higher count/(count·count) likelihood gain)."""
+    from hdb_resale_price_data_pipeline_spark.operators.bpe import (
+        bpe_train,
+        wordpiece_train_with_freqs,
+    )
+
+    texts = [
+        "xz xz aa aa aa aa",
+        "ab ab ab aa aa aa",
+        "xz ab aa ab aa ab",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    bpe_first = bpe_train(df, "text", n_merges=1)[0]
+    wp_first = wordpiece_train_with_freqs(df, "text", n_merges=1)[0][0]
+    assert wp_first == ("x", "z")
+    assert bpe_first != wp_first

@@ -133,3 +133,60 @@ def test_env_store_roundtrip_via_query_path(spark, monkeypatch, tmp_path):
     spark.catalog.clearCache()
     cold = [tuple(r) for r in sim.q_ivfpq_topk(spark, SMOKE_SF_DIR).collect()]
     assert cold == baseline
+
+
+def test_append_extends_only_touched_lists_and_serves_union(spark):
+    """Index maintenance: appending a new batch (assigned + encoded
+    with the STORED codebooks) must extend exactly the touched
+    inverted-list partitions — untouched lists' files stay byte-
+    identical — and a subsequent load serves over the union."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.operators.index_store import (
+        append_ann_index,
+    )
+    from hdb_resale_price_data_pipeline_spark.operators.ivf import (
+        assign_to_codebook,
+    )
+    from hdb_resale_price_data_pipeline_spark.operators.pq import pq_encode
+
+    store = "/tmp/ann_index_store_append"
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    coarse, pq_cbs, encoded = _built_index(spark)
+    save_ann_index(store, coarse, pq_cbs, encoded)
+    n0 = spark.read.parquet(f"{store}/inverted_lists").count()
+
+    l_coarse, l_pq, _ = load_ann_index(spark, store)
+    # the "new batch": 5 existing vectors with shifted ids, re-assigned
+    # and re-encoded through the SAME stored codebooks
+    src = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet").limit(5)
+    batch = src.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    new_encoded = pq_encode(
+        assign_to_codebook(batch, "embedding", l_coarse), "embedding", l_pq
+    )
+    touched = {r.ivf_cid for r in new_encoded.select("ivf_cid").distinct().collect()}
+    untouched = [c for c, _ in l_coarse if c not in touched]
+
+    def files_of(cid):
+        return sorted(
+            (p, os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(f"{store}/inverted_lists/ivf_cid={cid}/*.parquet")
+        )
+
+    before = {c: files_of(c) for c in untouched}
+    append_ann_index(store, new_encoded)
+    assert {c: files_of(c) for c in untouched} == before, (
+        "append must not rewrite untouched lists"
+    )
+
+    _, _, reloaded = load_ann_index(spark, store)
+    assert reloaded.count() == n0 + 5
+    appended_ids = {
+        r.vec_id for r in reloaded.filter(F.col("vec_id") >= 1_000_000).collect()
+    }
+    assert len(appended_ids) == 5
