@@ -1311,11 +1311,12 @@ s0 AS (
     ]
     for i in range(1, BPE_MERGES + 1):
         p = i - 1
-        # In scored mode each layer references s{p} THREE times (pair
-        # counts, symbol counts, merge application); DuckDB inlines
-        # CTEs, so without MATERIALIZED the chain re-evaluates its
-        # whole prefix per reference — measured 257s vs ~4s at sf0.01.
-        mat = "MATERIALIZED " if scored else ""
+        # Each layer references s{p} more than once (pair counts [+
+        # symbol counts when scored] + merge application); DuckDB
+        # inlines CTEs, so without MATERIALIZED the chain re-evaluates
+        # its whole prefix per reference — measured 257s → 15s (scored)
+        # and 0.57s → 0.15s (plain) at sf0.01.
+        mat = "MATERIALIZED "
         if scored:
             argmax = f"""c{i} AS (
   SELECT sym, CAST(sum(cnt) AS BIGINT) AS c

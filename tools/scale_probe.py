@@ -328,6 +328,11 @@ SCALING_QUERIES = [
     # r5: the Bloom-gated streaming dedup gate (fixed-memory bitset +
     # Bloom-hit-only confirm joins) — the r4 corpus-broadcast scale fix
     "stream_dedup_gate",
+    # r5: streaming assignment to the trained IVF index; WordPiece
+    # trainer (vocab-sized iterations — corpus growth reaches it only
+    # through the one corpus pass + vocab growth)
+    "stream_emb_ingest",
+    "text_wordpiece_learn",
 ]
 
 
