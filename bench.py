@@ -71,6 +71,10 @@ EXTRA_LOCAL_QUERIES = [
     # r5: WordPiece-scored tokenizer training (BPE mechanics,
     # likelihood-scored merge selection)
     "text_wordpiece_learn",
+    # r5: capped every-kth-frame sampling (video-decode shape)
+    "multimodal_frame_sample",
+    # r5: HTML -> text extraction (codegen regexp chain)
+    "text_html_extract",
 ]
 
 _GRADED = all_queries()

@@ -135,6 +135,48 @@ def sample_chunks(assets: DataFrame, chunk_bytes: int = 64) -> DataFrame:
     return assets.mapInPandas(batches, schema="asset_id long, chunk_idx int, chunk binary")
 
 
+def sample_frames(
+    assets: DataFrame,
+    frame_bytes: int = 32,
+    every_k: int = 4,
+    max_frames: int = 8,
+) -> DataFrame:
+    """TRUE frame SAMPLING (vs ``sample_chunks``' contiguous
+    segmentation): treat the payload as fixed-``frame_bytes`` frames
+    and emit every ``every_k``-th frame, capped at ``max_frames`` per
+    asset — the video-decode shape (a 2-hour clip yields a bounded,
+    stride-spread sample, not 200k contiguous frames). ``mapInPandas``
+    fan-out emits ONLY the sampled frames — at 100 TB the unsampled
+    payload bytes never leave the scan task, which is the point:
+    output volume is capped per asset, independent of payload size. A
+    production deployment swaps the byte-slicing for the real codec's
+    keyframe seek (same batch iteration, schema, and cap contract)."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(assets.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_frame = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["content"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for taken, fi in enumerate(range(0, n_frames, every_k)):
+                    if taken >= max_frames:
+                        break
+                    out_ids.append(asset_id)
+                    out_idx.append(fi)
+                    out_frame.append(
+                        payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    )
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "frame_idx": out_idx, "frame": out_frame}
+            )
+
+    return assets.mapInPandas(
+        batches, schema="asset_id long, frame_idx int, frame binary"
+    )
+
+
 def resize_assets(assets: DataFrame, stride: int = 4) -> DataFrame:
     """The image-resize shape: payload in → smaller payload + new dims
     out, Arrow-batched. The "codec" is a deterministic nearest-neighbor

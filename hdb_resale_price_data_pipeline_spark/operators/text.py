@@ -339,3 +339,56 @@ def gopher_alpha_count(text_sql: str) -> tuple[str, str]:
         f"size(filter({toks_s}, x -> x rlike '[a-z]'))",
         f"len(list_filter({toks_d}, x -> regexp_matches(x, '[a-z]')))",
     )
+
+
+# --- HTML → text extraction (the CommonCrawl/C4 extraction step) -----------
+# Strip script/style/comment blocks, then all tags (→ space, so adjacent
+# text nodes don't weld), decode the common entities, collapse
+# whitespace. Every pattern is chosen to mean the SAME thing to Java
+# regex (Spark) and RE2 (DuckDB): inline (?is) flags and non-greedy .*?
+# behave identically in both, and whitespace uses the explicit class
+# [ \t\n\r\f] because Java's \s includes \x0B where RE2's does not.
+# Entity decode order is fixed with &amp; LAST (standard quirk: "&amp;lt;"
+# decodes to the literal "&lt;"), identical in both twins.
+
+_HTML_BLOCK_PATS = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+_HTML_TAG_PAT = r"<[^>]*>"
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+_WS_PAT = r"[ \t\n\r\f]+"
+
+
+def html_to_text(html: Column) -> Column:
+    """Extracted plain text of an HTML column (Spark side; codegen
+    regexp chain — no UDF)."""
+    out = html
+    for pat in _HTML_BLOCK_PATS:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, _HTML_TAG_PAT, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, _WS_PAT, " "))
+
+
+def html_to_text_duck(html_sql: str) -> str:
+    """DuckDB twin of :func:`html_to_text` (same patterns, same order,
+    'g' flag — Spark's regexp_replace is global by default)."""
+    out = html_sql
+    for pat in _HTML_BLOCK_PATS:
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_TAG_PAT}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        ent_sql = ent.replace("'", "''")
+        out = f"replace({out}, '{ent_sql}', '{rep_sql}')"
+    return f"trim(regexp_replace({out}, '{_WS_PAT}', ' ', 'g'))"

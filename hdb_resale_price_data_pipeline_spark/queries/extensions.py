@@ -214,6 +214,41 @@ FROM idx
 """
 
 
+FRAME_BYTES, FRAME_EVERY_K, MAX_FRAMES = 32, 4, 8
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame SAMPLING (operators/multimodal.sample_frames): every 4th
+    32-byte frame, ≤ 8 frames per asset — bounded output per asset
+    regardless of payload size. ASCII payloads → the sampled binary
+    frames decode losslessly, so the query carries a full value oracle
+    (stepped-range substring windows)."""
+    from ..operators.multimodal import sample_frames
+
+    frames = sample_frames(
+        documents_as_assets(t(spark, sf_dir, "documents")),
+        frame_bytes=FRAME_BYTES,
+        every_k=FRAME_EVERY_K,
+        max_frames=MAX_FRAMES,
+    )
+    return frames.withColumn("frame", F.col("frame").cast("string"))
+
+
+_FRAME_SAMPLE_SQL = f"""
+WITH idx AS (
+    SELECT doc_id, text,
+           CAST(unnest(range(0,
+               CAST(least(ceil(length(text) / {FRAME_BYTES}.0),
+                          {FRAME_EVERY_K * MAX_FRAMES}) AS BIGINT),
+               {FRAME_EVERY_K})) AS INT) AS frame_idx
+    FROM documents
+)
+SELECT doc_id AS asset_id, frame_idx,
+       substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame
+FROM idx
+"""
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h window, 15-min slide) over the event stream
     (streaming/events.stream_sliding_counts). Same deterministic
@@ -430,5 +465,8 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "stream_static_enrich": QuerySpec(q_stream_static_enrich, _STREAM_STATIC_SQL),
     "stream_doc_quality": QuerySpec(q_stream_doc_quality, _stream_doc_quality_oracle()),
     "multimodal_resize": QuerySpec(q_multimodal_resize, _RESIZE_SQL),
+    "multimodal_frame_sample": QuerySpec(
+        q_multimodal_frame_sample, _FRAME_SAMPLE_SQL
+    ),
     "stream_sliding_counts": QuerySpec(q_stream_sliding, _STREAM_SLIDING_SQL),
 }

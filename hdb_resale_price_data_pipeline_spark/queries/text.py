@@ -1211,6 +1211,54 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, "text", merges)
 
 
+# Deterministic HTML wrapper for the extraction query: the corpus text
+# embeds in a realistic page (head/style/script/comment/entity noise),
+# and extraction must recover exactly the whitespace-collapsed text.
+_HTML_PRE = (
+    '<html><head><title>doc</title><style>p { color: red; }</style></head>'
+    '<body>\n<div id="nav"><a href="/x">Home</a> &gt; Docs</div>\n<p class="main">'
+)
+_HTML_POST = (
+    '</p>\n<script type="text/javascript">var x = 1 < 2; emit("</p>");</script>'
+    "<!-- footer\n spans lines --></body></html>"
+)
+
+
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (operators/text.html_to_text — the
+    CommonCrawl/C4 extraction step): strip script/style/comment blocks
+    and tags, decode entities, collapse whitespace. Pure codegen
+    regexp chain, no UDF; every pattern means the same thing to Java
+    regex and RE2, so the oracle is exact. The corpus text is embedded
+    in a deterministic page wrapper (nav + entity + a script whose body
+    contains both ``<`` and a decoy ``</p>``) so the op provably does
+    its job: the extraction must recover ``Home > Docs`` plus exactly
+    the whitespace-collapsed document text."""
+    from ..operators.text import html_to_text
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    html = F.concat(F.lit(_HTML_PRE), col("text"), F.lit(_HTML_POST))
+    clean = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_clean"),
+    )
+
+
+def _html_extract_oracle() -> str:
+    from ..operators.text import html_to_text_duck
+
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    clean = html_to_text_duck(f"'{pre}' || text || '{post}'")
+    return f"""
+SELECT doc_id, {clean} AS clean_text,
+       CAST(length({clean}) AS BIGINT) AS n_clean
+FROM documents
+"""
+
+
 def _wordpiece_model(spark: SparkSession, sf_dir: str):
     """ONE trained WordPiece model per (session, corpus) — same cache
     discipline as ``_bpe_model`` (distinct key: selection rule differs,
@@ -1596,6 +1644,7 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_wordpiece_learn": QuerySpec(
         q_text_wordpiece_learn, _wordpiece_learn_oracle()
     ),
+    "text_html_extract": QuerySpec(q_text_html_extract, _html_extract_oracle()),
     "text_bm25_topk": QuerySpec(q_text_bm25_topk, _bm25_oracle()),
     "text_dsir_weights": QuerySpec(q_text_dsir_weights, _dsir_oracle()),
     # r5 demotions out of the graded window (rotation note on QUERIES):

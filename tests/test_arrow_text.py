@@ -122,3 +122,26 @@ def test_distinct_gram_hashes_bit_identical(spark):
         ).collect()
     }
     assert expr_rows == arrow_rows
+
+
+def test_html_extraction_recovers_exact_text(spark):
+    """html_to_text (r5): tags/script/style/comments stripped (incl. a
+    decoy </p> INSIDE the script body), entities decoded, whitespace
+    collapsed — recovering exactly the known embedded content."""
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.operators.text import html_to_text
+
+    html = (
+        '<html><head><style>p { b: 1 }</style></head><body>'
+        '<div>A &amp; B &lt;ok&gt;</div>\n\n<p>Hello   world</p>'
+        '<script>var decoy = "</p>"; if (1 < 2) { x(); }</script>'
+        "<!-- multi\nline comment --> tail&nbsp;end</body></html>"
+    )
+    out = (
+        spark.range(1)
+        .select(html_to_text(F.lit(html)).alias("t"))
+        .first()
+        .t
+    )
+    assert out == 'A & B <ok> Hello world tail end'

@@ -46,3 +46,32 @@ def test_chunk_fanout_reassembles(spark):
     )
     original = bytes(assets.filter("asset_id = 1").collect()[0].content)
     assert b"".join(p for _, p in parts) == original
+
+
+def test_frame_sampling_caps_and_strides(spark):
+    """sample_frames (r5): every 4th 32-byte frame, ≤8 per asset; the
+    sampled bytes must equal direct payload slices and the cap must
+    bind for long payloads."""
+    from hdb_resale_price_data_pipeline_spark.operators.multimodal import (
+        documents_as_assets,
+        sample_frames,
+    )
+    from hdb_resale_price_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, TEST_SF_DIR, "documents").limit(60)
+    frames = sample_frames(
+        documents_as_assets(docs), frame_bytes=32, every_k=4, max_frames=8
+    ).collect()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    per_asset: dict = {}
+    for r in frames:
+        per_asset.setdefault(r.asset_id, []).append(r)
+        assert r.frame_idx % 4 == 0
+        want = texts[r.asset_id].encode()[r.frame_idx * 32 : (r.frame_idx + 1) * 32]
+        assert bytes(r.frame) == want
+    assert per_asset, "no frames sampled"
+    for rows in per_asset.values():
+        assert len(rows) <= 8
+    long_assets = [d for d, t in texts.items() if len(t.encode()) > 32 * 4 * 8]
+    for d in long_assets:
+        assert len(per_asset[d]) == 8, "cap must bind on long payloads"
