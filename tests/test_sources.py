@@ -486,3 +486,94 @@ def test_corrupt_file_fails_loudly_by_default(spark, tmp_path):
         assert spark.read.parquet(path).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+class TestQuarantineReaders:
+    """r5: PERMISSIVE + corrupt-record-column split — every input
+    record is either parsed or quarantined with its raw text, never
+    silently nulled or dropped."""
+
+    def _schema(self):
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        return StructType(
+            [
+                StructField("town", StringType(), True),
+                StructField("price", IntegerType(), True),
+            ]
+        )
+
+    def test_csv_quarantine_splits_bad_rows(self, spark, tmp_path):
+        from hdb_resale_price_data_pipeline_spark.sources.quarantine import (
+            read_csv_quarantined,
+        )
+
+        p = tmp_path / "in.csv"
+        p.write_text(
+            "town,price\n"
+            "BEDOK,500000\n"
+            'YISHUN,"not a number"\n'  # type-cast failure → quarantine
+            "CLEMENTI,610000\n"
+            '"BROKEN QUOTE,123\n'  # structural failure → quarantine
+        )
+        good, bad = read_csv_quarantined(spark, str(p), self._schema())
+        assert {(r.town, r.price) for r in good.collect()} == {
+            ("BEDOK", 500000),
+            ("CLEMENTI", 610000),
+        }
+        bad_rows = bad.collect()
+        assert len(bad_rows) == 2
+        assert all(r.raw_record for r in bad_rows)
+        raws = " ".join(r.raw_record for r in bad_rows)
+        assert "not a number" in raws and "BROKEN QUOTE" in raws
+
+    def test_json_quarantine_record_level(self, spark, tmp_path):
+        from hdb_resale_price_data_pipeline_spark.sources.quarantine import (
+            read_json_quarantined,
+        )
+
+        p = tmp_path / "in.jsonl"
+        p.write_text(
+            '{"town": "BEDOK", "price": 500000}\n'
+            '{"town": "YISHUN", "price": }\n'  # malformed JSON line
+            '{"town": "CLEMENTI", "price": 610000}\n'
+        )
+        good, bad = read_json_quarantined(spark, str(p), self._schema())
+        assert good.count() == 2
+        bad_rows = bad.collect()
+        assert len(bad_rows) == 1
+        assert '"price": }' in bad_rows[0].raw_record
+
+    def test_json_quarantine_file_level_for_multiline(self, spark, tmp_path):
+        from hdb_resale_price_data_pipeline_spark.sources.quarantine import (
+            read_json_quarantined,
+        )
+
+        ok = tmp_path / "ok.json"
+        ok.write_text('[{"town": "BEDOK", "price": 1}, {"town": "YISHUN", "price": 2}]')
+        broken = tmp_path / "broken.json"
+        broken.write_text('[{"town": "CLEMENTI", "price": 3}, {"town":')  # truncated
+        good, bad = read_json_quarantined(
+            spark, str(tmp_path), self._schema(), multiline=True
+        )
+        assert good.count() == 2  # the intact file's two records
+        bad_rows = bad.collect()
+        assert len(bad_rows) == 1  # ONE quarantine row per malformed file
+        assert bad_rows[0].raw_record.startswith('[{"town": "CLEMENTI"')
+
+    def test_schema_already_owning_corrupt_col_is_rejected(self, spark):
+        import pytest
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from hdb_resale_price_data_pipeline_spark.sources.quarantine import (
+            read_csv_quarantined,
+        )
+
+        s = StructType([StructField("_corrupt_record", StringType(), True)])
+        with pytest.raises(ValueError, match="_corrupt_record"):
+            read_csv_quarantined(spark, "/tmp/nope", s)
