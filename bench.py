@@ -75,6 +75,8 @@ EXTRA_LOCAL_QUERIES = [
     "multimodal_frame_sample",
     # r5: HTML -> text extraction (codegen regexp chain)
     "text_html_extract",
+    # r5: trained-classifier streaming ingest gate
+    "stream_lr_gate",
 ]
 
 _GRADED = all_queries()

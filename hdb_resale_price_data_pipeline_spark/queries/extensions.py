@@ -458,9 +458,47 @@ FROM (
 """
 
 
+LR_GATE_KEEP_Q = 470_450  # quantized-probability gate bands: demo
+LR_GATE_REVIEW_Q = 470_350  # thresholds splitting the corpus 3 ways
+
+
+def q_stream_lr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MODEL-BASED ingest gate
+    (streaming/documents.stream_classifier_gate): arriving documents
+    scored by the trained LR quality classifier — the SAME cached
+    (session, corpus) model the batch scoring/selection queries use
+    (queries/text._lr_model) — and routed keep/review/drop on the
+    quantized probability. Map-only append stream → the GD-unroll
+    batch oracle applies exactly."""
+    from ..streaming.documents import documents_stream, stream_classifier_gate
+    from .text import _lr_model
+
+    w = _lr_model(spark, sf_dir)
+    return run_stream_to_df(
+        stream_classifier_gate(
+            documents_stream(spark, sf_dir), w, LR_GATE_KEEP_Q, LR_GATE_REVIEW_Q
+        ),
+        spark,
+    )
+
+
+def _stream_lr_gate_oracle() -> str:
+    from .text import _lr_query_oracle
+
+    return f"""
+WITH cl AS ({_lr_query_oracle()})
+SELECT doc_id, prob_q, prob,
+       CASE WHEN prob_q >= {LR_GATE_KEEP_Q} THEN 'keep'
+            WHEN prob_q >= {LR_GATE_REVIEW_Q} THEN 'review'
+            ELSE 'drop' END AS gate
+FROM cl
+"""
+
+
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "stream_dedup_gate": QuerySpec(q_stream_dedup_gate, _stream_dedup_gate_oracle()),
     "stream_emb_ingest": QuerySpec(q_stream_emb_ingest, _stream_emb_ingest_oracle()),
+    "stream_lr_gate": QuerySpec(q_stream_lr_gate, _stream_lr_gate_oracle()),
     "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),
     "stream_static_enrich": QuerySpec(q_stream_static_enrich, _STREAM_STATIC_SQL),
     "stream_doc_quality": QuerySpec(q_stream_doc_quality, _stream_doc_quality_oracle()),

@@ -1508,6 +1508,25 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 _LR_W_CACHE = _IndexCache()  # trained LR weights per (session, corpus)
 
 
+def _lr_model(spark: SparkSession, sf_dir: str) -> list[float]:
+    """ONE trained LR model per (session, corpus): full-batch GD on the
+    deterministic doc_id-parity slice, target = English — shared by the
+    corpus-scoring query, the composed selection stage, and (r5) the
+    streaming classifier gate, so training never runs twice."""
+    from ..operators import classifier as CL
+    from ..operators.similarity import session_cache_key
+
+    key = (session_cache_key(spark), sf_dir, "lr_en")
+    w = _LR_W_CACHE.get(key)
+    if w is None:
+        docs = widen(t(spark, sf_dir, "documents"))
+        train_fx = CL.featurize(
+            docs.filter(col("doc_id") % 2 == 0), "text", col("lang") == "en"
+        )
+        w = _LR_W_CACHE.put(key, CL.lr_train(train_fx))
+    return w
+
+
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fasttext-style linear domain classifier trained IN the engine:
     full-batch logistic-regression GD over hashed unigram+bigram bucket
@@ -1517,18 +1536,11 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized gradients make every GD sum order-free exact, and the
     DuckDB twin unrolls the iterations as CTE layers (the same
     discipline as the Lloyd-unroll k-means/PQ oracles). Weights cached
-    per (session, corpus) like the other trained models."""
+    per (session, corpus) like the other trained models (``_lr_model``)."""
     from ..operators import classifier as CL
-    from ..operators.similarity import session_cache_key
 
     docs = widen(t(spark, sf_dir, "documents"))
-    key = (session_cache_key(spark), sf_dir, "lr_en")
-    w = _LR_W_CACHE.get(key)
-    if w is None:
-        train_fx = CL.featurize(
-            docs.filter(col("doc_id") % 2 == 0), "text", col("lang") == "en"
-        )
-        w = _LR_W_CACHE.put(key, CL.lr_train(train_fx))
+    w = _lr_model(spark, sf_dir)
     return CL.lr_score(CL.featurize(docs, "text", col("lang") == "en"), w)
 
 

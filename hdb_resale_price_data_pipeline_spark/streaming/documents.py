@@ -188,6 +188,34 @@ def stream_dedup_gate(docs: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
+def stream_classifier_gate(
+    docs: DataFrame, w: list[float], keep_q: int, review_q: int
+) -> DataFrame:
+    """MODEL-BASED ingest gate: every arriving document is scored by
+    the TRAINED logistic-regression quality classifier
+    (operators/classifier.py — trained on the static corpus BEFORE the
+    stream starts; the weights ride the scoring expression as
+    literals, so the per-batch work is one codegen projection: no
+    state store, no joins, no broadcast). The quantized probability
+    routes keep/review/drop. This is the third ingest gate beside the
+    heuristic quality gate and the dedup gate — the streaming twin of
+    model-based selection, and trivially exact against the batch
+    oracle because scoring is integer-quantized arithmetic."""
+    from ..operators import classifier as CL
+
+    fx = CL.featurize(docs, "text", F.lit(False))
+    scored = CL.lr_score(fx, w).select("doc_id", "prob_q", "prob")
+    return scored.select(
+        "doc_id",
+        "prob_q",
+        "prob",
+        F.when(col("prob_q") >= keep_q, "keep")
+        .when(col("prob_q") >= review_q, "review")
+        .otherwise("drop")
+        .alias("gate"),
+    )
+
+
 def stream_quality_gate(docs: DataFrame) -> DataFrame:
     """Score + route each arriving document (map-only append stream):
     the quality band decides keep/review/drop at the ingest boundary.

@@ -41,12 +41,9 @@ def _serve(spark, coarse, pq_cbs, encoded, q_vec, probe_ids, k=5):
 
 
 def test_cold_load_serves_identically_to_trained_session(spark):
-    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
-        _IVFPQ_CACHE,
-        _IVF_KM_CACHE,
-        _PQ_INDEX_CACHE,
-        _probe_ids,
-    )
+    from tools.plan_snapshot import clear_index_caches
+
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import _probe_ids
 
     shutil.rmtree(STORE, ignore_errors=True)
     coarse, pq_cbs, encoded = _built_index(spark)
@@ -60,8 +57,9 @@ def test_cold_load_serves_identically_to_trained_session(spark):
     save_ann_index(STORE, coarse, pq_cbs, encoded)
 
     # emulate a cold start: drop every in-session index and cached block
-    for cache in (_IVFPQ_CACHE, _IVF_KM_CACHE, _PQ_INDEX_CACHE):
-        cache.clear()
+    clear_index_caches()  # ALL index caches: clearCache() below strips
+    # persistence from frames other caches still hold (plan-snapshot
+    # determinism — see tools/plan_snapshot.clear_index_caches)
     spark.catalog.clearCache()
 
     l_coarse, l_pq, l_encoded = load_ann_index(spark, STORE)
@@ -117,9 +115,10 @@ def test_env_store_roundtrip_via_query_path(spark, monkeypatch, tmp_path):
 
     baseline = [tuple(r) for r in sim.q_ivfpq_topk(spark, SMOKE_SF_DIR).collect()]
 
+    from tools.plan_snapshot import clear_index_caches
+
     monkeypatch.setenv("SPARK_GRAFT_ANN_STORE", str(tmp_path))
-    for cache in (sim._IVFPQ_CACHE, sim._IVF_KM_CACHE, sim._PQ_INDEX_CACHE):
-        cache.clear()
+    clear_index_caches()
     spark.catalog.clearCache()
     trained = [tuple(r) for r in sim.q_ivfpq_topk(spark, SMOKE_SF_DIR).collect()]
     assert trained == baseline
@@ -128,8 +127,7 @@ def test_env_store_roundtrip_via_query_path(spark, monkeypatch, tmp_path):
 
     store_dir = sim._ann_store_path(SMOKE_SF_DIR)
     assert store_dir and os.path.exists(f"{store_dir}/manifest.json")
-    for cache in (sim._IVFPQ_CACHE, sim._IVF_KM_CACHE, sim._PQ_INDEX_CACHE):
-        cache.clear()
+    clear_index_caches()
     spark.catalog.clearCache()
     cold = [tuple(r) for r in sim.q_ivfpq_topk(spark, SMOKE_SF_DIR).collect()]
     assert cold == baseline

@@ -628,3 +628,34 @@ def test_stream_emb_ingest_matches_batch_assignment(spark):
     assert len(rows) == len(want)  # every vector ingested exactly once
     assert {r.vec_id: r.ivf_cid for r in rows} == want
     assert all(r.qaff is not None for r in rows)
+
+
+def test_stream_lr_gate_scores_match_batch_classifier(spark):
+    """Model-based streaming gate: per-doc quantized probabilities must
+    equal the batch classifier's exactly (same trained weights, same
+    integer arithmetic), and the bands must route all three ways."""
+    from hdb_resale_price_data_pipeline_spark.queries.extensions import (
+        LR_GATE_KEEP_Q,
+        LR_GATE_REVIEW_Q,
+        q_stream_lr_gate,
+    )
+    from hdb_resale_price_data_pipeline_spark.queries.text import (
+        q_text_quality_classifier,
+    )
+
+    gated = {r.doc_id: r for r in q_stream_lr_gate(spark, TEST_SF_DIR).collect()}
+    batch = {
+        r.doc_id: r.prob_q
+        for r in q_text_quality_classifier(spark, TEST_SF_DIR).collect()
+    }
+    assert set(gated) == set(batch)
+    assert all(gated[d].prob_q == q for d, q in batch.items())
+    routes = {r.gate for r in gated.values()}
+    assert routes == {"keep", "review", "drop"}
+    for r in gated.values():
+        want = (
+            "keep"
+            if r.prob_q >= LR_GATE_KEEP_Q
+            else "review" if r.prob_q >= LR_GATE_REVIEW_Q else "drop"
+        )
+        assert r.gate == want

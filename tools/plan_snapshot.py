@@ -109,15 +109,47 @@ def plan_signature(df) -> dict[str, int]:
     }
 
 
+def clear_index_caches() -> None:
+    """Drop every session IndexCache (canonical list — scale_probe and
+    the snapshot gate both use it). Needed whenever a test/probe calls
+    ``spark.catalog.clearCache()``: that strips persistence from frames
+    OTHER caches still hold, and a retained-but-unpersisted index frame
+    prints a cache-less plan that no longer matches its snapshot."""
+    from hdb_resale_price_data_pipeline_spark.queries import dedup as QD
+    from hdb_resale_price_data_pipeline_spark.queries import text as QT
+    from hdb_resale_price_data_pipeline_spark.queries import similarity as QS
+
+    for cache in (
+        QD._MINHASH_PAIR_CACHE,
+        QS._LSH_INDEX_CACHE,
+        QS._IVF_INDEX_CACHE,
+        QS._IVF_KM_CACHE,
+        QS._PQ_INDEX_CACHE,
+        QS._IVFPQ_CACHE,
+        QS._IVFADC_CACHE,
+        QS._IVF_CORPUS_CACHE,
+        QT._BPE_MERGE_CACHE,
+        QT._LR_W_CACHE,
+    ):
+        cache.clear()
+
+
 def warm_index_caches(spark, sf_dir: str) -> None:
-    """Materialize the session caches first: a persisted frame prints a
-    different (shorter) plan once materialized, so signatures are only
-    deterministic in the warm state — which is also the steady state
-    the caches exist to model. Covers the ANN index caches (emb_*) and
-    the shared MinHash pair cache (dedup_minhash_lsh — consumed by the
-    curation queries too)."""
+    """Materialize the session caches FROM A KNOWN-COLD STATE: a
+    persisted frame prints a different (shorter) plan once
+    materialized, so signatures are only deterministic in the warm
+    state — which is also the steady state the caches exist to model.
+    The initial clear makes the state reproducible no matter what ran
+    earlier in the pytest session (a prior test's
+    ``spark.catalog.clearCache()`` would otherwise leave
+    retained-but-unpersisted entries whose plans print cache-less);
+    the snapshot GENERATOR runs in a fresh session where the clear is
+    a no-op, so generator and checker always agree. Covers the ANN
+    index caches (emb_*) and the shared MinHash pair cache
+    (dedup_minhash_lsh — consumed by the curation queries too)."""
     from hdb_resale_price_data_pipeline_spark.queries import local_queries
 
+    clear_index_caches()
     registry = local_queries()
     registry["dedup_minhash_lsh"].fn(spark, sf_dir).count()
     for name, spec in sorted(registry.items()):

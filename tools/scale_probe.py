@@ -345,24 +345,11 @@ def _noop(df) -> None:
 def _clear_index_caches() -> None:
     """Drop every session IndexCache so a timed run prices the BUILD,
     not a cache probe — the build is the scale-sensitive part, and a
-    warm-cache timing would report an artificially flat exponent."""
-    from hdb_resale_price_data_pipeline_spark.queries import dedup as QD
-    from hdb_resale_price_data_pipeline_spark.queries import text as QT
-    from hdb_resale_price_data_pipeline_spark.queries import similarity as QS
+    warm-cache timing would report an artificially flat exponent.
+    (Canonical cache list lives in tools/plan_snapshot.py.)"""
+    from tools.plan_snapshot import clear_index_caches
 
-    for cache in (
-        QD._MINHASH_PAIR_CACHE,
-        QS._LSH_INDEX_CACHE,
-        QS._IVF_INDEX_CACHE,
-        QS._IVF_KM_CACHE,
-        QS._PQ_INDEX_CACHE,
-        QS._IVFPQ_CACHE,
-        QS._IVFADC_CACHE,
-        QS._IVF_CORPUS_CACHE,
-        QT._BPE_MERGE_CACHE,
-        QT._LR_W_CACHE,
-    ):
-        cache.clear()
+    clear_index_caches()
 
 
 def probe_scaling(spark) -> None:
