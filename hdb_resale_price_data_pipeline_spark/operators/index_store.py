@@ -134,6 +134,31 @@ def append_ann_index(path: str, encoded_new: DataFrame) -> None:
     )
 
 
+def compact_ann_index(
+    spark: SparkSession,
+    path: str,
+    max_files_per_list: int = 4,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Steady-state maintenance for a streamed-into index: every
+    micro-batch ``append_ann_index`` adds a file per touched list, and
+    probe latency at scale is footer/task overhead × file count. This
+    rewrites ONLY the lists whose file count exceeds their byte budget
+    (partition-selective, crash-safe staged copy — the
+    ``sources/compaction.compact_partitions_inplace`` machinery on the
+    ``ivf_cid`` layout); untouched lists stay byte-identical for
+    concurrent readers, and served results are unchanged."""
+    from ..sources.compaction import compact_partitions_inplace
+
+    return compact_partitions_inplace(
+        spark,
+        f"{path}/inverted_lists",
+        "ivf_cid",
+        max_files_per_partition=max_files_per_list,
+        target_file_bytes=target_file_bytes,
+    )
+
+
 def probed_lists_scan(encoded: DataFrame, probe_ids: list[int]) -> DataFrame:
     """The serving filter, spelled so it stays a partition-pruning
     predicate: ``ivf_cid IN (...)`` over the partition column."""

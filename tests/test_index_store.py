@@ -188,3 +188,53 @@ def test_append_extends_only_touched_lists_and_serves_union(spark):
         r.vec_id for r in reloaded.filter(F.col("vec_id") >= 1_000_000).collect()
     }
     assert len(appended_ids) == 5
+
+
+def test_streamed_appends_compact_without_changing_serving(spark):
+    """The streaming-append lifecycle end to end: repeated small
+    appends fragment the hot lists; compact_ann_index rewrites only
+    those lists (partition-selective), file counts drop, and the
+    reloaded index serves the identical row set."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.operators.index_store import (
+        append_ann_index,
+        compact_ann_index,
+    )
+    from hdb_resale_price_data_pipeline_spark.operators.ivf import (
+        assign_to_codebook,
+    )
+    from hdb_resale_price_data_pipeline_spark.operators.pq import pq_encode
+
+    store = "/tmp/ann_index_store_compact"
+    shutil.rmtree(store, ignore_errors=True)
+    coarse, pq_cbs, encoded = _built_index(spark)
+    save_ann_index(store, coarse, pq_cbs, encoded)
+
+    src = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet").limit(20)
+    for i in range(1, 7):  # six micro-batch appends → fragmented lists
+        batch = src.withColumn("vec_id", F.col("vec_id") + i * 1_000_000)
+        append_ann_index(
+            store,
+            pq_encode(
+                assign_to_codebook(batch, "embedding", coarse), "embedding", pq_cbs
+            ),
+        )
+
+    def n_files():
+        return len(glob.glob(f"{store}/inverted_lists/ivf_cid=*/*.parquet"))
+
+    _, _, before_df = load_ann_index(spark, store)
+    before_rows = sorted(r.vec_id for r in before_df.select("vec_id").collect())
+    files_before = n_files()
+
+    stats = compact_ann_index(spark, store, max_files_per_list=2)
+    assert stats["rewritten"] > 0, "fragmented lists must be rewritten"
+    assert n_files() < files_before
+
+    _, _, after_df = load_ann_index(spark, store)
+    after_rows = sorted(r.vec_id for r in after_df.select("vec_id").collect())
+    assert after_rows == before_rows
