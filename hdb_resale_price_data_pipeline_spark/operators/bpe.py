@@ -134,27 +134,42 @@ def _driver_merge_loop(
     return merges, sorted(freqs.items())
 
 
-def bpe_train_with_freqs(
+def _pair_counts_frame(work: DataFrame) -> DataFrame:
+    """Aggregated adjacent-pair counts ``(p struct<a,b>, n)`` of the
+    working symbol table — the shared per-round input of both
+    selection rules."""
+    return (
+        work.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(col("syms"), 1, F.size("syms") - 1),
+                    F.slice(col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _train_with_freqs(
     df: DataFrame,
     text_col: str,
-    n_merges: int = 10,
-    min_count: int = 2,
-    driver_budget_words: int = DRIVER_VOCAB_BUDGET,
+    n_merges: int,
+    min_count: int,
+    driver_budget_words: int,
+    driver_loop,
+    select_best,
 ) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
-    """Like :func:`bpe_train`, but also returns the final PIECE
-    frequencies ``[(piece, freq)]`` (sorted by piece) derived from the
-    last working symbol table before it is released — the vocabulary a
-    tokenizer ships. Deriving it here costs one vocabulary-sized
-    aggregation; recomputing it afterwards would cost a full extra
-    corpus pass plus re-applying every merge (the table bpe_train
-    already built).
-
-    The corpus is touched exactly ONCE either way. When the word-
-    frequency table fits ``driver_budget_words`` (vocab-sized, so it
-    usually does), the merge loop runs driver-local
-    (:func:`_driver_merge_loop`) — identical results, no per-merge job
-    scheduling; pass ``driver_budget_words=0`` to force the
-    distributed loop."""
+    """Shared training scaffold for the merge-based tokenizers (BPE and
+    WordPiece differ ONLY in the per-round argmax): one corpus pass →
+    persisted vocab-sized symbol table; driver-local loop when it fits
+    the budget; else per-round ``select_best(work, min_count)`` +
+    Arrow merge application; final piece frequencies from the last
+    table (one vocabulary-sized aggregation — recomputing later would
+    cost a full corpus pass plus re-applying every merge)."""
     from ..shipping import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
@@ -164,28 +179,12 @@ def bpe_train_with_freqs(
         n_words = work.count()  # also materializes the persist
         if n_words <= driver_budget_words:
             vocab = [(list(r["syms"]), int(r["cnt"])) for r in work.collect()]
-            return _driver_merge_loop(vocab, n_merges, min_count)
+            return driver_loop(vocab, n_merges, min_count)
         for _ in range(n_merges):
-            pairs = (
-                work.select(
-                    F.explode(
-                        F.zip_with(
-                            F.slice(col("syms"), 1, F.size("syms") - 1),
-                            F.slice(col("syms"), 2, F.size("syms") - 1),
-                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                        )
-                    ).alias("p"),
-                    "cnt",
-                )
-                .groupBy("p")
-                .agg(F.sum("cnt").alias("n"))
-                .orderBy(col("n").desc(), col("p.a"), col("p.b"))
-                .limit(1)
-                .collect()
-            )
-            if not pairs or pairs[0]["n"] < min_count:
+            pair = select_best(work, min_count)
+            if pair is None:
                 break
-            a, b = pairs[0]["p"]["a"], pairs[0]["p"]["b"]
+            a, b = pair
             merges.append((a, b))
             merged = _apply_one_merge(work, a, b).persist()
             merged.count()  # materialize before dropping the parent
@@ -205,24 +204,70 @@ def bpe_train_with_freqs(
     return merges, freqs
 
 
+def _bpe_best(work: DataFrame, min_count: int) -> tuple[str, str] | None:
+    """Most-frequent pair, ties → lexicographic; None below min_count."""
+    rows = (
+        _pair_counts_frame(work)
+        .orderBy(col("n").desc(), col("p.a"), col("p.b"))
+        .limit(1)
+        .collect()
+    )
+    if not rows or rows[0]["n"] < min_count:
+        return None
+    return rows[0]["p"]["a"], rows[0]["p"]["b"]
+
+
+def bpe_train_with_freqs(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_count: int = 2,
+    driver_budget_words: int = DRIVER_VOCAB_BUDGET,
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
+    """Like :func:`bpe_train`, but also returns the final PIECE
+    frequencies ``[(piece, freq)]`` (sorted by piece) derived from the
+    last working symbol table before it is released — the vocabulary a
+    tokenizer ships.
+
+    The corpus is touched exactly ONCE either way. When the word-
+    frequency table fits ``driver_budget_words`` (vocab-sized, so it
+    usually does), the merge loop runs driver-local
+    (:func:`_driver_merge_loop`) — identical results, no per-merge job
+    scheduling; pass ``driver_budget_words=0`` to force the
+    distributed loop."""
+    return _train_with_freqs(
+        df,
+        text_col,
+        n_merges,
+        min_count,
+        driver_budget_words,
+        _driver_merge_loop,
+        _bpe_best,
+    )
+
+
 # ---------------------------------------------------------------------------
 # WordPiece-scored merge training (Schuster & Nakajima 2012; the BERT
 # tokenizer's selection rule). Identical merge MECHANICS to BPE — the
 # difference is purely WHICH pair merges each round: BPE takes the most
 # FREQUENT pair; WordPiece takes the pair maximizing the unigram-LM
 # likelihood gain  score(a,b) = count(ab) / (count(a) · count(b)),
-# among pairs meeting min_count. The score is ONE IEEE double division
-# of exact integers (operands cast to double first, matching the
-# oracle's CAST(n AS DOUBLE)/CAST(ca*cb AS DOUBLE) bit-for-bit), ties
-# → lexicographically smallest (a, b), so selection can never diverge
-# across the driver loop, the distributed loop, and the DuckDB unroll.
+# among pairs meeting min_count. The score convention in ALL THREE
+# implementations is: exact integer product ca·cb, ONE correctly-
+# rounded conversion to double, one IEEE divide — Python big-int →
+# float here, DECIMAL(38,0) product → double in the distributed path
+# (a plain BIGINT multiply would WRAP past 2^63), HUGEINT product →
+# double in the DuckDB unroll. Ties → lexicographically smallest
+# (a, b), so selection can never diverge across the three paths.
 
 
 def _wp_score(n: int, ca: int, cb: int) -> float:
-    """float(n) / float(ca·cb): operand-rounding then one IEEE divide —
-    the exact op sequence of the SQL twin. (Python's int/int true
-    division is correctly rounded from the exact rational instead,
-    which can differ once operands exceed 2^53.)"""
+    """float(n) / float(ca·cb): the product is an exact Python int,
+    converted to double with one correct rounding, then one IEEE
+    divide — the convention the distributed path and the SQL twin
+    reproduce. (Python's int/int true division would instead round
+    once from the exact rational, which differs when the PRODUCT
+    exceeds 2^53 — so the conversion is explicit.)"""
     return float(n) / float(ca * cb)
 
 
@@ -282,6 +327,43 @@ def _driver_wordpiece_loop(
     return merges, sorted(freqs.items())
 
 
+def _wordpiece_best(work: DataFrame, min_count: int) -> tuple[str, str] | None:
+    """Highest-likelihood-gain pair among pairs ≥ min_count, ties →
+    lexicographic; None when no pair qualifies. The count product runs
+    in DECIMAL(38,0) — exact for any two BIGINT counts (< 2^126 <
+    10^38) — then one cast to double: single rounding of the exact
+    product, matching :func:`_wp_score` bit-for-bit where a plain
+    BIGINT multiply would silently WRAP past 2^63 (Spark's non-ANSI
+    multiply), i.e. exactly in the large-corpus regime this distributed
+    path exists for."""
+    pairs = _pair_counts_frame(work).filter(col("n") >= min_count)
+    syms = (
+        work.select(F.explode("syms").alias("sym"), "cnt")
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    prod = (
+        col("ca").cast("decimal(38,0)") * col("cb").cast("decimal(38,0)")
+    ).cast("double")
+    rows = (
+        pairs.join(
+            syms.select(col("sym").alias("_a"), col("c").alias("ca")),
+            col("p.a") == col("_a"),
+        )
+        .join(
+            syms.select(col("sym").alias("_b"), col("c").alias("cb")),
+            col("p.b") == col("_b"),
+        )
+        .select("p", (col("n").cast("double") / prod).alias("score"))
+        .orderBy(col("score").desc(), col("p.a"), col("p.b"))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    return rows[0]["p"]["a"], rows[0]["p"]["b"]
+
+
 def wordpiece_train_with_freqs(
     df: DataFrame,
     text_col: str,
@@ -291,76 +373,19 @@ def wordpiece_train_with_freqs(
 ) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
     """Learn ``n_merges`` WordPiece merges (+ final piece frequencies,
     sorted by piece). Same corpus-touched-ONCE / vocab-sized-iteration
-    shape as :func:`bpe_train_with_freqs`; same driver-local bound.
-    The trained merge list feeds the SAME appliers (``bpe_apply``,
-    ``bpe_encode_ids``) — application order is all that matters."""
-    from ..shipping import ensure_package_shipped
-
-    ensure_package_shipped(df.sparkSession)
-    work = _to_symbols(word_frequencies(df, text_col)).select("syms", "cnt").persist()
-    merges: list[tuple[str, str]] = []
-    try:
-        n_words = work.count()
-        if n_words <= driver_budget_words:
-            vocab = [(list(r["syms"]), int(r["cnt"])) for r in work.collect()]
-            return _driver_wordpiece_loop(vocab, n_merges, min_count)
-        for _ in range(n_merges):
-            pairs = (
-                work.select(
-                    F.explode(
-                        F.zip_with(
-                            F.slice(col("syms"), 1, F.size("syms") - 1),
-                            F.slice(col("syms"), 2, F.size("syms") - 1),
-                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                        )
-                    ).alias("p"),
-                    "cnt",
-                )
-                .groupBy("p")
-                .agg(F.sum("cnt").alias("n"))
-                .filter(col("n") >= min_count)
-            )
-            syms = (
-                work.select(F.explode("syms").alias("sym"), "cnt")
-                .groupBy("sym")
-                .agg(F.sum("cnt").alias("c"))
-            )
-            best = (
-                pairs.join(syms.select(col("sym").alias("_a"), col("c").alias("ca")),
-                           col("p.a") == col("_a"))
-                .join(syms.select(col("sym").alias("_b"), col("c").alias("cb")),
-                      col("p.b") == col("_b"))
-                .select(
-                    "p",
-                    (
-                        col("n").cast("double")
-                        / (col("ca") * col("cb")).cast("double")
-                    ).alias("score"),
-                )
-                .orderBy(col("score").desc(), col("p.a"), col("p.b"))
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            a, b = best[0]["p"]["a"], best[0]["p"]["b"]
-            merges.append((a, b))
-            merged = _apply_one_merge(work, a, b).persist()
-            merged.count()
-            work.unpersist()
-            work = merged
-        freqs = sorted(
-            (r["piece"], int(r["freq"]))
-            for r in (
-                work.select(F.explode("syms").alias("piece"), "cnt")
-                .groupBy("piece")
-                .agg(F.sum("cnt").alias("freq"))
-                .collect()
-            )
-        )
-    finally:
-        work.unpersist()
-    return merges, freqs
+    shape as BPE via the shared :func:`_train_with_freqs` scaffold —
+    only the per-round argmax differs. The trained merge list feeds
+    the SAME appliers (``bpe_apply``, ``bpe_encode_ids``) —
+    application order is all that matters."""
+    return _train_with_freqs(
+        df,
+        text_col,
+        n_merges,
+        min_count,
+        driver_budget_words,
+        _driver_wordpiece_loop,
+        _wordpiece_best,
+    )
 
 
 def _apply_one_merge(work: DataFrame, a: str, b: str) -> DataFrame:

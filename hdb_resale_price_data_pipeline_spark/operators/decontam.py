@@ -182,6 +182,23 @@ def bloom_probe_expr(g: Column, bloom: Column) -> Column:
     return functools.reduce(operator.and_, conds)
 
 
+def bloom_hits(vals: "np.ndarray", bloom: "np.ndarray") -> "np.ndarray":
+    """THE dense-bitset membership kernel: bool array, True where all
+    K probe bits of each value are set. Single definition shared by
+    every probe (the per-gram decontam probe below, the scalar
+    fingerprint probe in streaming/documents.py) — the double-hash
+    scheme MUST match :func:`bloom_bitset_words` exactly or the
+    no-false-negatives guarantee silently breaks, so it lives in one
+    place."""
+    h1 = vals % BLOOM_M_BITS
+    h2 = 1 + (vals % (BLOOM_M_BITS - 1))
+    ok = np.ones(len(vals), dtype=bool)
+    for j in range(BLOOM_K):
+        p = (h1 + j * h2) % BLOOM_M_BITS
+        ok &= (bloom[p // BLOOM_WORD_BITS] >> (p % BLOOM_WORD_BITS)) & 1 == 1
+    return ok
+
+
 def _bloom_probe_udf(bloom_bc):
     """Arrow-vectorized probe: array<long> grams → count of grams whose
     K probe bits are all set in the dense bitset. ``bloom_bc`` is a
@@ -207,12 +224,7 @@ def _bloom_probe_udf(bloom_bc):
         flat = np.concatenate(
             [np.asarray(g, dtype=np.int64) for g in grams if g is not None and len(g)]
         )
-        ok = np.ones(total, dtype=bool)
-        h1 = flat % BLOOM_M_BITS
-        h2 = 1 + (flat % (BLOOM_M_BITS - 1))
-        for j in range(BLOOM_K):
-            p = (h1 + j * h2) % BLOOM_M_BITS
-            ok &= (bloom_np[p // BLOOM_WORD_BITS] >> (p % BLOOM_WORD_BITS)) & 1 == 1
+        ok = bloom_hits(flat, bloom_np)
         csum = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
         ends = np.cumsum(lengths)
         starts = ends - lengths

@@ -66,6 +66,12 @@ class IndexCache:
                 # the driver after unpersist but fails hard after
                 # destroy. destroy() is reserved for clear() — explicit
                 # session teardown, where no pending plan may outlive it.
+                # The driver-side payload an unpersisted broadcast keeps
+                # is NOT leaked for the session lifetime: eviction drops
+                # this cache's strong reference, and Spark's
+                # ContextCleaner destroys garbage-collected broadcasts
+                # automatically (weak-ref tracking) once no plan holds
+                # them either.
                 try:
                     part.destroy() if destroy else part.unpersist()
                 except Exception:

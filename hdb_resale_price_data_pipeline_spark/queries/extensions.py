@@ -387,11 +387,17 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice) — exact-fingerprint and prefix-fingerprint broadcast
     stream-static joins, routed drop_exact/review_neardup/ingest.
     Map-only append stream → exact batch-twin oracle."""
+    from ..operators.similarity import session_cache_key
     from ..streaming.documents import documents_stream, stream_dedup_gate
 
     corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return run_stream_to_df(
-        stream_dedup_gate(documents_stream(spark, sf_dir), corpus), spark
+        stream_dedup_gate(
+            documents_stream(spark, sf_dir),
+            corpus,
+            cache_key=(session_cache_key(spark), sf_dir, "mod3"),
+        ),
+        spark,
     )
 
 

@@ -833,14 +833,29 @@ _IVFPQ_CACHE = IndexCache()
 
 def _ann_store_path(sf_dir: str) -> str | None:
     """Disk location for the persisted IVF-PQ index, if the operator
-    has a store configured (``SPARK_GRAFT_ANN_STORE``). One directory
-    per (dataset, index params) so incompatible layouts can't collide."""
+    has a store configured (``SPARK_GRAFT_ANN_STORE``). The directory
+    key carries the SOURCE DATA IDENTITY (absolute path + mtime + size
+    of the embeddings file — the staging discipline of
+    ``streaming/embeddings._stage_emb_dir``) alongside the index
+    params: two different corpora sharing a basename, or the same path
+    after regeneration, must map to DIFFERENT store dirs — a stale hit
+    here would silently serve neighbors from the wrong corpus, not
+    just re-stage."""
+    import hashlib
     import os
 
     store = os.environ.get("SPARK_GRAFT_ANN_STORE")
     if not store:
         return None
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_k{IVF_K}_m{PQ_M}_ks{PQ_KSUB}"
+    src = os.path.abspath(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    st = os.stat(src)
+    data_id = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    tag = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{data_id}"
+        f"_k{IVF_K}_m{PQ_M}_ks{PQ_KSUB}"
+    )
     return os.path.join(store, tag)
 
 

@@ -1322,10 +1322,12 @@ def _bpe_cte_parts(scored: bool = False) -> list[str]:
     ``scored=True`` switches each layer's argmax to the WORDPIECE
     selection rule (DuckDB twin of ``wordpiece_train_with_freqs``): a
     per-layer symbol-count CTE ``c{i}`` joins the pair counts and the
-    winner maximizes ``CAST(n AS DOUBLE) / CAST(ca*cb AS DOUBLE)``
-    over pairs with ``n >= 2`` — operand-cast-then-divide, the exact
-    IEEE op sequence the Spark side computes (``operators/bpe._wp_score``),
-    ties → lexicographic (a, b). Merge APPLICATION is identical.
+    winner maximizes ``n / (ca·cb)`` over pairs with ``n >= 2`` —
+    HUGEINT exact product, one correctly-rounded cast to double, one
+    IEEE divide: the same single-rounding convention as
+    ``operators/bpe._wp_score`` (Python big-int → float) and the
+    distributed path's DECIMAL(38,0) product, ties → lexicographic
+    (a, b). Merge APPLICATION is identical.
     The crux is greedy LEFT-TO-RIGHT non-overlapping merge application
     — ``replace()`` scans exactly that way, so each word's symbol
     sequence is carried as a flanked string ``U+sym1+UU+sym2+UU+...+U``
@@ -1378,7 +1380,12 @@ m{i} AS (
   SELECT coalesce(max(CASE WHEN rn = 1 THEN a END), chr(31)) AS a{i},
          coalesce(max(CASE WHEN rn = 1 THEN b END), chr(31)) AS b{i}
   FROM (SELECT a, b, row_number() OVER (
-            ORDER BY CAST(n AS DOUBLE) / CAST(ca * cb AS DOUBLE) DESC, a, b
+            -- HUGEINT product: exact for any two BIGINT counts, then
+            -- one correctly-rounded cast — the same single-rounding
+            -- convention as _wp_score and the DECIMAL(38,0) product in
+            -- the distributed path (a BIGINT product would overflow)
+            ORDER BY CAST(n AS DOUBLE)
+                     / CAST(CAST(ca AS HUGEINT) * cb AS DOUBLE) DESC, a, b
         ) AS rn
         FROM (SELECT pp.a, pp.b, pp.n, ca.c AS ca, cb.c AS cb
               FROM p{i} pp

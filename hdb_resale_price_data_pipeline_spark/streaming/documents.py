@@ -74,12 +74,17 @@ def _fp_bloom_broadcast(fps: DataFrame, fp_col: str):
     ``SparkContext.broadcast`` numpy array. The collect is bounded by
     construction (≤ BLOOM_N_WORDS sparse words ≈ 128 KiB) regardless of
     corpus cardinality — the same fixed-memory shape as
-    operators/decontam.bloom_contamination_report."""
+    operators/decontam.bloom_contamination_report. NULL fingerprints
+    (NULL-text corpus docs) are excluded up front: a NULL can never
+    equal an arriving fingerprint (the r4 join semantics this gate
+    replaced), and an un-filtered NULL would propagate into a
+    (w=NULL, bits=NULL) bitset row and crash the build."""
     import numpy as np
 
     from ..operators.decontam import BLOOM_N_WORDS, bloom_bitset_words
     from ..operators.util import broadcast_value
 
+    fps = fps.filter(col(fp_col).isNotNull())
     bloom = np.zeros(BLOOM_N_WORDS, dtype=np.int64)
     for row in bloom_bitset_words(fps, fp_col).collect():  # bounded ≤ N_WORDS
         bloom[row["w"]] = row["bits"]
@@ -87,35 +92,41 @@ def _fp_bloom_broadcast(fps: DataFrame, fp_col: str):
 
 
 def _fp_bloom_probe_udf(bloom_bc):
-    """Arrow-vectorized scalar-fingerprint Bloom probe (boolean). The
-    dense-numpy closure probe, NOT a map-typed column + HOF expression:
-    Spark map ``element_at`` scans entries linearly and lambda HOFs run
+    """Arrow-vectorized scalar-fingerprint Bloom probe (boolean),
+    delegating to THE shared membership kernel
+    (``operators/decontam.bloom_hits`` — one definition of the
+    double-hash scheme for builder and every probe). A dense-numpy
+    closure probe, NOT a map-typed column + HOF expression: Spark map
+    ``element_at`` scans entries linearly and lambda HOFs run
     interpreted (~16× slower measured on the decontam probe at 16×).
     NULL fingerprints (NULL text) probe False."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    from ..operators.decontam import BLOOM_K, BLOOM_M_BITS, BLOOM_WORD_BITS
-
-    m_bits, word_bits, n_probes = BLOOM_M_BITS, BLOOM_WORD_BITS, BLOOM_K
+    from ..operators.decontam import bloom_hits
 
     @pandas_udf("boolean")
     def probe(fps: pd.Series) -> pd.Series:
-        bloom = bloom_bc.value
         null_mask = fps.isna().to_numpy()
         vals = fps.fillna(0).to_numpy(np.int64)  # fps < 2^31: exact
-        h1 = vals % m_bits
-        h2 = 1 + (vals % (m_bits - 1))
-        ok = ~null_mask
-        for j in range(n_probes):
-            p = (h1 + j * h2) % m_bits
-            ok = ok & ((bloom[p // word_bits] >> (p % word_bits)) & 1 == 1)
-        return pd.Series(ok)
+        return pd.Series(bloom_hits(vals, bloom_bc.value) & ~null_mask)
 
     return probe
 
 
-def stream_dedup_gate(docs: DataFrame, corpus: DataFrame) -> DataFrame:
+# Built gate state per (caller key): two persisted fingerprint-index
+# frames + two 128 KiB bitset broadcasts. Without the cache, every gate
+# construction (bench repeats, scaling sweeps, a long-lived session
+# restarting its ingest stream) would leave another persisted pair
+# behind for the session lifetime; IndexCache eviction unpersists.
+from ..operators.index_cache import IndexCache  # noqa: E402
+
+_GATE_STATE_CACHE = IndexCache()
+
+
+def stream_dedup_gate(
+    docs: DataFrame, corpus: DataFrame, cache_key: object = None
+) -> DataFrame:
     """Stream-static dedup gate: every arriving document is checked
     against the EXISTING corpus — exact duplicate via the full-text
     fingerprint, boilerplate near-dup via the ``GATE_PREFIX_K``-token
@@ -143,19 +154,51 @@ def stream_dedup_gate(docs: DataFrame, corpus: DataFrame) -> DataFrame:
 
     Map-only plus two selective joins, no watermark, no state store —
     append emits every row, so the batch-twin oracle is exact.
+
+    ``cache_key``: stable caller key (e.g. (session, corpus id)) to
+    reuse the built static state — the two persisted fingerprint-index
+    frames and the two bitset broadcasts — across gate constructions
+    in one session; without it every construction pins a fresh pair of
+    persisted frames until session exit. The key must uniquely
+    determine ``corpus`` (same contract as the decontam bitset cache).
     """
     from ..functions import hashing as H
     from ..operators.incremental import prefix_fingerprint
+    from ..shipping import ensure_package_shipped
 
+    ensure_package_shipped(docs.sparkSession)
     exact_fp = F.expr(H.string_hash("lower(text)")[0])
     prefix_fp = prefix_fingerprint("text", GATE_PREFIX_K)
-    # Persisted so micro-batches share one distinct-reduction instead of
-    # re-aggregating the corpus per trigger (production: a materialized
-    # fp-bucketed index table with its own lifecycle).
-    corpus_exact = corpus.select(exact_fp.alias("c_fp")).distinct().persist()
-    corpus_prefix = corpus.select(prefix_fp.alias("c_pfp")).distinct().persist()
-    exact_bloom = _fp_bloom_probe_udf(_fp_bloom_broadcast(corpus_exact, "c_fp"))
-    prefix_bloom = _fp_bloom_probe_udf(_fp_bloom_broadcast(corpus_prefix, "c_pfp"))
+    state = _GATE_STATE_CACHE.get(cache_key) if cache_key is not None else None
+    if state is None:
+        # Persisted so micro-batches share one distinct-reduction
+        # instead of re-aggregating the corpus per trigger (production:
+        # a materialized fp-bucketed index table with its own
+        # lifecycle). NULL fingerprints (NULL-text docs) are dropped:
+        # they can never match an arriving doc.
+        corpus_exact = (
+            corpus.select(exact_fp.alias("c_fp"))
+            .filter(col("c_fp").isNotNull())
+            .distinct()
+            .persist()
+        )
+        corpus_prefix = (
+            corpus.select(prefix_fp.alias("c_pfp"))
+            .filter(col("c_pfp").isNotNull())
+            .distinct()
+            .persist()
+        )
+        state = (
+            corpus_exact,
+            corpus_prefix,
+            _fp_bloom_broadcast(corpus_exact, "c_fp"),
+            _fp_bloom_broadcast(corpus_prefix, "c_pfp"),
+        )
+        if cache_key is not None:
+            _GATE_STATE_CACHE.put(cache_key, state)
+    corpus_exact, corpus_prefix, exact_bc, prefix_bc = state
+    exact_bloom = _fp_bloom_probe_udf(exact_bc)
+    prefix_bloom = _fp_bloom_probe_udf(prefix_bc)
     scored = docs.select(
         "doc_id",
         "lang",

@@ -238,3 +238,28 @@ def test_streamed_appends_compact_without_changing_serving(spark):
     _, _, after_df = load_ann_index(spark, store)
     after_rows = sorted(r.vec_id for r in after_df.select("vec_id").collect())
     assert after_rows == before_rows
+
+
+def test_store_path_keys_on_dataset_identity(spark, monkeypatch, tmp_path):
+    """Review r5: two corpora sharing a basename (or one regenerated in
+    place) must map to DIFFERENT store dirs — a stale hit would
+    silently serve neighbors from the wrong corpus."""
+    import shutil
+
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        _ann_store_path,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_STORE", str(tmp_path))
+    p1 = _ann_store_path(SMOKE_SF_DIR)
+    # same basename, different directory → different identity
+    clone = tmp_path / "clone" / "sf0.001"
+    clone.mkdir(parents=True)
+    shutil.copy(f"{SMOKE_SF_DIR}/embeddings.parquet", clone / "embeddings.parquet")
+    p2 = _ann_store_path(str(clone))
+    assert p1 != p2
+    # regenerating in place (mtime/size change) → different identity
+    import os
+
+    os.utime(clone / "embeddings.parquet", (1, 1))
+    assert _ann_store_path(str(clone)) != p2

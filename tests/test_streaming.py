@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from conftest import TEST_SF_DIR
+from conftest import TEST_SF_DIR, SMOKE_SF_DIR
 from hdb_resale_price_data_pipeline_spark.queries.events import q_events_hourly
 from hdb_resale_price_data_pipeline_spark.sources import read_table
 from hdb_resale_price_data_pipeline_spark.streaming import (
@@ -659,3 +659,40 @@ def test_stream_lr_gate_scores_match_batch_classifier(spark):
             else "review" if r.prob_q >= LR_GATE_REVIEW_Q else "drop"
         )
         assert r.gate == want
+
+
+def test_stream_dedup_gate_survives_null_text_corpus_docs(spark):
+    """Review r5: a NULL-text corpus doc yields a NULL fingerprint; the
+    Bloom build must drop it (a NULL can never match an arriving doc —
+    the join semantics of the gate it replaced) instead of crashing on
+    a NULL bitset row."""
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.sources import read_table
+    from hdb_resale_price_data_pipeline_spark.streaming.documents import (
+        documents_stream,
+        stream_dedup_gate,
+    )
+
+    corpus = (
+        read_table(spark, SMOKE_SF_DIR, "documents")
+        .limit(50)
+        .unionByName(
+            spark.createDataFrame(
+                [(999_999, None, "en", None, None)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).select("doc_id", "text", "lang", "source", "n_chars")
+        )
+    )
+    gated = stream_dedup_gate(documents_stream(spark, SMOKE_SF_DIR), corpus)
+    rows = (
+        gated.writeStream.format("memory")
+        .queryName("null_corpus_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    rows.awaitTermination()
+    out = spark.table("null_corpus_gate").collect()
+    assert len(out) > 0
+    assert {r.gate for r in out} <= {"drop_exact", "review_neardup", "ingest"}

@@ -118,6 +118,7 @@ def clear_index_caches() -> None:
     from hdb_resale_price_data_pipeline_spark.queries import dedup as QD
     from hdb_resale_price_data_pipeline_spark.queries import text as QT
     from hdb_resale_price_data_pipeline_spark.queries import similarity as QS
+    from hdb_resale_price_data_pipeline_spark.streaming import documents as SD
 
     for cache in (
         QD._MINHASH_PAIR_CACHE,
@@ -130,6 +131,7 @@ def clear_index_caches() -> None:
         QS._IVF_CORPUS_CACHE,
         QT._BPE_MERGE_CACHE,
         QT._LR_W_CACHE,
+        SD._GATE_STATE_CACHE,
     ):
         cache.clear()
 
