@@ -57,6 +57,11 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
     target = min_partitions or default_par
+    if df.isStreaming:
+        # A file-source micro-batch arrives as maxFilesPerTrigger
+        # partitions (usually 1) — always narrow; neither inputFiles()
+        # nor .rdd is available on a streaming frame to probe.
+        return df.repartition(target)
     try:
         # cheap: source-file count (a derived frame reports its scans'
         # files). Fewer files than cores → the scan is narrow. The

@@ -167,6 +167,11 @@ def stream_dedup_gate(
     from ..shipping import ensure_package_shipped
 
     ensure_package_shipped(docs.sparkSession)
+    # NOT widened: the two fp folds are light enough that a per-batch
+    # repartition of the full text column costs more than the extra
+    # cores win (measured 2.2s → 3.7s at sf0.1); contrast the
+    # classifier gate, whose 16-bucket feature HOFs dominate and where
+    # widen() measured 10.8s → 2.4s.
     exact_fp = F.expr(H.string_hash("lower(text)")[0])
     prefix_fp = prefix_fingerprint("text", GATE_PREFIX_K)
     state = _GATE_STATE_CACHE.get(cache_key) if cache_key is not None else None
@@ -245,8 +250,16 @@ def stream_classifier_gate(
     model-based selection, and trivially exact against the batch
     oracle because scoring is integer-quantized arithmetic."""
     from ..operators import classifier as CL
+    from ..operators.util import widen
 
-    fx = CL.featurize(docs, "text", F.lit(False))
+    # The hashed-feature expressions are higher-order functions —
+    # interpreted, no codegen — and each file-source micro-batch
+    # arrives as ONE partition (maxFilesPerTrigger=1), so unwidened
+    # scoring runs single-core per trigger: measured 10.8s vs ~2s for
+    # the whole sf0.1 stream. widen() inserts the same pre-UDF
+    # round-robin the batch twin uses (a per-batch shuffle, legal in
+    # append mode; on a cluster the landing files are already many).
+    fx = CL.featurize(widen(docs), "text", F.lit(False))
     scored = CL.lr_score(fx, w).select("doc_id", "prob_q", "prob")
     return scored.select(
         "doc_id",
@@ -264,6 +277,8 @@ def stream_quality_gate(docs: DataFrame) -> DataFrame:
     the quality band decides keep/review/drop at the ingest boundary.
     Deterministic per-document output — directly oracle-checkable
     against the batch twin."""
+    # not widened: same measured trade as the dedup gate — the quality
+    # HOFs are too light to pay for a per-batch text shuffle
     score = T.quality_score("text")
     return docs.select(
         "doc_id",
