@@ -77,6 +77,9 @@ EXTRA_LOCAL_QUERIES = [
     "text_html_extract",
     # r5: trained-classifier streaming ingest gate
     "stream_lr_gate",
+    # r5: selection over the trained index — stratified sample + MMR
+    "emb_cluster_sample",
+    "emb_mmr_diverse",
 ]
 
 _GRADED = all_queries()

@@ -1561,3 +1561,237 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_filtered_topk": QuerySpec(q_filtered_topk, _filtered_topk_oracle()),
     "emb_outliers": QuerySpec(q_emb_outliers, _emb_outliers_oracle()),
 }
+
+
+# ---------------------------------------------------------------------------
+# r5: selection operators over the trained index — cluster-stratified
+# sampling and MMR diversity re-rank. Both are data-SELECTION primitives
+# (what a training-data pipeline does with an embedding index once it
+# has one): pick a balanced subset, or pick a relevant-but-diverse one.
+
+SAMPLE_QUOTA = 5  # vectors kept per cluster
+# Knuth multiplicative hash over vec_id — a deterministic, seedless
+# pseudo-random order expressible identically in both engines as plain
+# BIGINT arithmetic (max product ~2.6e9 · n_vecs, far inside int64).
+SAMPLE_HASH_MULT = 2654435761
+SAMPLE_HASH_MOD = 1000000007
+
+
+def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified corpus sampling: keep ``SAMPLE_QUOTA`` vectors
+    per trained k-means cluster, chosen by a deterministic
+    multiplicative-hash order over ``vec_id``. The embedding-space twin
+    of stratified/balanced data selection (cf. cluster-balanced
+    sampling in SemDeDup-style curation): a uniform sample would
+    reproduce the corpus's density skew, while a per-cluster quota
+    yields coverage of every region the index knows about.
+
+    Scale: rides the shared ``_IVF_KM_CACHE`` trained index (built once
+    per session for the whole emb_* family); the quota filter is one
+    ``row_number`` window partitioned by ``ivf_cid`` — a single shuffle
+    on the cluster id. A pathologically hot cluster makes one fat
+    window task; at production scale bound it by pre-filtering on the
+    hash (``h < quota/|cluster| · MOD`` per-cluster thresholds from the
+    cluster histogram) before ranking — the quota here is small and the
+    trained centroids balance list sizes, so the plain window is the
+    right local[32] plan."""
+    from pyspark.sql.window import Window
+
+    _, assigned = _ivf_kmeans_index(spark, sf_dir)
+    h = (col("vec_id") * F.lit(SAMPLE_HASH_MULT)) % F.lit(SAMPLE_HASH_MOD)
+    w = Window.partitionBy("ivf_cid").orderBy(h.asc(), col("vec_id"))
+    return (
+        assigned.withColumn("sample_rank", F.row_number().over(w))
+        .filter(col("sample_rank") <= SAMPLE_QUOTA)
+        .select("vec_id", "label", "ivf_cid", "sample_rank")
+    )
+
+
+def _cluster_sample_oracle() -> str:
+    """Lloyd-unroll assignment (the shared ``cents{ITERS}`` prefix) plus
+    the same hash-ordered per-cluster row_number. All output columns are
+    integers, so only the assignment must match (same tolerance
+    argument as ``_kmeans_oracle``)."""
+    from ..operators.ivf import duck_ivf_dist
+
+    cents = f"cents{KMEANS_ITERS}"
+    return f"""
+{_kmeans_cents_cte()},
+assigned AS (
+    SELECT vec_id, label, cid AS ivf_cid FROM (
+        SELECT e.vec_id, e.label, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
+        FROM embeddings e, {cents} c
+    ) WHERE rn = 1
+)
+SELECT vec_id, label, ivf_cid, sample_rank FROM (
+    SELECT vec_id, label, ivf_cid,
+           row_number() OVER (
+               PARTITION BY ivf_cid
+               ORDER BY (vec_id * {SAMPLE_HASH_MULT}) % {SAMPLE_HASH_MOD}, vec_id
+           ) AS sample_rank
+    FROM assigned
+) WHERE sample_rank <= {SAMPLE_QUOTA}
+"""
+
+
+MMR_POOL = 32  # relevance shortlist size (the distributed stage's top-N)
+MMR_K = 8  # diverse picks returned
+MMR_REL_W = 7  # integer λ split: score = 7·qrel − 3·max_qsim (λ = 0.7)
+MMR_DIV_W = 3
+
+
+def _qcos(a: str, b: str, dim: int | None = None) -> tuple[str, str]:
+    """RAW cosine quantized to BIGINT millionths — ``floor(cos·1e6+0.5)``
+    over the sequential-fold dot/norms, so both engines (and the
+    driver-side Python twin in ``q_emb_mmr_diverse``) perform the exact
+    same IEEE double ops before the integer cast. Integer scores make
+    every downstream comparison order-free."""
+    ds, dd = S.dot_product(a, b, dim)
+    nas, nad = S.norm(a, dim)
+    nbs, nbd = S.norm(b, dim)
+    return (
+        f"CAST(floor(({ds} / ({nas} * {nbs})) * 1000000.0 + 0.5) AS BIGINT)",
+        f"CAST(floor(({dd} / ({nad} * {nbd})) * 1000000.0 + 0.5) AS BIGINT)",
+    )
+
+
+def q_emb_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal-marginal-relevance) diverse top-k: from the
+    relevance top-``MMR_POOL`` against the query vector, greedily pick
+    ``MMR_K`` maximizing ``REL_W·qrel − DIV_W·max_{s∈selected} qsim`` —
+    the standard relevant-but-not-redundant re-rank for retrieval and
+    for picking demonstration/eval sets out of a near-dup-heavy corpus.
+
+    Scale split: the corpus-sized work is the distributed relevance
+    top-N (broadcast 1-row query, TakeOrderedAndProject — identical
+    shape to ``emb_cosine_topk``); the greedy step is inherently
+    sequential (each pick conditions on the previous), so it runs
+    driver-local over the POOL-bounded shortlist — the same K-bounded
+    collect discipline as the IVF-PQ exact re-rank, O(k·N) tiny. All
+    similarities are quantized BIGINT millionths (``_qcos``) with the
+    Python twin reproducing the folds' IEEE op sequence bit-for-bit,
+    so the unrolled-greedy DuckDB oracle hashes identically. The first
+    pick's diversity term is an empty max, defined as 0 on both sides."""
+    import math
+
+    emb = t(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(emb)
+    query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
+        col("embedding").alias("q_emb")
+    )
+    qrel_sql = _qcos("embedding", "q_emb", dim=dim)[0]
+    pool = (
+        widen(emb.filter(col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(broadcast(query))
+        .select("vec_id", "label", "embedding", F.expr(qrel_sql).alias("qrel"))
+        .orderBy(col("qrel").desc(), col("vec_id"))
+        .limit(MMR_POOL)
+        .collect()  # MMR_POOL-bounded by construction
+    )
+    cands = [
+        (int(r.vec_id), int(r.label), int(r.qrel), [float(v) for v in r.embedding])
+        for r in pool
+    ]
+
+    def _pair_qsim(ea: list[float], eb: list[float]) -> int:
+        # sequential folds, then sqrt·sqrt and divide — the exact op
+        # sequence of _qcos's SQL on both engines
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(ea, eb):
+            dot = dot + x * y
+            na = na + x * x
+            nb = nb + y * y
+        return int(math.floor((dot / (math.sqrt(na) * math.sqrt(nb))) * 1000000.0 + 0.5))
+
+    sim_cache: dict[tuple[int, int], int] = {}
+
+    def qsim(i: int, j: int) -> int:
+        key = (i, j) if i < j else (j, i)
+        if key not in sim_cache:
+            sim_cache[key] = _pair_qsim(cands[i][3], cands[j][3])
+        return sim_cache[key]
+
+    selected: list[tuple[int, int, int, int]] = []  # vec_id, label, rank, score
+    chosen: list[int] = []
+    for rank in range(1, min(MMR_K, len(cands)) + 1):
+        best = None
+        for idx, (vid, label, qrel, _) in enumerate(cands):
+            if idx in chosen:
+                continue
+            maxsim = max((qsim(idx, s) for s in chosen), default=0)
+            score = MMR_REL_W * qrel - MMR_DIV_W * maxsim
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, idx, score)
+        _, idx, score = best
+        chosen.append(idx)
+        selected.append((cands[idx][0], cands[idx][1], rank, score))
+    return spark.createDataFrame(
+        selected, "vec_id bigint, label int, mmr_rank int, mmr_score bigint"
+    )
+
+
+def _mmr_oracle() -> str:
+    """The greedy unrolled as ``MMR_K − 1`` pick layers (same fixed-
+    iteration-unroll discipline as the Lloyd/GD CTEs): ``cand`` is the
+    relevance top-N, ``pair`` the candidate×candidate quantized sims,
+    each ``pick{i}`` the argmax of the integer MMR score against the
+    selection so far, ties → lowest vec_id. Every compared quantity is
+    BIGINT, so layer outputs are exact and order-free."""
+    qrel = _qcos("e.embedding", "q.qe")[1]
+    qsim = _qcos("a.embedding", "b.embedding")[1]
+    # Every layer is AS MATERIALIZED: pick{{i}} references sel{{i-1}}
+    # twice (join + NOT IN) and pair references cand twice, so inlined
+    # CTEs double the plan per layer — exponential in MMR_K (the same
+    # blowup the BPE merge-unroll oracle hit; DuckDB 1.0 honors the
+    # MATERIALIZED hint).
+    parts = [
+        f"""q AS MATERIALIZED (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), cand AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT e.vec_id, e.label, e.embedding, {qrel} AS qrel
+        FROM embeddings e, q
+        WHERE e.vec_id != {QUERY_VEC_ID}
+    ) ORDER BY qrel DESC, vec_id LIMIT {MMR_POOL}
+), pair AS MATERIALIZED (
+    SELECT a.vec_id AS i, b.vec_id AS j, {qsim} AS qsim
+    FROM cand a, cand b WHERE a.vec_id != b.vec_id
+), sel1 AS MATERIALIZED (
+    SELECT vec_id, label, qrel, 1 AS mmr_rank, {MMR_REL_W} * qrel AS mmr_score
+    FROM cand ORDER BY qrel DESC, vec_id LIMIT 1
+)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = f"sel{i - 1}"
+        parts.append(
+            f"""pick{i} AS MATERIALIZED (
+    SELECT c.vec_id, c.label, c.qrel, {i} AS mmr_rank,
+           {MMR_REL_W} * c.qrel - {MMR_DIV_W} * ms.maxsim AS mmr_score
+    FROM cand c JOIN (
+        SELECT p.i AS vec_id, max(p.qsim) AS maxsim
+        FROM pair p JOIN {prev} s ON p.j = s.vec_id
+        GROUP BY p.i
+    ) ms USING (vec_id)
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+    ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+), sel{i} AS MATERIALIZED (
+    SELECT * FROM {prev} UNION ALL
+    SELECT vec_id, label, qrel, mmr_rank, mmr_score FROM pick{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, label, mmr_rank, mmr_score FROM sel{MMR_K}"
+    )
+
+
+LOCAL_QUERIES["emb_cluster_sample"] = QuerySpec(
+    q_emb_cluster_sample, _cluster_sample_oracle()
+)
+LOCAL_QUERIES["emb_mmr_diverse"] = QuerySpec(q_emb_mmr_diverse, _mmr_oracle())

@@ -170,3 +170,72 @@ def test_emb_outliers_fraction_and_extremity(spark):
     for r in rows:
         assert 0 <= r.n_outliers < r.n_vecs
         assert r.thr_qd is not None
+
+
+def test_mmr_is_more_diverse_than_pure_relevance(spark):
+    """The point of the MMR re-rank: among equal-sized selections, the
+    MMR set's mean pairwise similarity must be LOWER than the pure
+    relevance top-k's (which stacks near-duplicates), while every pick
+    still comes from the relevance shortlist."""
+    import itertools
+
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import (
+        MMR_K,
+        MMR_POOL,
+        QUERY_VEC_ID,
+    )
+
+    emb = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in spark.read.parquet(f"{TEST_SF_DIR}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    qv = emb[QUERY_VEC_ID]
+    by_rel = sorted(
+        (v for v in emb if v != QUERY_VEC_ID),
+        key=lambda v: (-cos(emb[v], qv), v),
+    )
+    pool = set(by_rel[:MMR_POOL])
+    topk = by_rel[:MMR_K]
+
+    rows = REGISTRY["emb_mmr_diverse"].fn(spark, TEST_SF_DIR).collect()
+    assert [r.mmr_rank for r in sorted(rows, key=lambda r: r.mmr_rank)] == list(
+        range(1, MMR_K + 1)
+    )
+    picked = [r.vec_id for r in rows]
+    assert set(picked) <= pool, "MMR picked outside the relevance shortlist"
+    assert picked[0] == topk[0], "rank-1 MMR pick must be the relevance argmax"
+
+    def mean_pair_sim(ids):
+        pairs = list(itertools.combinations(ids, 2))
+        return sum(cos(emb[a], emb[b]) for a, b in pairs) / len(pairs)
+
+    assert mean_pair_sim(picked) < mean_pair_sim(topk), (
+        mean_pair_sim(picked),
+        mean_pair_sim(topk),
+    )
+
+
+def test_cluster_sample_quota_and_coverage(spark):
+    """Per-cluster quota respected; every non-empty trained cluster is
+    represented (that is the stratification guarantee a density-skewed
+    uniform sample loses)."""
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import SAMPLE_QUOTA
+
+    sample = REGISTRY["emb_cluster_sample"].fn(spark, TEST_SF_DIR).collect()
+    clusters = (
+        REGISTRY["emb_kmeans_clusters"].fn(spark, TEST_SF_DIR).collect()
+    )
+    per_cluster: dict[int, int] = {}
+    for r in sample:
+        per_cluster[r.ivf_cid] = per_cluster.get(r.ivf_cid, 0) + 1
+        assert 1 <= r.sample_rank <= SAMPLE_QUOTA
+    for c in clusters:
+        want = min(c.n_vecs, SAMPLE_QUOTA)
+        assert per_cluster.get(c.ivf_cid, 0) == want, (c.ivf_cid, want)
