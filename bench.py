@@ -80,6 +80,7 @@ EXTRA_LOCAL_QUERIES = [
     # r5: selection over the trained index — stratified sample + MMR
     "emb_cluster_sample",
     "emb_mmr_diverse",
+    "emb_knn_graph",
 ]
 
 _GRADED = all_queries()

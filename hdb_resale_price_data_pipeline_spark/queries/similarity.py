@@ -1795,3 +1795,98 @@ LOCAL_QUERIES["emb_cluster_sample"] = QuerySpec(
     q_emb_cluster_sample, _cluster_sample_oracle()
 )
 LOCAL_QUERIES["emb_mmr_diverse"] = QuerySpec(q_emb_mmr_diverse, _mmr_oracle())
+
+
+KNN_K = 5  # neighbors kept per vector
+
+
+def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN graph construction: each vector's top-``KNN_K``
+    neighbors among vectors sharing its (trained cluster ∩ LSH bucket)
+    block — the offline build step graph-based ANN (HNSW/NSG seeding,
+    NN-Descent init) and graph dedup start from.
+
+    Same co-blocking as ``emb_semdedup`` (the quadratic term is bounded
+    by |cluster ∩ bucket|, never global; at 100 TB the composite key is
+    the one shuffle and hot blocks split under AQE), then one
+    ``row_number`` window per source vector. Pair cosine runs as the
+    Arrow pandas_udf (the dim-expanded chain cannot codegen inside a
+    join — see ``pair_cosine_udf``) quantized JVM-side to BIGINT
+    millionths, so ranks compare integers and the oracle hashes
+    bit-identical. Vectors whose block holds fewer than K peers emit
+    fewer edges (approximate-graph semantics — NN-Descent's later
+    rounds, out of scope here, would densify them)."""
+    from pyspark.sql.window import Window
+
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    _, assigned = _ivf_kmeans_index(spark, sf_dir)
+    dim = S.embedding_dim(t(spark, sf_dir, "embeddings"))
+    base = assigned.withColumn(
+        "bucket", S.hyperplane_bucket_expr("embedding", N_PLANES, dim)
+    ).select("vec_id", "ivf_cid", "bucket", "embedding")
+    a = base.alias("a")
+    b = base.alias("b")
+    pair_cos = S.pair_cosine_udf()
+    qsim = (
+        F.floor(
+            pair_cos(col("a.embedding"), col("b.embedding")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    pairs = a.join(
+        b,
+        (col("a.ivf_cid") == col("b.ivf_cid"))
+        & (col("a.bucket") == col("b.bucket"))
+        & (col("a.vec_id") != col("b.vec_id")),
+    ).select(
+        col("a.vec_id").alias("src"),
+        col("b.vec_id").alias("dst"),
+        col("a.ivf_cid").alias("ivf_cid"),
+        qsim.alias("qsim"),
+    )
+    w = Window.partitionBy("src").orderBy(col("qsim").desc(), col("dst"))
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(col("knn_rank") <= KNN_K)
+        .select("src", "dst", "ivf_cid", "knn_rank", "qsim")
+    )
+
+
+def _knn_graph_oracle() -> str:
+    """Lloyd-unroll assignment + bucket co-blocking (the semdedup CTE
+    prefix) + per-source row_number over the quantized pair cosine.
+    Every emitted column is BIGINT/INT, and qsim shares ``_qcos``'s
+    exact op sequence with the Arrow pair UDF."""
+    from ..operators.ivf import duck_ivf_dist
+
+    bucket = S.hyperplane_bucket("embedding", N_PLANES)[1]
+    qsim = _qcos("a.embedding", "b.embedding")[1]
+    return f"""
+{_kmeans_cents_cte()},
+assigned AS (
+    SELECT vec_id, embedding, cid AS ivf_cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
+        FROM embeddings e, cents{KMEANS_ITERS} c
+    ) WHERE rn = 1
+), bucketed AS (
+    SELECT vec_id, ivf_cid, embedding, {bucket} AS bucket FROM assigned
+), pairs AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst, a.ivf_cid AS ivf_cid,
+           {qsim} AS qsim
+    FROM bucketed a
+    JOIN bucketed b ON a.ivf_cid = b.ivf_cid AND a.bucket = b.bucket
+                   AND a.vec_id != b.vec_id
+)
+SELECT src, dst, ivf_cid, knn_rank, qsim FROM (
+    SELECT src, dst, ivf_cid, qsim,
+           row_number() OVER (PARTITION BY src ORDER BY qsim DESC, dst) AS knn_rank
+    FROM pairs
+) WHERE knn_rank <= {KNN_K}
+"""
+
+
+LOCAL_QUERIES["emb_knn_graph"] = QuerySpec(q_emb_knn_graph, _knn_graph_oracle())

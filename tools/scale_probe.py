@@ -333,6 +333,12 @@ SCALING_QUERIES = [
     # through the one corpus pass + vocab growth)
     "stream_emb_ingest",
     "text_wordpiece_learn",
+    # r5: selection/graph over the trained index — the stratified
+    # sample's window, MMR's shortlist collect, and the co-blocked
+    # kNN-graph pair term are the scale-sensitive parts
+    "emb_cluster_sample",
+    "emb_mmr_diverse",
+    "emb_knn_graph",
 ]
 
 
