@@ -81,6 +81,8 @@ EXTRA_LOCAL_QUERIES = [
     "emb_cluster_sample",
     "emb_mmr_diverse",
     "emb_knn_graph",
+    # r5: unigram-LM tokenizer (hard-EM + Viterbi; tokenizer trio)
+    "text_unigram_learn",
 ]
 
 _GRADED = all_queries()

@@ -1683,3 +1683,235 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "text_lang_id": QuerySpec(q_text_lang_id, _TEXT_LANG_ID_SQL),
     "text_pack_sequences": QuerySpec(q_text_pack_sequences, _TEXT_PACK_SQL),
 }
+
+
+# --- unigram-LM tokenizer (third of the tokenizer trio) ---------------------
+
+
+def _unigram_model(spark: SparkSession, sf_dir: str):
+    """ONE trained unigram model per (session, corpus) — the
+    ``_bpe_model`` cache discipline. Holds (qlp, words) where words is
+    the persisted vocab-sized frequency frame training built."""
+    from ..operators.similarity import session_cache_key
+    from ..operators.unigram import unigram_train
+
+    key = (session_cache_key(spark), sf_dir, "unigram")
+    model = _BPE_MERGE_CACHE.get(key)
+    if model is None:
+        docs_train = t(spark, sf_dir, "documents")
+        model = _BPE_MERGE_CACHE.put(key, unigram_train(docs_train, "text"))
+    return model
+
+
+def q_text_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a UNIGRAM-LM tokenizer on the corpus (operators/unigram.py
+    — Kudo 2018's SentencePiece model, deterministic hard-EM variant)
+    and Viterbi-segment every document with it. Completes the tokenizer
+    trio: BPE (frequency-greedy merges), WordPiece (likelihood-scored
+    merges), unigram (EM-fitted piece probabilities + max-likelihood
+    decoding) — three genuinely different learning rules over the same
+    one-corpus-pass / vocab-sized-iteration scale shape.
+
+    FULL oracle (``_unigram_learn_oracle``): seed → 2 hard-EM rounds →
+    prune → apply, with the Viterbi DP unrolled as one CTE layer per
+    prefix position (the positional analog of the Lloyd/merge unrolls)
+    and every compared quantity a BIGINT (quantized add-one log-probs on
+    the scoring.py grid, integer path scores) so both engines pick
+    identical segmentations, tie-for-tie. ``uni_score_q`` exposes the
+    summed DP objective per document — the oracle matches the decoder's
+    arithmetic, not just its output."""
+    from ..operators.unigram import MAX_WORD_LEN, unigram_apply
+
+    qlp, words = _unigram_model(spark, sf_dir)
+    # oracle-compat guard: the SQL unroll is static in MAX_WORD_LEN
+    # (one DP layer per position); the Python decoder is length-
+    # agnostic. One tiny agg over the vocab-sized frame.
+    max_len = words.agg(F.max(F.length("word"))).first()[0] or 0
+    if max_len > MAX_WORD_LEN:
+        raise ValueError(
+            f"corpus has a {max_len}-char word; raise unigram.MAX_WORD_LEN "
+            f"(adds one oracle CTE layer per char)"
+        )
+    docs = widen(t(spark, sf_dir, "documents"))
+    return unigram_apply(docs, "text", qlp, words)
+
+
+def _unigram_vit_parts(tag: str, q: str) -> list[str]:
+    """Viterbi CTE block for one decode pass under log-prob table ``q``:
+    forward DP unrolled positionally (``{tag}d{j}``: best score/pieces/
+    backpointer for each word's j-char prefix — per-position argmax by
+    (score DESC, np ASC, bp DESC), the exact tuple rule of
+    ``unigram.viterbi_segment``), a union view ``{tag}v``, then the
+    backtrace unrolled as MAX_WORD_LEN prepend layers ending in
+    ``{tag}pw`` (word → pieces, score_q) and counts ``{tag}c``. Every
+    layer MATERIALIZED — each references earlier layers repeatedly and
+    inlining would re-evaluate the whole prefix per reference (the BPE
+    unroll lesson)."""
+    from ..operators.unigram import MAX_PIECE, MAX_WORD_LEN
+
+    parts = []
+    for j in range(1, MAX_WORD_LEN + 1):
+        cands = []
+        for length in range(1, min(MAX_PIECE, j) + 1):
+            if length == j:
+                cands.append(
+                    f"""      SELECT w.word, q.qlp AS score, 1 AS np, {length} AS bp
+      FROM w0 w JOIN {q} q ON q.piece = substring(w.word, 1, {length})
+      WHERE length(w.word) >= {j}"""
+                )
+            else:
+                cands.append(
+                    f"""      SELECT w.word, v.score + q.qlp AS score, v.np + 1 AS np, {length} AS bp
+      FROM w0 w
+      JOIN {tag}d{j - length} v ON v.word = w.word
+      JOIN {q} q ON q.piece = substring(w.word, {j - length + 1}, {length})
+      WHERE length(w.word) >= {j}"""
+                )
+        union = "\n      UNION ALL\n".join(cands)
+        parts.append(
+            f"""{tag}d{j} AS MATERIALIZED (
+  SELECT word, score, np, bp FROM (
+    SELECT word, score, np, bp,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY score DESC, np, bp DESC) AS rn
+    FROM (
+{union}
+    )) WHERE rn = 1)"""
+        )
+    vall = "\n    UNION ALL\n".join(
+        f"    SELECT word, {j} AS j, score, np, bp FROM {tag}d{j}"
+        for j in range(1, MAX_WORD_LEN + 1)
+    )
+    parts.append(f"{tag}v AS MATERIALIZED (\n{vall})")
+    parts.append(
+        f"""{tag}t0 AS (
+  SELECT word, CAST(length(word) AS INT) AS pos,
+         CAST([] AS VARCHAR[]) AS pieces
+  FROM w0)"""
+    )
+    for k in range(1, MAX_WORD_LEN + 1):
+        parts.append(
+            f"""{tag}t{k} AS MATERIALIZED (
+  SELECT t.word,
+         CASE WHEN t.pos > 0 THEN t.pos - v.bp ELSE t.pos END AS pos,
+         CASE WHEN t.pos > 0
+              THEN list_prepend(substring(t.word, t.pos - v.bp + 1, v.bp),
+                                t.pieces)
+              ELSE t.pieces END AS pieces
+  FROM {tag}t{k - 1} t
+  LEFT JOIN {tag}v v ON v.word = t.word AND v.j = t.pos)"""
+        )
+    parts.append(
+        f"""{tag}pw AS MATERIALIZED (
+  SELECT t.word, t.pieces, s.score AS score_q
+  FROM {tag}t{MAX_WORD_LEN} t
+  JOIN {tag}v s ON s.word = t.word AND s.j = length(t.word))"""
+    )
+    parts.append(
+        f"""{tag}c AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT unnest(p.pieces) AS piece, w.cnt
+        FROM {tag}pw p JOIN w0 w USING (word))
+  GROUP BY 1)"""
+    )
+    return parts
+
+
+def _unigram_qlp_cte(name: str, vsrc: str) -> str:
+    """Quantized add-one log-prob table over a (piece, c) vocab CTE —
+    the exact expression text of ``unigram._qlp``."""
+    from ..operators.unigram import LOG_GRID
+
+    return f"""{name} AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(t.total + t.v AS DOUBLE))
+                    * {LOG_GRID}.0 + 0.5) AS BIGINT) AS qlp
+  FROM {vsrc}, (SELECT CAST(sum(c) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM {vsrc}) t)"""
+
+
+def _unigram_learn_oracle() -> str:
+    """DuckDB twin of ``unigram_train`` + ``unigram_apply``: seed
+    substring counts → kept seed vocab → q0 → EM_ITERS unrolled
+    (Viterbi block + fixed-vocab recount + re-quantized log-probs) →
+    count-prune → final Viterbi block → per-doc re-assembly."""
+    from ..operators.unigram import (
+        EM_ITERS,
+        MAX_PIECE,
+        MIN_COUNT,
+        SEED_KEEP,
+        VOCAB_KEEP,
+    )
+
+    toks = H.tokens("text")[1]
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({toks}) AS word FROM documents)
+  GROUP BY word)""",
+        f"""seedc AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(flatten(
+      [[substring(word, i, j - i + 1)
+        for j in range(i, least(i + {MAX_PIECE - 1}, length(word)) + 1)]
+       for i in range(1, length(word) + 1)])) AS piece, cnt
+    FROM w0
+  ) GROUP BY 1)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT piece, c FROM seedc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+    FROM seedc WHERE length(piece) >= 2 AND c >= {MIN_COUNT})
+  WHERE rn <= {SEED_KEEP})""",
+        _unigram_qlp_cte("q0", "v0"),
+    ]
+    for i in range(1, EM_ITERS + 1):
+        parts.extend(_unigram_vit_parts(f"e{i}", f"q{i - 1}"))
+        # EM keeps the vocab FIXED: unproduced pieces stay at count 0
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT q.piece, coalesce(c.c, 0) AS c
+  FROM q{i - 1} q LEFT JOIN e{i}c c USING (piece))"""
+        )
+        parts.append(_unigram_qlp_cte(f"q{i}", f"v{i}"))
+    parts.append(
+        f"""vf AS MATERIALIZED (
+  SELECT piece, c FROM v{EM_ITERS} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+    FROM v{EM_ITERS} WHERE length(piece) >= 2 AND c >= 1)
+  WHERE rn <= {VOCAB_KEEP})"""
+    )
+    parts.append(_unigram_qlp_cte("qf", "vf"))
+    parts.extend(_unigram_vit_parts("f", "qf"))
+    parts.append(
+        f"""docw AS (
+  SELECT doc_id, ww['wi'] AS wi, ww['word'] AS word
+  FROM (SELECT doc_id,
+               unnest([{{'wi': i, 'word': w[i]}} for i in range(1, len(w) + 1)]) AS ww
+        FROM (SELECT doc_id, {toks} AS w FROM documents)))"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+agg AS (
+  SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT) AS uni_n_pieces,
+         flatten(list(pieces ORDER BY wi)) AS allp,
+         CAST(sum(score_q) AS BIGINT) AS uni_score_q
+  FROM docw JOIN fpw USING (word)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.uni_n_pieces, 0) AS uni_n_pieces,
+       coalesce(a.allp[1:32], CAST([] AS VARCHAR[])) AS uni_pieces,
+       coalesce(a.uni_score_q, 0) AS uni_score_q
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+LOCAL_QUERIES["text_unigram_learn"] = QuerySpec(
+    q_text_unigram_learn, _unigram_learn_oracle()
+)

@@ -207,3 +207,86 @@ def test_wordpiece_selection_differs_from_bpe_where_it_should(spark):
     wp_first = wordpiece_train_with_freqs(df, "text", n_merges=1)[0][0]
     assert wp_first == ("x", "z")
     assert bpe_first != wp_first
+
+
+# --- unigram-LM trainer (third tokenizer family) ----------------------------
+
+
+def test_viterbi_prefers_likely_long_piece():
+    """A high-probability multi-char piece beats its char-by-char
+    spelling; an uncovered stretch falls back to chars."""
+    from hdb_resale_price_data_pipeline_spark.operators.unigram import (
+        viterbi_segment,
+    )
+
+    qlp = {"a": -50, "b": -50, "c": -50, "ab": -10, "x": -50}
+    pieces, score = viterbi_segment("abc", qlp)
+    assert pieces == ["ab", "c"]
+    assert score == -60
+    pieces, _ = viterbi_segment("xax", qlp)
+    assert pieces == ["x", "a", "x"]
+
+
+def test_viterbi_tie_breaks():
+    """Equal-score segmentations: fewer pieces wins; the per-position
+    rule then prefers the longer ending piece — and Python and the
+    SQL unroll share the exact tuple, so this pins the contract."""
+    from hdb_resale_price_data_pipeline_spark.operators.unigram import (
+        viterbi_segment,
+    )
+
+    # "aa" as ["aa"] (score -20, 1 piece) vs ["a","a"] (-20, 2 pieces)
+    pieces, _ = viterbi_segment("aa", {"a": -10, "aa": -20})
+    assert pieces == ["aa"]
+    # three equal-score paths for "aaa": ["a","aa"], ["aa","a"],
+    # ["a","a","a"]; fewer pieces first, then bp DESC at the last
+    # position → ["a","aa"]
+    pieces, _ = viterbi_segment("aaa", {"a": -10, "aa": -20})
+    assert pieces == ["a", "aa"]
+
+
+def test_unigram_train_is_deterministic_and_segments_corpus(spark):
+    """Two independent fits produce the identical model; every corpus
+    word is segmentable and round-trips to its own characters."""
+    from hdb_resale_price_data_pipeline_spark.operators.unigram import (
+        unigram_train,
+        viterbi_segment,
+    )
+
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    qlp1, words1 = unigram_train(docs, "text")
+    qlp2, words2 = unigram_train(docs, "text")
+    assert qlp1 == qlp2
+    for r in words1.collect():
+        pieces, _ = viterbi_segment(r.word, qlp1)
+        assert "".join(pieces) == r.word
+    words1.unpersist()
+    words2.unpersist()
+
+
+def test_unigram_vocab_contains_multichar_pieces(spark):
+    """The fit actually learns multi-char pieces (otherwise it
+    degenerates to a char tokenizer and the EM did nothing)."""
+    from hdb_resale_price_data_pipeline_spark.operators.unigram import (
+        VOCAB_KEEP,
+        unigram_train,
+    )
+
+    docs = read_table(spark, TEST_SF_DIR, "documents")
+    qlp, words = unigram_train(docs, "text")
+    longs = [p for p in qlp if len(p) >= 2]
+    assert 1 <= len(longs) <= VOCAB_KEEP
+    # and they are used: at least one corpus word segments to fewer
+    # pieces than its character count
+    from hdb_resale_price_data_pipeline_spark.operators.unigram import (
+        viterbi_segment,
+    )
+
+    used = False
+    for r in words.collect():
+        pieces, _ = viterbi_segment(r.word, qlp)
+        if len(pieces) < len(r.word):
+            used = True
+            break
+    assert used
+    words.unpersist()

@@ -339,6 +339,9 @@ SCALING_QUERIES = [
     "emb_cluster_sample",
     "emb_mmr_diverse",
     "emb_knn_graph",
+    # r5: unigram trainer — EM passes are vocab-sized Arrow maps; the
+    # corpus reaches it only through the one word-frequency pass
+    "text_unigram_learn",
 ]
 
 
