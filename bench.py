@@ -83,6 +83,7 @@ EXTRA_LOCAL_QUERIES = [
     "emb_knn_graph",
     # r5: unigram-LM tokenizer (hard-EM + Viterbi; tokenizer trio)
     "text_unigram_learn",
+    "text_unigram_encode_ids",
 ]
 
 _GRADED = all_queries()

@@ -258,3 +258,64 @@ def unigram_apply(
             F.coalesce(col("uni_score_q"), F.lit(0)).alias("uni_score_q"),
         )
     )
+
+
+def unigram_vocab_ids(qlp: dict[str, int]) -> list[tuple[str, int]]:
+    """Ranked (piece, id) pairs from the trained log-prob table: ids
+    1..V by (qlp DESC, piece ASC) — probability rank, the quantized
+    analog of frequency rank. No UNK id: every single character is in
+    the vocabulary by construction, so any Viterbi output encodes.
+    Pure bounded driver fold (model-sized)."""
+    ranked = sorted(qlp.items(), key=lambda pq: (-pq[1], pq[0]))
+    return [(p, i + 1) for i, (p, _) in enumerate(ranked)]
+
+
+def unigram_encode_ids(
+    docs: DataFrame,
+    text_col: str,
+    qlp: dict[str, int],
+    words: DataFrame,
+    head: int = 32,
+) -> DataFrame:
+    """The tokenizer SERVING step: encode every document to vocabulary
+    ids with the trained unigram model. Same corpus discipline as
+    :func:`unigram_apply` — one Arrow Viterbi pass over the vocab-sized
+    word table, then the corpus broadcast-joins the per-word pieces and
+    the (model-sized) id table; the corpus never enters Python."""
+    from ..functions import hashing as H
+
+    spark = docs.sparkSession
+    perword = _viterbi_pass(words, qlp).select("word", "pieces")
+    ids = spark.createDataFrame(
+        unigram_vocab_ids(qlp), "piece string, pid int"
+    )
+    toks = F.expr(H.tokens(text_col)[0])
+    docw = docs.select("doc_id", F.posexplode(toks).alias("wi", "word"))
+    dp = docw.join(broadcast(perword), "word").select(
+        "doc_id", "wi", F.posexplode("pieces").alias("pi", "piece")
+    )
+    agg = (
+        dp.join(broadcast(ids), "piece")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("wi", "pi", "pid"))
+                ).pid,
+                1,
+                head,
+            ).alias("id_head"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(col("n_pieces"), F.lit(0)).alias("n_pieces"),
+            F.coalesce(col("id_head"), F.array().cast("array<int>")).alias(
+                "id_head"
+            ),
+        )
+    )

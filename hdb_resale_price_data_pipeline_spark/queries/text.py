@@ -1915,3 +1915,110 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 LOCAL_QUERIES["text_unigram_learn"] = QuerySpec(
     q_text_unigram_learn, _unigram_learn_oracle()
 )
+
+
+def q_text_unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer SERVING: documents → vocabulary ids under the
+    SAME cached (session, corpus) model the learn query trains
+    (``_unigram_model`` — training never runs twice). Ids rank pieces
+    by (qlp DESC, piece ASC); no UNK path exists because single chars
+    always survive the prune, so coverage is total by construction —
+    the structural difference vs the deliberately truncated
+    ``text_bpe_encode_ids`` vocab, and worth a distinct query: this is
+    the id-space a sampler/packer downstream actually consumes."""
+    from ..operators.unigram import unigram_encode_ids
+
+    qlp, words = _unigram_model(spark, sf_dir)
+    docs = widen(t(spark, sf_dir, "documents"))
+    return unigram_encode_ids(docs, "text", qlp, words)
+
+
+def _unigram_encode_ids_oracle() -> str:
+    """The learn oracle's prefix (through the final Viterbi block) plus
+    probability-ranked ids and per-doc id re-assembly."""
+    from ..operators.unigram import (
+        EM_ITERS,
+        MAX_PIECE,
+        MIN_COUNT,
+        SEED_KEEP,
+        VOCAB_KEEP,
+    )
+
+    toks = H.tokens("text")[1]
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({toks}) AS word FROM documents)
+  GROUP BY word)""",
+        f"""seedc AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(flatten(
+      [[substring(word, i, j - i + 1)
+        for j in range(i, least(i + {MAX_PIECE - 1}, length(word)) + 1)]
+       for i in range(1, length(word) + 1)])) AS piece, cnt
+    FROM w0
+  ) GROUP BY 1)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT piece, c FROM seedc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+    FROM seedc WHERE length(piece) >= 2 AND c >= {MIN_COUNT})
+  WHERE rn <= {SEED_KEEP})""",
+        _unigram_qlp_cte("q0", "v0"),
+    ]
+    for i in range(1, EM_ITERS + 1):
+        parts.extend(_unigram_vit_parts(f"e{i}", f"q{i - 1}"))
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT q.piece, coalesce(c.c, 0) AS c
+  FROM q{i - 1} q LEFT JOIN e{i}c c USING (piece))"""
+        )
+        parts.append(_unigram_qlp_cte(f"q{i}", f"v{i}"))
+    parts.append(
+        f"""vf AS MATERIALIZED (
+  SELECT piece, c FROM v{EM_ITERS} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+    FROM v{EM_ITERS} WHERE length(piece) >= 2 AND c >= 1)
+  WHERE rn <= {VOCAB_KEEP})"""
+    )
+    parts.append(_unigram_qlp_cte("qf", "vf"))
+    parts.extend(_unigram_vit_parts("f", "qf"))
+    parts.extend(
+        [
+            f"""docw AS (
+  SELECT doc_id, ww['wi'] AS wi, ww['word'] AS word
+  FROM (SELECT doc_id,
+               unnest([{{'wi': i, 'word': w[i]}} for i in range(1, len(w) + 1)]) AS ww
+        FROM (SELECT doc_id, {toks} AS w FROM documents)))""",
+            """ids AS MATERIALIZED (
+  SELECT piece, CAST(row_number() OVER (ORDER BY qlp DESC, piece) AS INT) AS pid
+  FROM qf)""",
+            """dp AS (
+  SELECT doc_id, wi, pp['pi'] AS pi, pp['p'] AS piece
+  FROM (SELECT doc_id, wi,
+               unnest([{'pi': i, 'p': pieces[i]} for i in range(1, len(pieces) + 1)]) AS pp
+        FROM docw JOIN fpw USING (word)))""",
+        ]
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+         list(pid ORDER BY wi, pi) AS ids_l
+  FROM dp JOIN ids USING (piece)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_pieces, 0) AS n_pieces,
+       coalesce(a.ids_l[1:32], CAST([] AS INT[])) AS id_head
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+LOCAL_QUERIES["text_unigram_encode_ids"] = QuerySpec(
+    q_text_unigram_encode_ids, _unigram_encode_ids_oracle()
+)
