@@ -1572,7 +1572,11 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
 SAMPLE_QUOTA = 5  # vectors kept per cluster
 # Knuth multiplicative hash over vec_id — a deterministic, seedless
 # pseudo-random order expressible identically in both engines as plain
-# BIGINT arithmetic (max product ~2.6e9 · n_vecs, far inside int64).
+# BIGINT arithmetic. vec_id is reduced mod MOD BEFORE the multiply:
+# the product is then < MOD·MULT ≈ 2.7e18 < 2^63 for ANY vec_id, where
+# the unreduced product would silently wrap Spark's non-ANSI BIGINT
+# multiply (and error in DuckDB) once ids pass ~3.5e9 — the corpus
+# regime the query exists for.
 SAMPLE_HASH_MULT = 2654435761
 SAMPLE_HASH_MOD = 1000000007
 
@@ -1598,7 +1602,9 @@ def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     _, assigned = _ivf_kmeans_index(spark, sf_dir)
-    h = (col("vec_id") * F.lit(SAMPLE_HASH_MULT)) % F.lit(SAMPLE_HASH_MOD)
+    h = (
+        (col("vec_id") % F.lit(SAMPLE_HASH_MOD)) * F.lit(SAMPLE_HASH_MULT)
+    ) % F.lit(SAMPLE_HASH_MOD)
     w = Window.partitionBy("ivf_cid").orderBy(h.asc(), col("vec_id"))
     return (
         assigned.withColumn("sample_rank", F.row_number().over(w))
@@ -1629,7 +1635,8 @@ SELECT vec_id, label, ivf_cid, sample_rank FROM (
     SELECT vec_id, label, ivf_cid,
            row_number() OVER (
                PARTITION BY ivf_cid
-               ORDER BY (vec_id * {SAMPLE_HASH_MULT}) % {SAMPLE_HASH_MOD}, vec_id
+               ORDER BY ((vec_id % {SAMPLE_HASH_MOD}) * {SAMPLE_HASH_MULT})
+                        % {SAMPLE_HASH_MOD}, vec_id
            ) AS sample_rank
     FROM assigned
 ) WHERE sample_rank <= {SAMPLE_QUOTA}

@@ -1693,13 +1693,25 @@ def _unigram_model(spark: SparkSession, sf_dir: str):
     ``_bpe_model`` cache discipline. Holds (qlp, words) where words is
     the persisted vocab-sized frequency frame training built."""
     from ..operators.similarity import session_cache_key
-    from ..operators.unigram import unigram_train
+    from ..operators.unigram import MAX_WORD_LEN, unigram_train
 
     key = (session_cache_key(spark), sf_dir, "unigram")
     model = _BPE_MERGE_CACHE.get(key)
     if model is None:
         docs_train = t(spark, sf_dir, "documents")
-        model = _BPE_MERGE_CACHE.put(key, unigram_train(docs_train, "text"))
+        model = unigram_train(docs_train, "text")
+        # oracle-compat guard for EVERY consumer (learn + encode): the
+        # SQL unroll is static in MAX_WORD_LEN (one DP layer per
+        # position); the Python decoder is length-agnostic. One tiny
+        # agg over the vocab-sized frame, paid once per (session,
+        # corpus) with the training itself.
+        max_len = model[1].agg(F.max(F.length("word"))).first()[0] or 0
+        if max_len > MAX_WORD_LEN:
+            raise ValueError(
+                f"corpus has a {max_len}-char word; raise "
+                f"unigram.MAX_WORD_LEN (adds one oracle CTE layer per char)"
+            )
+        model = _BPE_MERGE_CACHE.put(key, model)
     return model
 
 
@@ -1720,18 +1732,9 @@ def q_text_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical segmentations, tie-for-tie. ``uni_score_q`` exposes the
     summed DP objective per document — the oracle matches the decoder's
     arithmetic, not just its output."""
-    from ..operators.unigram import MAX_WORD_LEN, unigram_apply
+    from ..operators.unigram import unigram_apply
 
     qlp, words = _unigram_model(spark, sf_dir)
-    # oracle-compat guard: the SQL unroll is static in MAX_WORD_LEN
-    # (one DP layer per position); the Python decoder is length-
-    # agnostic. One tiny agg over the vocab-sized frame.
-    max_len = words.agg(F.max(F.length("word"))).first()[0] or 0
-    if max_len > MAX_WORD_LEN:
-        raise ValueError(
-            f"corpus has a {max_len}-char word; raise unigram.MAX_WORD_LEN "
-            f"(adds one oracle CTE layer per char)"
-        )
     docs = widen(t(spark, sf_dir, "documents"))
     return unigram_apply(docs, "text", qlp, words)
 
