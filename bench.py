@@ -84,6 +84,8 @@ EXTRA_LOCAL_QUERIES = [
     # r5: unigram-LM tokenizer (hard-EM + Viterbi; tokenizer trio)
     "text_unigram_learn",
     "text_unigram_encode_ids",
+    # r5: scalar-quantized (SQ8) serving — exact int dot + re-rank
+    "emb_sq_topk",
 ]
 
 _GRADED = all_queries()

@@ -209,3 +209,26 @@ def hyperplane_bucket(a: str, n_planes: int = 8, dim: int | None = None) -> tupl
 
 def hyperplane_bucket_expr(a: str, n_planes: int = 8, dim: int | None = None) -> Column:
     return F.expr(hyperplane_bucket(a, n_planes, dim)[0])
+
+
+def sq_dot_udf():
+    """Arrow-vectorized integer dot product over two int8-style code
+    arrays (scalar-quantized serving): int64 accumulation in numpy —
+    EXACT (no float anywhere), so the coarse score is bit-free of
+    engine differences by construction. Same plan-shape rationale as
+    ``pair_cosine_udf``: the scoring runs against a broadcast query row
+    and a dim-expanded chain over a derived code array would either
+    re-evaluate the quantization transform per term or overflow the
+    codegen method limit."""
+
+    @pandas_udf("bigint")
+    def _sq_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        ma = np.stack(a.to_numpy()).astype(np.int64, copy=False)
+        mb = np.stack(b.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series((ma * mb).sum(axis=1))
+
+    return _sq_dot

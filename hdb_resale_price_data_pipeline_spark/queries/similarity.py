@@ -1897,3 +1897,116 @@ SELECT src, dst, ivf_cid, knn_rank, qsim FROM (
 
 
 LOCAL_QUERIES["emb_knn_graph"] = QuerySpec(q_emb_knn_graph, _knn_graph_oracle())
+
+
+SQ_SHORTLIST = 40  # coarse-score candidates re-ranked exactly (4·TOP_K)
+
+
+def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN serving: corpus vectors are stored as
+    the int8 codes of ``emb_quantize`` (scale = max |v|, q[i] =
+    round(v/scale·127) — 4-8× less memory bandwidth, the FAISS
+    ``SQ8`` serving shape), coarse-scored against the quantized query
+    by an EXACT integer dot product, and the top-``SQ_SHORTLIST``
+    re-ranked by true cosine. The coarse score ``idot · m_d · m_q`` is
+    one BIGINT (exact) times two max-folds (order-insensitive, exact)
+    — quantized to BIGINT millionths, so shortlist membership is
+    deterministic cross-engine; the output ranking is the exact cosine
+    of ``emb_cosine_topk`` over the shortlist.
+
+    Scale: the corpus-sized stage reads codes, not floats; scoring is
+    one Arrow integer-dot pass against a broadcast 1-row query +
+    TakeOrderedAndProject — no shuffle, no index build. Recall is
+    gated vs brute force in tests/test_similarity_recall.py. Zero
+    vectors (scale 0) are excluded on both sides — cosine is undefined
+    for them and their codes would be NULL."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(emb)
+    maxabs = (
+        "aggregate(transform(embedding, x -> abs(cast(x AS double))), "
+        "cast(0.0 AS double), (acc, x) -> greatest(acc, x))"
+    )
+    qcode = (
+        f"transform(embedding, x -> "
+        f"cast(round(cast(x AS double) / nullif({maxabs}, 0.0) * 127, 0) AS int))"
+    )
+    coded = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(maxabs).alias("m"),
+        F.expr(qcode).alias("qvec"),
+    ).filter(col("m") > 0)
+    query = coded.filter(col("vec_id") == QUERY_VEC_ID).select(
+        col("embedding").alias("q_emb"),
+        col("m").alias("mq"),
+        col("qvec").alias("qq"),
+    )
+    idot = S.sq_dot_udf()(col("qvec"), col("qq"))
+    shortlist = (
+        widen(coded.filter(col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(broadcast(query))
+        .withColumn("idot", idot)
+        .withColumn(
+            "aq",
+            (
+                F.floor(
+                    (col("idot").cast("double") * col("m") * col("mq"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+            ).cast("bigint"),
+        )
+        .orderBy(col("aq").desc(), col("vec_id"))
+        .limit(SQ_SHORTLIST)
+    )
+    return shortlist.select(
+        "vec_id",
+        "label",
+        S.cosine_expr("embedding", "q_emb", dim=dim).alias("cosine"),
+        "aq",
+    ).orderBy(col("cosine").desc(), col("vec_id")).limit(TOP_K)
+
+
+def _sq_topk_oracle() -> str:
+    cos = S.cosine("e.embedding", "e.qe")[1]
+    return f"""
+WITH coded AS MATERIALIZED (
+    SELECT vec_id, label, embedding,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x / nullif(
+                              list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      y -> abs(y))), 0.0) * 127, 0)
+                                    AS INT)) AS qvec
+    FROM embeddings
+), nz AS (SELECT * FROM coded WHERE m > 0),
+q AS (
+    SELECT embedding AS qe, m AS mq, qvec AS qq FROM nz
+    WHERE vec_id = {QUERY_VEC_ID}
+), sl AS MATERIALIZED (
+    SELECT vec_id, label, embedding, qe,
+           CAST(floor(((CAST(idot AS DOUBLE) * m) * mq) * 1000000.0 + 0.5)
+                AS BIGINT) AS aq
+    FROM (
+        SELECT c.vec_id, c.label, c.embedding, c.m, q.mq, q.qe,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(c.qvec[i] AS BIGINT) * q.qq[i]
+                    for i in range(1, len(c.qvec) + 1)]),
+                   (acc, x) -> acc + x) AS idot
+        FROM nz c, q
+        WHERE c.vec_id != {QUERY_VEC_ID}
+    )
+    ORDER BY aq DESC, vec_id LIMIT {SQ_SHORTLIST}
+)
+SELECT e.vec_id AS vec_id, e.label AS label, {cos} AS cosine, e.aq AS aq
+FROM sl e
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+LOCAL_QUERIES["emb_sq_topk"] = QuerySpec(q_emb_sq_topk, _sq_topk_oracle())

@@ -268,3 +268,13 @@ def test_knn_graph_structure(spark):
     # b has SOME edge set drawn from a block containing a
     for src, dst in list(pair_set)[:200]:
         assert dst in by_src, (src, dst)
+
+
+def test_sq_topk_recall_vs_brute_force(spark):
+    """SQ8 coarse-score + exact re-rank must recover most of the true
+    top-k: int8 quantization error is small relative to neighbor gaps,
+    and the 4x over-fetch absorbs rank noise."""
+    exact = set(_topk_ids(spark, "emb_cosine_topk"))
+    approx = set(_topk_ids(spark, "emb_sq_topk"))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
