@@ -342,6 +342,9 @@ SCALING_QUERIES = [
     # r5: unigram trainer — EM passes are vocab-sized Arrow maps; the
     # corpus reaches it only through the one word-frequency pass
     "text_unigram_learn",
+    # r5: SQ8 serving — deliberately index-free, so its slope is the
+    # honest linear corpus-scan bound the trained indexes beat
+    "emb_sq_topk",
 ]
 
 
