@@ -134,10 +134,75 @@ def sweep(spark) -> None:
 
         return run
 
+    # SQ8 serving: one coded frame (the "index" is just the int8
+    # re-encoding), per-query exact integer dot + exact re-rank
+    maxabs = (
+        "aggregate(transform(embedding, x -> abs(cast(x AS double))), "
+        "cast(0.0 AS double), (acc, x) -> greatest(acc, x))"
+    )
+    qcode = (
+        f"transform(embedding, x -> "
+        f"cast(round(cast(x AS double) / nullif({maxabs}, 0.0) * 127, 0) AS int))"
+    )
+    coded = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(maxabs).alias("m"),
+            F.expr(qcode).alias("qvec"),
+        )
+        .filter(col("m") > 0)
+        .persist()
+    )
+    coded.count()
+
+    def sq_cell(shortlist):
+        import math
+
+        sq_dot = S.sq_dot_udf()
+
+        def run():
+            hits = 0
+            for qid, qv in queries.items():
+                dim = len(qv)
+                mq = max(abs(x) for x in qv)
+                # HALF_UP away from zero — Spark/DuckDB round(x, 0)
+                qq = [
+                    int(math.copysign(math.floor(abs(x) / mq * 127 + 0.5), x))
+                    for x in qv
+                ]
+                qq_lit = F.array(*[F.lit(int(v)) for v in qq]).cast("array<int>")
+                q_lit = F.array(*[F.lit(float(v)) for v in qv]).cast("array<float>")
+                sl = (
+                    coded.filter(col("vec_id") != qid)
+                    .withColumn("idot", sq_dot(col("qvec"), qq_lit))
+                    .withColumn(
+                        "aq", (col("idot").cast("double") * col("m") * mq)
+                    )
+                    .orderBy(col("aq").desc(), col("vec_id"))
+                    .limit(shortlist)
+                )
+                ids = [
+                    r.vec_id
+                    for r in sl.withColumn("q_emb", q_lit)
+                    .select(
+                        "vec_id",
+                        S.cosine_expr("embedding", "q_emb", dim=dim).alias("c"),
+                    )
+                    .orderBy(col("c").desc(), col("vec_id"))
+                    .limit(TOP_K)
+                    .collect()
+                ]
+                hits += len(set(ids) & exact[qid])
+            return hits / sum(len(exact[q]) for q in queries)
+
+        return run
+
     rows = []
     for label, cells in (
         ("IVF(kmeans) nprobe", [(p, ivf_cell(p)) for p in (1, 2, 4, IVF_K)]),
         ("PQ refine_factor", [(r, pq_cell(r)) for r in (1, 2, 4, 8)]),
+        ("SQ8 shortlist", [(s, sq_cell(s)) for s in (10, 20, 40, 80)]),
     ):
         for param, run in cells:
             run()  # warm (plans compiled, index hot)
