@@ -2025,3 +2025,127 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 LOCAL_QUERIES["text_unigram_encode_ids"] = QuerySpec(
     q_text_unigram_encode_ids, _unigram_encode_ids_oracle()
 )
+
+
+# --- hybrid retrieval: BM25 + dense cosine fused with RRF -------------------
+
+# Reciprocal-rank fusion (Cormack et al. 2009): rrf(d) = Σ_lists
+# 1/(K + rank_list(d)). K=60 is the paper's constant. Scores are
+# quantized onto an integer grid (floor(1e9/(K+rank))) so the two-term
+# sum is order-free and bit-identical across engines.
+RRF_K = 60
+RRF_LIST_K = 20  # depth of each input ranking
+RRF_TOP = 10
+RRF_SCALE = 1_000_000_000
+
+
+def q_text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the sparse (BM25 keyword) and dense
+    (embedding cosine) rankings for one query with reciprocal-rank
+    fusion — the standard first stage of a RAG / retrieval pipeline
+    when neither signal alone is trusted.
+
+    Plan shape: each ranker is the already-scaled distributed top-K
+    (BM25 = map-only score + TakeOrderedAndProject; cosine = broadcast
+    1-row query + TakeOrderedAndProject), so the fusion itself only
+    touches 2·RRF_LIST_K rows — the single-partition row_number windows
+    and the full-outer join run on K-bounded frames, never the corpus.
+    Docs absent from a list contribute rank 0 (coalesced, keeping the
+    rank columns non-nullable for cross-engine dtype stability)."""
+    from pyspark.sql import Window
+
+    from ..operators import scoring as SC
+    from ..operators import similarity as SIM
+    from .similarity import QUERY_VEC_ID
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    bm = SC.bm25_topk(docs, "text", BM25_TERMS, RRF_LIST_K)
+    w_bm = Window.orderBy(col("score_q").desc(), col("doc_id"))
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(w_bm).alias("bm_rank")
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    dim = SIM.embedding_dim(emb)
+    query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
+        col("embedding").alias("q_emb")
+    )
+    cos = (
+        widen(emb.filter(col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            SIM.cosine_expr("embedding", "q_emb", dim=dim).alias("cosine"),
+        )
+        .orderBy(col("cosine").desc(), col("vec_id"))
+        .limit(RRF_LIST_K)
+    )
+    w_cos = Window.orderBy(col("cosine").desc(), col("vec_id"))
+    cos_ranked = cos.select(
+        col("vec_id").alias("doc_id"), F.row_number().over(w_cos).alias("cos_rank")
+    )
+
+    def contrib(rank_col: str):
+        return F.coalesce(
+            F.floor(F.lit(float(RRF_SCALE)) / (F.lit(RRF_K) + col(rank_col))).cast(
+                "bigint"
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    return (
+        bm_ranked.join(cos_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(col("bm_rank"), F.lit(0)).alias("bm_rank"),
+            F.coalesce(col("cos_rank"), F.lit(0)).alias("cos_rank"),
+            (contrib("bm_rank") + contrib("cos_rank")).alias("rrf_q"),
+        )
+        .withColumn(
+            "rrf", F.round(col("rrf_q").cast("double") / RRF_SCALE, 6)
+        )
+        .orderBy(col("rrf_q").desc(), col("doc_id"))
+        .limit(RRF_TOP)
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from ..operators import scoring as SC
+    from ..operators import similarity as SIM
+    from .similarity import QUERY_VEC_ID
+
+    bm25_sql = SC.bm25_topk_oracle(BM25_TERMS, RRF_LIST_K, H.tokens("text")[1])
+    cos_d = SIM.cosine("e.embedding", "q.qe")[1]
+    return f"""
+WITH bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS bm_rank
+  FROM ({bm25_sql})
+), cos AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id) AS cos_rank
+  FROM (
+    SELECT e.vec_id, {cos_d} AS cosine
+    FROM embeddings e,
+         (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {RRF_LIST_K}
+  )
+), fused AS (
+  SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+         COALESCE(bm.bm_rank, 0) AS bm_rank,
+         COALESCE(cos.cos_rank, 0) AS cos_rank,
+         COALESCE(CAST(floor({RRF_SCALE}.0 / ({RRF_K} + bm.bm_rank)) AS BIGINT), 0)
+         + COALESCE(CAST(floor({RRF_SCALE}.0 / ({RRF_K} + cos.cos_rank)) AS BIGINT), 0)
+           AS rrf_q
+  FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+)
+SELECT doc_id, bm_rank, cos_rank, rrf_q,
+       round(CAST(rrf_q AS DOUBLE) / {RRF_SCALE}, 6) AS rrf
+FROM fused
+ORDER BY rrf_q DESC, doc_id
+LIMIT {RRF_TOP}
+"""
+
+
+LOCAL_QUERIES["text_hybrid_rrf"] = QuerySpec(q_text_hybrid_rrf, _hybrid_rrf_oracle())
