@@ -255,8 +255,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(verified_minhash_pairs(spark, sf_dir))
 
 
-def _clusters_oracle() -> str:
-    """Recursive-CTE twin of pairs → components → cluster summary."""
+def _components_cte_prefix() -> str:
+    """Shared recursive-CTE prefix: MinHash banding → Jaccard verify →
+    symmetric reachability → ``comp(node, component)``. The DuckDB twin
+    of ``verified_minhash_pairs`` + ``connected_components`` — exact on
+    the small verified-pair graphs near-dup emits. Used by both the
+    cluster-summary and leakage-safe-split oracles."""
     bands = H.band_keys(
         H.shingles(H.tokens("text"), SHINGLE_LEN), NUM_BANDS, ROWS_PER_BAND
     )
@@ -265,8 +269,7 @@ def _clusters_oracle() -> str:
         for i, (_, duck) in enumerate(bands)
     )
     toks = H.distinct_tokens("text")[1]
-    return f"""
-WITH RECURSIVE melted AS (
+    return f"""melted AS (
 {melted}
 ), cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -296,7 +299,13 @@ WITH RECURSIVE melted AS (
     SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
 ), comp AS (
     SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
-)
+)"""
+
+
+def _clusters_oracle() -> str:
+    """Recursive-CTE twin of pairs → components → cluster summary."""
+    return f"""
+WITH RECURSIVE {_components_cte_prefix()}
 SELECT component AS canonical_id, count(*) AS cluster_size
 FROM comp GROUP BY component
 """
@@ -585,3 +594,129 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     # union-find-verified in tests/test_components.py
     "dedup_clusters": QuerySpec(q_dedup_clusters, _clusters_oracle()),
 }
+
+
+# --- leakage-safe train/val/test split --------------------------------------
+
+# Same 80/10/10 content-hash thresholds as text_train_test_split
+# (queries/text.py) — the difference is WHAT gets hashed: there the
+# doc's own fingerprint, here the near-dup cluster representative's.
+LEAKAGE_SPLIT_TRAIN = 80
+LEAKAGE_SPLIT_VAL = 90
+
+
+def q_dedup_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every document in a near-dup
+    cluster is assigned the split of its cluster REPRESENTATIVE, so
+    near-duplicates can never straddle train and test (the classic
+    eval-contamination failure of per-doc hash splits — a doc's
+    paraphrase in the training set inflates its test score).
+
+    Plan shape: the corpus is touched by exactly one map-only
+    fingerprint pass; the components frame is near-dup-pair sized
+    (corpus-relative tiny — it only contains docs that ARE in a
+    verified pair), so the rep-fingerprint lookup and the doc→rep
+    override are both broadcast joins. The corpus is never shuffled
+    before the final 3-group aggregate. ``n_leak_pairs`` counts
+    verified near-dup pairs whose endpoints landed in different splits
+    — structurally zero here, and the column makes the guarantee
+    auditable in the output rather than a docstring claim."""
+    from ..operators.components import connected_components
+    from ..operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    base = widen(docs).select("doc_id", fingerprint("text").alias("fp"))
+    pairs = verified_minhash_pairs(spark, sf_dir)
+    comp = connected_components(pairs).select("node", "component")
+
+    reps = base.join(
+        F.broadcast(comp.select("component").distinct()),
+        base.doc_id == col("component"),
+    ).select(col("component").alias("rep_c"), col("fp").alias("rep_fp"))
+    clustered = comp.join(
+        F.broadcast(reps), comp.component == reps.rep_c
+    ).select("node", "component", "rep_fp")
+
+    eff = base.join(
+        F.broadcast(clustered), base.doc_id == clustered.node, "left"
+    ).select(
+        base.doc_id.alias("doc_id"),
+        F.coalesce(col("component"), base.doc_id).alias("rep"),
+        F.coalesce(col("rep_fp"), col("fp")).alias("eff_fp"),
+    )
+    bucket = col("eff_fp") % 100
+    split = (
+        F.when(bucket < LEAKAGE_SPLIT_TRAIN, "train")
+        .when(bucket < LEAKAGE_SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    assigned = eff.select("doc_id", "rep", split.alias("split"))
+
+    # audit term: verified pairs whose endpoints split apart (== 0 by
+    # construction; pairs is tiny, both sides broadcast)
+    a = assigned.select(col("doc_id").alias("doc_a"), col("split").alias("split_a"))
+    b = assigned.select(col("doc_id").alias("doc_b"), col("split").alias("split_b"))
+    leaks = (
+        pairs.select("doc_a", "doc_b")
+        .join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .filter(col("split_a") != col("split_b"))
+        .groupBy(col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_leak_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .join(leaks, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce(col("n_leak_pairs"), F.lit(0).cast("long")).alias(
+                "n_leak_pairs"
+            ),
+        )
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from ..operators.text import fingerprint_duck
+
+    fp = fingerprint_duck("text")
+    return f"""
+WITH RECURSIVE {_components_cte_prefix()},
+fp AS (
+    SELECT doc_id, {fp} AS fp FROM documents
+), eff AS (
+    SELECT f.doc_id,
+           COALESCE(c.component, f.doc_id) AS rep
+    FROM fp f LEFT JOIN comp c ON c.node = f.doc_id
+), assigned AS (
+    SELECT e.doc_id, e.rep,
+           CASE WHEN rf.fp % 100 < {LEAKAGE_SPLIT_TRAIN} THEN 'train'
+                WHEN rf.fp % 100 < {LEAKAGE_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM eff e JOIN fp rf ON rf.doc_id = e.rep
+), leaks AS (
+    SELECT a.split AS split, count(*) AS n_leak_pairs
+    FROM verified v
+    JOIN assigned a ON a.doc_id = v.doc_a
+    JOIN assigned b ON b.doc_id = v.doc_b
+    WHERE a.split != b.split
+    GROUP BY a.split
+)
+SELECT s.split, s.n_docs, s.n_clusters,
+       COALESCE(l.n_leak_pairs, 0) AS n_leak_pairs
+FROM (
+    SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters
+    FROM assigned GROUP BY split
+) s LEFT JOIN leaks l ON l.split = s.split
+"""
+
+
+LOCAL_QUERIES["dedup_leakage_split"] = QuerySpec(
+    q_dedup_leakage_split, _leakage_split_oracle()
+)
