@@ -86,6 +86,12 @@ EXTRA_LOCAL_QUERIES = [
     "text_unigram_encode_ids",
     # r5: scalar-quantized (SQ8) serving — exact int dot + re-rank
     "emb_sq_topk",
+    # r5 session 3: retrieval fusion, leakage-safe split, graph
+    # centrality, JL projection
+    "text_hybrid_rrf",
+    "dedup_leakage_split",
+    "emb_pagerank",
+    "emb_random_projection",
 ]
 
 _GRADED = all_queries()

@@ -232,3 +232,49 @@ def sq_dot_udf():
         return pd.Series((ma * mb).sum(axis=1))
 
     return _sq_dot
+
+
+# --- random projection (Johnson–Lindenstrauss) ------------------------------
+
+# Deterministic Rademacher sign for matrix cell (j, d) of a target_dim ×
+# dim projection: a Knuth multiplicative mix of the flat index, with the
+# sign bit drawn from the middle of the hash (the low bit of idx*odd
+# would just be idx's own parity). Pure BIGINT arithmetic so the DuckDB
+# oracle reproduces it exactly: ((idx·2654435761) mod 2³¹) ÷ 2¹⁵ mod 2.
+RP_MIX = 2654435761
+RP_MOD = 2**31
+RP_SHIFT = 32768
+
+
+def rp_signs(dim: int, target_dim: int):
+    """The target_dim × dim ±1 sign matrix as int64 numpy."""
+    import numpy as np
+
+    idx = (
+        np.arange(target_dim, dtype=np.int64)[:, None] * dim
+        + np.arange(dim, dtype=np.int64)[None, :]
+    )
+    h = (idx * RP_MIX) % RP_MOD
+    return np.where((h // RP_SHIFT) % 2 == 0, 1, -1).astype(np.int64)
+
+
+def random_projection_udf(dim: int, target_dim: int):
+    """Arrow-vectorized sparse→dense Rademacher projection: embeddings
+    quantized to integer millionths, then one int64 matmul against the
+    deterministic sign matrix — every output cell is an order-free
+    integer sum, bit-identical to the oracle's list_reduce twin."""
+
+    signs_t = rp_signs(dim, target_dim).T  # dim × target_dim
+
+    @pandas_udf("array<bigint>")
+    def _project(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        xq = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+        proj = xq @ signs_t
+        return pd.Series(list(proj))
+
+    return _project

@@ -2010,3 +2010,167 @@ LIMIT {TOP_K}
 
 
 LOCAL_QUERIES["emb_sq_topk"] = QuerySpec(q_emb_sq_topk, _sq_topk_oracle())
+
+
+# --- PageRank centrality over the k-NN graph --------------------------------
+
+# Power iteration with damping 0.85, unrolled to a fixed PR_ITERS (the
+# oracle mirrors each iteration as a CTE layer). Ranks live on an
+# integer grid (PR_SCALE units of probability mass) and every per-edge
+# contribution is integer floor-division, so the per-node sum is
+# order-free and bit-identical across engines — the same quantized-fold
+# discipline as the model-based selection scores (operators/scoring.py).
+PR_ITERS = 3
+PR_SCALE = 10**12
+PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
+PR_DAMP_DEN = 100
+
+
+def q_emb_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the blocked k-NN graph: the standard centrality
+    prior for graph-based corpus curation (authority sampling, seed
+    selection for crawl frontiers, weighting hub documents). Dangling
+    mass (vectors whose block held no peers) leaks, matching the common
+    sparse-implementation convention; every node still receives the
+    teleport term.
+
+    Plan shape per iteration: one join of the edge list with the rank
+    frame on ``src`` plus one ``dst`` aggregate — the canonical 2-shuffle
+    PageRank step, linear in |edges| (≤ KNN_K per node by construction).
+    The edge list is built once and localCheckpointed (lazily) so the
+    expensive k-NN construction is not replayed per iteration; on a
+    cluster the edge frame would be bucketed by ``src`` to make the
+    per-iteration join co-located."""
+    edges = q_emb_knn_graph(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_d = edges.join(deg, "src").localCheckpoint(eager=False)
+
+    nodes = t(spark, sf_dir, "embeddings").select("vec_id")
+    n_total = nodes.count()  # scalar N: one count, K-independent
+    r0 = PR_SCALE // n_total
+    tele = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_total)
+
+    ranks = nodes.select("vec_id", F.lit(r0).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contribs = edges_d.join(
+            ranks, edges_d.src == ranks.vec_id
+        ).select(
+            col("dst"),
+            F.expr(f"(r * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * outdeg)").alias("c"),
+        )
+        summed = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = nodes.join(
+            summed, nodes.vec_id == summed.dst, "left"
+        ).select(
+            "vec_id",
+            (F.lit(tele) + F.coalesce(col("m"), F.lit(0))).cast("long").alias("r"),
+        )
+    return ranks.select(
+        "vec_id",
+        col("r").alias("pr_q"),
+        F.round(col("r").cast("double") / PR_SCALE, 8).alias("pagerank"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration: one CTE layer per PR_ITERS step, each
+    the integer twin of the Spark iteration. ``ed`` is MATERIALIZED —
+    it feeds every layer, and a non-materialized CTE would re-evaluate
+    the whole k-NN construction per reference."""
+    knn = _knn_graph_oracle()
+    layers = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        layers.append(
+            f"""it{i} AS MATERIALIZED (
+    SELECT e.vec_id,
+           CAST({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}
+                // ({PR_DAMP_DEN} * nn.n)
+                + COALESCE(s.m, 0) AS BIGINT) AS r
+    FROM embeddings e CROSS JOIN n nn
+    LEFT JOIN (
+        SELECT ed.dst,
+               CAST(sum((r.r * {PR_DAMP_NUM}) // ({PR_DAMP_DEN} * ed.outdeg))
+                    AS BIGINT) AS m
+        FROM ed JOIN {prev} r ON r.vec_id = ed.src
+        GROUP BY ed.dst
+    ) s ON s.dst = e.vec_id
+)"""
+        )
+        prev = f"it{i}"
+    body = ",\n".join(layers)
+    return f"""
+WITH edges AS MATERIALIZED (
+    SELECT src, dst FROM ({knn})
+), deg AS (
+    SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), ed AS MATERIALIZED (
+    SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)
+), n AS (
+    SELECT count(*) AS n FROM embeddings
+), r0 AS (
+    SELECT e.vec_id, CAST({PR_SCALE} // nn.n AS BIGINT) AS r
+    FROM embeddings e CROSS JOIN n nn
+),
+{body}
+SELECT vec_id, r AS pr_q,
+       round(CAST(r AS DOUBLE) / {PR_SCALE}, 8) AS pagerank
+FROM {prev}
+"""
+
+
+LOCAL_QUERIES["emb_pagerank"] = QuerySpec(q_emb_pagerank, _pagerank_oracle())
+
+
+# --- random projection (JL) dimensionality reduction ------------------------
+
+RP_TARGET_DIM = 8
+
+
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project the
+    64-dim embeddings onto RP_TARGET_DIM Rademacher (±1) directions —
+    the cheapest scale lever for ANN and clustering (an 8× narrower
+    vector cuts every downstream distance computation and shuffle byte
+    count by the same factor; JL guarantees pairwise distances distort
+    by at most ~ε with target_dim = O(log n / ε²)).
+
+    The sign matrix is derived from a deterministic integer hash — no
+    stored model, any executor regenerates it from (dim, target_dim)
+    alone, so the operator is map-only with a zero-byte closure: one
+    Arrow pass, no shuffle, no training state. Inputs quantize to
+    integer millionths, making each output cell an order-free int64 sum
+    (engine-exact; the oracle's list_reduce twin replays the same
+    integer ops)."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    dim = S.embedding_dim(emb)
+    project = S.random_projection_udf(dim, RP_TARGET_DIM)
+    return widen(emb).select(
+        "vec_id", "label", project(col("embedding")).alias("proj")
+    )
+
+
+def _random_projection_oracle() -> str:
+    from ..operators.similarity import RP_MIX, RP_MOD, RP_SHIFT
+
+    return f"""
+SELECT vec_id, label,
+       list_transform(range(0, {RP_TARGET_DIM}), j ->
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, len(embedding)), d ->
+               CAST(CASE WHEN (((j*len(embedding)+d)*{RP_MIX}) % {RP_MOD}) // {RP_SHIFT} % 2 = 0
+                    THEN 1 ELSE -1 END AS BIGINT)
+               * CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT))),
+           (acc, x) -> acc + x)) AS proj
+FROM embeddings
+"""
+
+
+LOCAL_QUERIES["emb_random_projection"] = QuerySpec(
+    q_emb_random_projection, _random_projection_oracle()
+)
