@@ -345,6 +345,13 @@ SCALING_QUERIES = [
     # r5: SQ8 serving — deliberately index-free, so its slope is the
     # honest linear corpus-scan bound the trained indexes beat
     "emb_sq_topk",
+    # r5 session 3: RRF fusion (two corpus-linear rankers + K-bounded
+    # fuse), cluster-aware split (components + fingerprint pass),
+    # PageRank (per-iteration edge join), JL projection (map-only)
+    "text_hybrid_rrf",
+    "dedup_leakage_split",
+    "emb_pagerank",
+    "emb_random_projection",
 ]
 
 
