@@ -92,6 +92,10 @@ EXTRA_LOCAL_QUERIES = [
     "dedup_leakage_split",
     "emb_pagerank",
     "emb_random_projection",
+    # r5 session 3 (cont.): training-example construction + mining
+    "emb_hard_negatives",
+    "text_mlm_mask",
+    "text_length_buckets",
 ]
 
 _GRADED = all_queries()

@@ -2174,3 +2174,97 @@ FROM embeddings
 LOCAL_QUERIES["emb_random_projection"] = QuerySpec(
     q_emb_random_projection, _random_projection_oracle()
 )
+
+
+# --- hard-negative mining over the trained index ----------------------------
+
+HARDNEG_K = 3  # mined negatives kept per anchor
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for every anchor vector, the most-similar
+    vectors carrying a DIFFERENT label — the training-data op behind
+    contrastive embedding models (DPR/Contriever-style), where random
+    in-batch negatives are too easy and the mined near-miss negatives
+    drive the loss.
+
+    Same co-blocked candidate generation as ``emb_knn_graph`` (trained
+    cluster ∩ LSH bucket bounds the pair term; the composite key is the
+    one shuffle), with the label-inequality predicate applied BEFORE
+    the per-anchor window so same-label pairs never compete for the
+    top-``HARDNEG_K`` slots. Pair cosine is the Arrow UDF quantized to
+    BIGINT millionths (oracle-exact ranks)."""
+    from pyspark.sql.window import Window
+
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    _, assigned = _ivf_kmeans_index(spark, sf_dir)
+    dim = S.embedding_dim(t(spark, sf_dir, "embeddings"))
+    base = assigned.withColumn(
+        "bucket", S.hyperplane_bucket_expr("embedding", N_PLANES, dim)
+    ).select("vec_id", "label", "ivf_cid", "bucket", "embedding")
+    a = base.alias("a")
+    b = base.alias("b")
+    pair_cos = S.pair_cosine_udf()
+    qsim = (
+        F.floor(
+            pair_cos(col("a.embedding"), col("b.embedding")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    pairs = a.join(
+        b,
+        (col("a.ivf_cid") == col("b.ivf_cid"))
+        & (col("a.bucket") == col("b.bucket"))
+        & (col("a.label") != col("b.label")),
+    ).select(
+        col("a.vec_id").alias("anchor"),
+        col("a.label").alias("anchor_label"),
+        col("b.vec_id").alias("negative"),
+        col("b.label").alias("neg_label"),
+        qsim.alias("qsim"),
+    )
+    w = Window.partitionBy("anchor").orderBy(col("qsim").desc(), col("negative"))
+    return (
+        pairs.withColumn("hn_rank", F.row_number().over(w))
+        .filter(col("hn_rank") <= HARDNEG_K)
+        .select("anchor", "anchor_label", "negative", "neg_label", "hn_rank", "qsim")
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    from ..operators.ivf import duck_ivf_dist
+
+    bucket = S.hyperplane_bucket("embedding", N_PLANES)[1]
+    qsim = _qcos("a.embedding", "b.embedding")[1]
+    return f"""
+{_kmeans_cents_cte()},
+assigned AS (
+    SELECT vec_id, label, embedding, cid AS ivf_cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
+        FROM embeddings e, cents{KMEANS_ITERS} c
+    ) WHERE rn = 1
+), bucketed AS (
+    SELECT vec_id, label, ivf_cid, embedding, {bucket} AS bucket FROM assigned
+), pairs AS (
+    SELECT a.vec_id AS anchor, a.label AS anchor_label,
+           b.vec_id AS negative, b.label AS neg_label,
+           {qsim} AS qsim
+    FROM bucketed a
+    JOIN bucketed b ON a.ivf_cid = b.ivf_cid AND a.bucket = b.bucket
+                   AND a.label != b.label
+)
+SELECT anchor, anchor_label, negative, neg_label, hn_rank, qsim FROM (
+    SELECT anchor, anchor_label, negative, neg_label, qsim,
+           row_number() OVER (PARTITION BY anchor ORDER BY qsim DESC, negative) AS hn_rank
+    FROM pairs
+) WHERE hn_rank <= {HARDNEG_K}
+"""
+
+
+LOCAL_QUERIES["emb_hard_negatives"] = QuerySpec(
+    q_emb_hard_negatives, _hard_negatives_oracle()
+)

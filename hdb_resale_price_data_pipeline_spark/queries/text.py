@@ -2149,3 +2149,166 @@ LIMIT {RRF_TOP}
 
 
 LOCAL_QUERIES["text_hybrid_rrf"] = QuerySpec(q_text_hybrid_rrf, _hybrid_rrf_oracle())
+
+
+# --- masked-LM training-example prep ----------------------------------------
+
+MLM_RATE = 15  # percent of positions masked
+MLM_HEAD = 12  # tokens of input/target surfaced per row
+
+# Deterministic per-(doc, position) mask decision — pure BIGINT
+# arithmetic shared by both engines. doc_id is reduced mod 2^31 BEFORE
+# any multiply so every intermediate stays < 2^63 for arbitrary ids
+# (the overflow discipline from emb_cluster_sample). `{i}` is the
+# 1-BASED token position.
+_MLM_PRED = (
+    "((((((({doc} % 2147483648) * 1000003 + ({i}) * 10007) % 2147483648)"
+    " * 2654435761) % 2147483648) {div} 32768) % 100) < " + str(MLM_RATE)
+)
+
+
+def q_text_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-LM training-example construction (BERT-style): mask ~15%
+    of token positions per document, deterministically — the mask is a
+    pure function of (doc_id, position), so re-running the pipeline,
+    re-sharding, or recovering a failed partition regenerates EXACTLY
+    the same examples (the property random.random() masking loses on
+    retry, silently changing the training set).
+
+    Row-local by construction: one shuffle-free pass, the mask/input/
+    target all derive from the doc's own token array. Expressed as
+    whole-stage-codegen'd HOF expressions (no Python boundary); emits
+    the counts plus bounded heads of the corrupted input and the mask
+    targets rather than corpus-sized full arrays."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    toks = H.tokens("text")[0]
+    pred = _MLM_PRED.format(doc="doc_id", i="i + 1", div="div")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({toks}, (x, i) -> IF({pred}, 1, 0)),"
+            " 0, (acc, v) -> acc + v)"
+        ).alias("n_masked"),
+        F.expr(
+            f"slice(transform({toks}, (x, i) -> IF({pred}, '[MASK]', x)),"
+            f" 1, {MLM_HEAD})"
+        ).alias("input_head"),
+        F.expr(
+            f"slice(filter({toks}, (x, i) -> {pred}), 1, {MLM_HEAD})"
+        ).alias("target_head"),
+    )
+
+
+def _mlm_mask_oracle() -> str:
+    toks = H.tokens("text")[1]
+    pred = _MLM_PRED.format(doc="doc_id", i="i", div="//")
+    return f"""
+WITH base AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+), tagged AS (
+    SELECT doc_id, toks,
+           [ {{'t': toks[i],
+               'm': CASE WHEN {pred} THEN 1 ELSE 0 END}}
+             for i in range(1, len(toks) + 1) ] AS tm
+    FROM base
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       list_reduce(list_prepend(0, list_transform(tm, s -> s['m'])),
+                   (a, b) -> a + b) AS n_masked,
+       list_transform(tm, s -> CASE WHEN s['m'] = 1 THEN '[MASK]'
+                                    ELSE s['t'] END)[1:{MLM_HEAD}] AS input_head,
+       list_transform(list_filter(tm, s -> s['m'] = 1),
+                      s -> s['t'])[1:{MLM_HEAD}] AS target_head
+FROM tagged
+"""
+
+
+LOCAL_QUERIES["text_mlm_mask"] = QuerySpec(q_text_mlm_mask, _mlm_mask_oracle())
+
+
+# --- sequence-length bucketing ----------------------------------------------
+
+# Power-of-two batch-length buckets with a 512 truncation cap — the
+# standard padded-batch shapes. A doc pads up to its bucket length;
+# docs past the cap truncate (waste 0, lost tokens reported).
+LEN_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def q_text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing: assign every document the smallest
+    power-of-two batch length that holds it (truncating at the cap) and
+    report per-bucket doc counts, kept tokens, padding waste, and the
+    padding ratio — the analysis that decides batch shapes for training
+    throughput (uniform max-length padding wastes compute linearly in
+    the length spread; bucketing bounds it by the bucket granularity).
+
+    Map-only CASE ladder over the row-local token count, then one
+    |LEN_BUCKETS|-group aggregate — no joins, no window, nothing
+    corpus-sized past the shuffle's partial aggregation."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    n = T.token_count("text")
+    bucket = F.when(n <= LEN_BUCKETS[0], LEN_BUCKETS[0])
+    for b in LEN_BUCKETS[1:]:
+        bucket = bucket.when(n <= b, b)
+    bucket = bucket.otherwise(LEN_BUCKETS[-1])
+    kept = F.least(n, F.lit(LEN_BUCKETS[-1]))
+    return (
+        docs.select(
+            bucket.cast("int").alias("bucket_len"),
+            n.alias("n_tokens"),
+            kept.alias("kept"),
+            (bucket - kept).cast("long").alias("waste"),
+            F.greatest(n - LEN_BUCKETS[-1], F.lit(0)).cast("long").alias("truncated"),
+        )
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("kept_tokens"),
+            F.sum("waste").alias("pad_tokens"),
+            F.sum("truncated").alias("truncated_tokens"),
+        )
+        .withColumn(
+            "pad_ratio",
+            F.round(
+                col("pad_tokens").cast("double")
+                / (col("pad_tokens") + col("kept_tokens")),
+                4,
+            ),
+        )
+    )
+
+
+def _length_buckets_oracle() -> str:
+    toks = H.tokens("text")[1]
+    cap = LEN_BUCKETS[-1]
+    ladder = " ".join(
+        f"WHEN n <= {b} THEN {b}" for b in LEN_BUCKETS
+    )
+    return f"""
+WITH counted AS (
+    SELECT CAST(len({toks}) AS BIGINT) AS n FROM documents
+), assigned AS (
+    SELECT CAST(CASE {ladder} ELSE {cap} END AS INT) AS bucket_len,
+           least(n, {cap}) AS kept,
+           CAST(CASE {ladder} ELSE {cap} END - least(n, {cap}) AS BIGINT) AS waste,
+           CAST(greatest(n - {cap}, 0) AS BIGINT) AS truncated
+    FROM counted
+)
+SELECT bucket_len,
+       count(*) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS kept_tokens,
+       CAST(sum(waste) AS BIGINT) AS pad_tokens,
+       CAST(sum(truncated) AS BIGINT) AS truncated_tokens,
+       round(CAST(sum(waste) AS DOUBLE)
+             / (CAST(sum(waste) AS BIGINT) + CAST(sum(kept) AS BIGINT)), 4)
+           AS pad_ratio
+FROM assigned
+GROUP BY bucket_len
+"""
+
+
+LOCAL_QUERIES["text_length_buckets"] = QuerySpec(
+    q_text_length_buckets, _length_buckets_oracle()
+)

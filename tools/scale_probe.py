@@ -352,6 +352,11 @@ SCALING_QUERIES = [
     "dedup_leakage_split",
     "emb_pagerank",
     "emb_random_projection",
+    # r5 session 3 (cont.): co-blocked pair mining, row-local masking,
+    # 6-group bucket agg
+    "emb_hard_negatives",
+    "text_mlm_mask",
+    "text_length_buckets",
 ]
 
 
