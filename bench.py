@@ -96,6 +96,9 @@ EXTRA_LOCAL_QUERIES = [
     "emb_hard_negatives",
     "text_mlm_mask",
     "text_length_buckets",
+    # r5 session 3 (cont.): product-analytics shapes over events
+    "events_funnel",
+    "events_cohort_retention",
 ]
 
 _GRADED = all_queries()

@@ -498,3 +498,165 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "events_daily_pivot": QuerySpec(q_events_daily_pivot, _EVENTS_PIVOT_SQL),
     "events_top_users": QuerySpec(q_events_top_users, _EVENTS_TOP_USERS_SQL),
 }
+
+
+# --- funnel analysis ---------------------------------------------------------
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence conversion funnel (view → click → purchase):
+    a user converts a stage only with an event STRICTLY LATER than
+    their earliest qualifying event of the previous stage — the
+    product-analytics shape sessionize/pivot don't cover.
+
+    Plan: two running-min window passes over ONE per-user sort (same
+    partitioning, Catalyst plans a single Exchange+Sort and chains the
+    Window operators), then one per-user aggregate and a 1-row report.
+    No self-joins — the naive 3-way event⋈event⋈event funnel join is
+    quadratic in hot users; this is linear with a per-user-events
+    window state."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r1 = F.min(F.when(col("event_type") == "view", col("ts"))).over(w)
+    staged = ev.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "r1", r1
+    )
+    qual_click = (
+        (col("event_type") == "click") & col("r1").isNotNull() & (col("ts") > col("r1"))
+    )
+    staged = staged.withColumn(
+        "r2", F.min(F.when(qual_click, col("ts"))).over(w)
+    )
+    qual_purchase = (
+        (col("event_type") == "purchase")
+        & col("r2").isNotNull()
+        & (col("ts") > col("r2"))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(col("event_type") == "view", col("ts"))).alias("t1"),
+        F.min(F.when(qual_click, col("ts"))).alias("t2"),
+        F.min(F.when(qual_purchase, col("ts"))).alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+        F.round(
+            F.count("t2").cast("double") / F.nullif(F.count("t1"), F.lit(0)), 4
+        ).alias("view_to_click"),
+        F.round(
+            F.count("t3").cast("double") / F.nullif(F.count("t2"), F.lit(0)), 4
+        ).alias("click_to_purchase"),
+        F.round(
+            F.count("t3").cast("double") / F.nullif(F.count("t1"), F.lit(0)), 4
+        ).alias("overall"),
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH w1 AS (
+    SELECT user_id, event_id, ts, event_type,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS r1
+    FROM events
+), w2 AS (
+    SELECT *,
+           min(CASE WHEN event_type = 'click' AND r1 IS NOT NULL AND ts > r1
+                    THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS r2
+    FROM w1
+), per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+           min(CASE WHEN event_type = 'click' AND r1 IS NOT NULL AND ts > r1
+                    THEN ts END) AS t2,
+           min(CASE WHEN event_type = 'purchase' AND r2 IS NOT NULL AND ts > r2
+                    THEN ts END) AS t3
+    FROM w2 GROUP BY user_id
+)
+SELECT count(t1) AS n_view,
+       count(t2) AS n_click_after_view,
+       count(t3) AS n_purchase_after_click,
+       round(CAST(count(t2) AS DOUBLE) / nullif(count(t1), 0), 4) AS view_to_click,
+       round(CAST(count(t3) AS DOUBLE) / nullif(count(t2), 0), 4) AS click_to_purchase,
+       round(CAST(count(t3) AS DOUBLE) / nullif(count(t1), 0), 4) AS overall
+FROM per_user
+"""
+
+
+LOCAL_QUERIES["events_funnel"] = QuerySpec(q_events_funnel, _EVENTS_FUNNEL_SQL)
+
+
+# --- cohort retention --------------------------------------------------------
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, then
+    the share of each cohort active again N days later — the classic
+    growth-analytics triangle.
+
+    Plan: one user-grained min-day aggregate, one distinct over
+    (user, day) — both shuffles on user_id, so AQE reuses the exchange
+    for the activity⋈cohort join — then a (cohort, offset) aggregate
+    and a broadcast join of the days-sized cohort totals for the
+    retention ratio. Nothing wider than (user, day) ever shuffles."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date(col("ts"))).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.to_date(col("ts")).alias("day")).distinct()
+    cohort_sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(col("day"), col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_users",
+            F.round(
+                col("n_active").cast("double") / col("cohort_users"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+_EVENTS_COHORT_SQL = """
+WITH firsts AS (
+    SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+), cohort_sizes AS (
+    SELECT cohort_day, count(*) AS cohort_users FROM firsts GROUP BY cohort_day
+), cells AS (
+    SELECT f.cohort_day, (a.day - f.cohort_day) AS day_offset,
+           count(*) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       c.day_offset, c.n_active, s.cohort_users,
+       round(CAST(c.n_active AS DOUBLE) / s.cohort_users, 4) AS retention
+FROM cells c JOIN cohort_sizes s USING (cohort_day)
+"""
+
+
+LOCAL_QUERIES["events_cohort_retention"] = QuerySpec(
+    q_events_cohort_retention, _EVENTS_COHORT_SQL
+)
