@@ -198,11 +198,64 @@ def sweep(spark) -> None:
 
         return run
 
+    # JL random-projection serving: corpus projected once to RP_DIM int64
+    # components (queries/similarity.q_emb_random_projection's operator),
+    # coarse score = exact integer dot in the projected space, exact
+    # cosine re-rank of a shortlist — measures how much recall the 8x
+    # narrower vectors actually keep.
+    RP_DIM = 8
+    import numpy as np
+
+    src_dim = S.embedding_dim(emb)
+    rp_project = S.random_projection_udf(src_dim, RP_DIM)
+    projected = (
+        emb.select("vec_id", "embedding", rp_project(col("embedding")).alias("proj"))
+        .persist()
+    )
+    projected.count()
+    signs_t = S.rp_signs(src_dim, RP_DIM).T
+
+    def rp_cell(shortlist):
+        def run():
+            hits = 0
+            for qid, qv in queries.items():
+                qdim = len(qv)
+                xq = np.floor(np.asarray(qv, dtype=np.float64) * 1e6 + 0.5).astype(
+                    np.int64
+                )
+                qproj = xq @ signs_t
+                score = " + ".join(
+                    f"proj[{j}] * {int(qproj[j])}L" for j in range(RP_DIM)
+                )
+                q_lit = F.array(*[F.lit(float(v)) for v in qv]).cast("array<float>")
+                sl = (
+                    projected.filter(col("vec_id") != qid)
+                    .withColumn("pscore", F.expr(score))
+                    .orderBy(col("pscore").desc(), col("vec_id"))
+                    .limit(shortlist)
+                )
+                ids = [
+                    r.vec_id
+                    for r in sl.withColumn("q_emb", q_lit)
+                    .select(
+                        "vec_id",
+                        S.cosine_expr("embedding", "q_emb", dim=qdim).alias("c"),
+                    )
+                    .orderBy(col("c").desc(), col("vec_id"))
+                    .limit(TOP_K)
+                    .collect()
+                ]
+                hits += len(set(ids) & exact[qid])
+            return hits / sum(len(exact[q]) for q in queries)
+
+        return run
+
     rows = []
     for label, cells in (
         ("IVF(kmeans) nprobe", [(p, ivf_cell(p)) for p in (1, 2, 4, IVF_K)]),
         ("PQ refine_factor", [(r, pq_cell(r)) for r in (1, 2, 4, 8)]),
         ("SQ8 shortlist", [(s, sq_cell(s)) for s in (10, 20, 40, 80)]),
+        ("RP8 shortlist", [(s, rp_cell(s)) for s in (10, 20, 40, 80)]),
     ):
         for param, run in cells:
             run()  # warm (plans compiled, index hot)
