@@ -660,3 +660,205 @@ FROM cells c JOIN cohort_sizes s USING (cohort_day)
 LOCAL_QUERIES["events_cohort_retention"] = QuerySpec(
     q_events_cohort_retention, _EVENTS_COHORT_SQL
 )
+
+
+# --- daily anomaly detection -------------------------------------------------
+
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags on the daily event-count series per event
+    type — the monitoring query a production ingest pipeline runs to
+    catch volume regressions.
+
+    Plan: one (day, type) partial-aggregated shuffle builds the daily
+    series; the per-type stats are a types-sized aggregate of THAT
+    (never a second corpus pass) and broadcast back onto the series.
+    Variance comes from exact integer sums (n, Σx, Σx²) pushed through
+    the identical double expression in both engines, so the z-scores
+    are bit-reproducible — no stddev_samp whose merge order floats.
+    At 100 TB the corpus shuffles once at (day, type) grain; everything
+    downstream is days×types-sized."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(col("n_events") * col("n_events")).alias("s2"),
+    )
+    z = F.expr(
+        "(CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))"
+        " / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE))"
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(col("s2") * col("n_days") > col("s1") * col("s1"))
+        .select(
+            col("day").cast("string").alias("day"),
+            "event_type",
+            "n_events",
+            F.floor(z * 1e4 + F.lit(0.5)).cast("long").alias("z_q"),
+            (F.abs(z) > 2).cast("int").alias("is_anomaly"),
+        )
+    )
+
+
+_EVENTS_ANOMALY_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type, count(*) AS n_days,
+           CAST(sum(n_events) AS BIGINT) AS s1,
+           CAST(sum(n_events * n_events) AS BIGINT) AS s2
+    FROM daily GROUP BY event_type
+), scored AS (
+    SELECT d.day, d.event_type, d.n_events,
+           (CAST(d.n_events AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+           / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+             / CAST(s.n_days AS DOUBLE)) / CAST(s.n_days AS DOUBLE)) AS z
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE s.s2 * s.n_days > s.s1 * s.s1
+)
+SELECT CAST(day AS VARCHAR) AS day, event_type, n_events,
+       CAST(floor(z * 1e4 + 0.5) AS BIGINT) AS z_q,
+       CAST(abs(z) > 2 AS INT) AS is_anomaly
+FROM scored
+"""
+
+
+LOCAL_QUERIES["events_anomaly_days"] = QuerySpec(
+    q_events_anomaly_days, _EVENTS_ANOMALY_SQL
+)
+
+
+# --- deterministic HyperLogLog -----------------------------------------------
+
+# 31-bit xor-shift-multiply finalizer (Wang / murmur-style avalanche —
+# a plain affine LCG keeps consecutive ids injective mod 256, which
+# destroys the balls-in-bins statistics HLL relies on). Every
+# intermediate stays < 2^57: DuckDB BIGINT overflow *errors* while
+# Spark wraps, so both sides must stay in range (functions/hashing.py).
+_HLL_MOD = 2_147_483_648  # 2^31
+_HLL_ALPHA = 0.7182725932495458  # alpha_256 = 0.7213 / (1 + 1.079/256)
+
+
+def _hll_hash(xor, shr) -> str:
+    """Avalanche hash of user_id, parameterized over each engine's XOR
+    and shift-right syntax (Spark: ``^``/``shiftright``; DuckDB:
+    ``xor()``/``>>``)."""
+    x0 = f"(user_id % {_HLL_MOD})"
+    x1 = f"(({xor(shr(x0, 16), x0)} * 73244475) % {_HLL_MOD})"
+    x2 = f"(({xor(shr(x1, 16), x1)} * 73244475) % {_HLL_MOD})"
+    return xor(shr(x2, 16), x2)
+
+
+def _hll_rho() -> str:
+    """rho over column ``q`` (the hash's top 23 bits): 24 − bit_length,
+    branch-unrolled as exact integer comparisons — no float log2."""
+    whens = " ".join(f"WHEN q >= {1 << (22 - k)} THEN {k + 1}" for k in range(23))
+    return f"(CASE {whens} ELSE 24 END)"
+
+
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate per event type via a from-scratch
+    HyperLogLog sketch (p=8) that is BIT-IDENTICAL across engines —
+    unlike approx_count_distinct, whose sketch internals can only be
+    bound-checked (queries/tpch_extra.py q_approx_stats), this one's
+    registers, estimate, and error all hash-match the DuckDB twin.
+
+    The sketch is built the way a 1000-executor run would: per
+    (type, register) MAX of the rank — associative, partial-agg'd
+    map-side, one shuffle at register grain (types × 256 rows), then a
+    types-sized final fold. The 2^-rank harmonic sum is held as an
+    exact integer (Σ 2^(24−rho) at fixed 2^24 scale) so no
+    float-addition order can diverge; the linear-counting small-range
+    branch is applied identically in both engines. Exact distinct
+    rides alongside for the observed relative error."""
+    ev = t(spark, sf_dir, "events")
+    h = _hll_hash(
+        xor=lambda a, b: f"({a} ^ {b})",
+        shr=lambda x, n: f"shiftright({x}, {n})",
+    )
+    registers = (
+        ev.select("event_type", F.expr(h).alias("h"))
+        .select(
+            "event_type",
+            F.expr("h % 256").alias("idx"),
+            F.expr("shiftright(h, 8)").alias("q"),
+        )
+        .select("event_type", "idx", F.expr(_hll_rho()).alias("rho"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    folded = registers.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 24 - max_rho)")).alias("sum_hi"),
+    )
+    est = (
+        "(CASE WHEN (256 - n_present) > 0 AND "
+        f"(CAST({_HLL_ALPHA} AS DOUBLE) * 65536.0 / (CAST(sum_hi + (256 - n_present) * 16777216 AS DOUBLE)"
+        " / 16777216.0)) <= 640.0 "
+        "THEN 256.0 * ln(256.0 / CAST(256 - n_present AS DOUBLE)) "
+        f"ELSE CAST({_HLL_ALPHA} AS DOUBLE) * 65536.0 / (CAST(sum_hi + (256 - n_present) * 16777216 AS DOUBLE)"
+        " / 16777216.0) END)"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        folded.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.expr(f"CAST(floor({est} * 1e4 + 0.5) AS BIGINT)").alias("est_q"),
+            F.expr(
+                f"CAST(floor(abs({est} - CAST(exact_users AS DOUBLE))"
+                " / CAST(exact_users AS DOUBLE) * 1e4 + 0.5) AS BIGINT)"
+            ).alias("rel_err_q"),
+        )
+    )
+
+
+def _events_hll_sql() -> str:
+    d_hash = _hll_hash(
+        xor=lambda a, b: f"xor({a}, {b})",
+        shr=lambda x, n: f"({x} >> {n})",
+    )
+    est = (
+        "(CASE WHEN (256 - n_present) > 0 AND "
+        f"(CAST({_HLL_ALPHA} AS DOUBLE) * 65536.0 / (CAST(sum_hi + (256 - n_present) * 16777216 AS DOUBLE)"
+        " / 16777216.0)) <= 640.0 "
+        "THEN 256.0 * ln(256.0 / CAST(256 - n_present AS DOUBLE)) "
+        f"ELSE CAST({_HLL_ALPHA} AS DOUBLE) * 65536.0 / (CAST(sum_hi + (256 - n_present) * 16777216 AS DOUBLE)"
+        " / 16777216.0) END)"
+    )
+    return f"""
+WITH hashed AS (
+    SELECT event_type, {d_hash} AS h FROM events
+), qs AS (
+    SELECT event_type, h % 256 AS idx, (h >> 8) AS q FROM hashed
+), registers AS (
+    SELECT event_type, idx, max({_hll_rho()}) AS max_rho
+    FROM qs GROUP BY event_type, idx
+), folded AS (
+    SELECT event_type, count(*) AS n_present,
+           CAST(sum((CAST(1 AS BIGINT) << (24 - max_rho))) AS BIGINT) AS sum_hi
+    FROM registers GROUP BY event_type
+), exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY event_type
+)
+SELECT f.event_type, e.exact_users,
+       CAST(floor({est} * 1e4 + 0.5) AS BIGINT) AS est_q,
+       CAST(floor(abs({est} - CAST(e.exact_users AS DOUBLE))
+           / CAST(e.exact_users AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS rel_err_q
+FROM folded f JOIN exact e USING (event_type)
+"""
+
+
+LOCAL_QUERIES["events_hll_users"] = QuerySpec(
+    q_events_hll_users, _events_hll_sql()
+)

@@ -1087,3 +1087,129 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "order_value_running": QuerySpec(q_order_value_running, _ORDER_VALUE_RUNNING_SQL),
     "orders_rollup": QuerySpec(q_orders_rollup, _ORDERS_ROLLUP_SQL),
 }
+
+
+# --- SCD2 warehouse merge ----------------------------------------------------
+
+def q_warehouse_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) merge: apply a month of order
+    activity to the customer dimension as a change batch — the MERGE
+    INTO history semantics the reference's append-only warehouse load
+    (dags/pipeline.py:239-247) lacks.
+
+    Change derivation is exact-integer: balances are held as cents
+    (floor(×100+0.5)) and the delta is a BIGINT sum of floored order
+    totals, so both engines agree bit-for-bit; customers whose monthly
+    delta clears 150k get re-segmented to VIP (a second compare_col in
+    play). Plan: the change batch is one filtered orders aggregate
+    (month-sized → AQE broadcasts it), the dim is scanned once, and
+    the result is a union of untouched / superseded / fresh-version
+    slices — no window, no corpus shuffle beyond the batch agg. At
+    100 TB the dim passes through map-only against a broadcast batch."""
+    import datetime
+
+    from ..operators.scd import scd2_apply
+
+    as_of = datetime.date(2001, 8, 1)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("acctbal_cents"),
+    )
+    history = cust.withColumn(
+        "valid_from", F.lit(datetime.date(1992, 1, 1))
+    ).withColumn("valid_to", F.lit(None).cast("date"))
+    deltas = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (col("o_orderdate") >= F.lit("2001-07-01").cast("timestamp"))
+            & (col("o_orderdate") < F.lit("2001-08-01").cast("timestamp"))
+        )
+        .groupBy(col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(F.expr("CAST(floor(o_totalprice) AS BIGINT)")).alias("delta"))
+    )
+    changes = cust.join(broadcast(deltas), "c_custkey").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(col("delta") >= 150000, F.lit("VIP"))
+        .otherwise(col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        (col("acctbal_cents") + col("delta")).alias("acctbal_cents"),
+    )
+    out = scd2_apply(
+        history,
+        changes,
+        key="c_custkey",
+        compare_cols=["c_mktsegment", "acctbal_cents"],
+        as_of=as_of,
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "acctbal_cents",
+        col("valid_from").cast("string").alias("valid_from"),
+        col("valid_to").cast("string").alias("valid_to"),
+    )
+
+
+_WAREHOUSE_SCD2_SQL = """
+WITH cust AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM customer
+), deltas AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS delta
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-07-01'
+      AND o_orderdate < TIMESTAMP '2001-08-01'
+    GROUP BY 1
+), changes AS (
+    SELECT c.c_custkey, c.c_name, c.c_nationkey,
+           CASE WHEN d.delta >= 150000 THEN 'VIP' ELSE c.c_mktsegment END
+               AS c_mktsegment,
+           c.acctbal_cents + d.delta AS acctbal_cents
+    FROM cust c JOIN deltas d USING (c_custkey)
+), unchanged AS (
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment,
+           c.acctbal_cents, DATE '1992-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to
+    FROM cust c LEFT JOIN changes ch USING (c_custkey)
+    WHERE ch.c_custkey IS NULL
+       OR (c.c_mktsegment = ch.c_mktsegment
+           AND c.acctbal_cents = ch.acctbal_cents)
+), superseded AS (
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment,
+           c.acctbal_cents, DATE '1992-01-01' AS valid_from,
+           DATE '2001-08-01' AS valid_to
+    FROM cust c JOIN changes ch USING (c_custkey)
+    WHERE NOT (c.c_mktsegment = ch.c_mktsegment
+               AND c.acctbal_cents = ch.acctbal_cents)
+), inserts AS (
+    SELECT ch.c_custkey, ch.c_name, ch.c_nationkey, ch.c_mktsegment,
+           ch.acctbal_cents, DATE '2001-08-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to
+    FROM changes ch LEFT JOIN cust c USING (c_custkey)
+    WHERE c.c_custkey IS NULL
+       OR NOT (c.c_mktsegment = ch.c_mktsegment
+               AND c.acctbal_cents = ch.acctbal_cents)
+)
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment, acctbal_cents,
+       CAST(valid_from AS VARCHAR) AS valid_from,
+       CAST(valid_to AS VARCHAR) AS valid_to
+FROM (
+    SELECT * FROM unchanged
+    UNION ALL SELECT * FROM superseded
+    UNION ALL SELECT * FROM inserts
+)
+"""
+
+
+LOCAL_QUERIES["warehouse_scd2_merge"] = QuerySpec(
+    q_warehouse_scd2_merge, _WAREHOUSE_SCD2_SQL
+)

@@ -2268,3 +2268,63 @@ SELECT anchor, anchor_label, negative, neg_label, hn_rank, qsim FROM (
 LOCAL_QUERIES["emb_hard_negatives"] = QuerySpec(
     q_emb_hard_negatives, _hard_negatives_oracle()
 )
+
+
+# --- distribution drift ------------------------------------------------------
+
+def q_emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus vintages (here:
+    even/odd vec_id as the deterministic old/new split) — the monitoring
+    report that catches a crawler or encoder change skewing the corpus.
+
+    Each vintage is histogrammed over the SAME fixed random-hyperplane
+    LSH buckets used by the ANN index (so the reference partition is
+    already trained/persisted — zero extra corpus passes beyond the
+    shared cached index), and the report is the per-bucket absolute
+    share shift |p_new − p_old|. All counts are exact BIGINTs pushed
+    through a textually identical double expression in both engines.
+    At 100 TB: one partial-agg shuffle at bucket grain (2^planes
+    buckets), totals ride a 1-row broadcast crossJoin."""
+    bucketed, _ = _lsh_index(spark, sf_dir)
+    per = bucketed.groupBy("bucket").agg(
+        F.sum(F.expr("CAST(vec_id % 2 = 0 AS INT)")).alias("n_old"),
+        F.sum(F.expr("CAST(vec_id % 2 = 1 AS INT)")).alias("n_new"),
+    )
+    tot = per.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
+    drift = F.expr(
+        "abs(CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE)"
+        " - CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE))"
+    )
+    return per.crossJoin(broadcast(tot)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.floor(drift * 1e6 + F.lit(0.5)).cast("long").alias("drift_q"),
+    )
+
+
+def _drift_report_oracle() -> str:
+    bucket = S.hyperplane_bucket("embedding", N_PLANES)[1]
+    return f"""
+WITH per AS (
+    SELECT bucket,
+           CAST(sum(CAST(vec_id % 2 = 0 AS INT)) AS BIGINT) AS n_old,
+           CAST(sum(CAST(vec_id % 2 = 1 AS INT)) AS BIGINT) AS n_new
+    FROM (SELECT {bucket} AS bucket, vec_id FROM embeddings)
+    GROUP BY bucket
+), tot AS (
+    SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+           CAST(sum(n_new) AS BIGINT) AS t_new
+    FROM per
+)
+SELECT bucket, n_old, n_new,
+       CAST(floor(abs(CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE)
+           - CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE)) * 1e6 + 0.5)
+           AS BIGINT) AS drift_q
+FROM per CROSS JOIN tot
+"""
+
+
+LOCAL_QUERIES["emb_drift_report"] = QuerySpec(
+    q_emb_drift_report, _drift_report_oracle()
+)

@@ -2312,3 +2312,262 @@ GROUP BY bucket_len
 LOCAL_QUERIES["text_length_buckets"] = QuerySpec(
     q_text_length_buckets, _length_buckets_oracle()
 )
+
+
+# --- phrase search -----------------------------------------------------------
+
+PHRASE = ("table", "hash")  # adjacent-token phrase query
+
+
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table hash"): documents where the two
+    tokens appear ADJACENT, with the match count — what BM25's
+    bag-of-words scoring cannot express.
+
+    Spark-first shape: phrase matching is ROW-LOCAL — per doc,
+    positions(w1) ∩ (positions(w2) − 1) — so this is one shuffle-free
+    codegen map + filter, with both term predicates evaluated inside
+    the same projection. The textbook alternative (positional inverted
+    index: posexplode → groupBy token → postings self-join on
+    pos_b = pos_a + 1) pays a corpus-sized shuffle to build state that
+    only amortizes over MANY ad-hoc phrase queries; for a scan-time
+    phrase predicate the row-local intersection is strictly better at
+    any scale."""
+    w1, w2 = PHRASE
+    toks = H.tokens("text")[0]
+
+    def pos(term: str) -> str:
+        return (
+            f"filter(transform({toks}, (x, i) -> IF(x = '{term}', i, -1)),"
+            " v -> v >= 0)"
+        )
+
+    phrase_count = F.expr(
+        f"size(array_intersect({pos(w1)}, transform({pos(w2)}, p -> p - 1)))"
+    )
+    docs = widen(t(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"size({toks})").alias("n_tokens"),
+            phrase_count.alias("phrase_count"),
+        )
+        .filter(col("phrase_count") > 0)
+    )
+
+
+def _phrase_search_oracle() -> str:
+    w1, w2 = PHRASE
+    toks = H.tokens("text")[1]
+    return f"""
+WITH base AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+), positions AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           [i for i in range(1, len(toks) + 1) if toks[i] = '{w1}'] AS p1,
+           [i for i in range(1, len(toks) + 1) if toks[i] = '{w2}'] AS p2
+    FROM base
+)
+SELECT doc_id, n_tokens,
+       len(list_intersect(p1, list_transform(p2, p -> p - 1))) AS phrase_count
+FROM positions
+WHERE len(list_intersect(p1, list_transform(p2, p -> p - 1))) > 0
+"""
+
+
+LOCAL_QUERIES["text_phrase_search"] = QuerySpec(
+    q_text_phrase_search, _phrase_search_oracle()
+)
+
+
+# --- PMI collocations --------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information bigram mining (collocation
+    extraction — the signal behind phrase-aware vocabularies and
+    tokenizer merge seeding).
+
+    PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with P(x,y)=c_xy/B over
+    bigram occurrences and P(x)=c_x/T over token occurrences.
+
+    Plan: two corpus explode→partial-agg shuffles (bigram grain, token
+    grain) and then everything is vocab-sized: the unigram table is
+    broadcast onto the bigram table twice and the two scalar totals
+    ride a broadcast crossJoin. The ln() runs on exact integer counts
+    pushed through a textually identical double expression in both
+    engines, so quantized PMI matches bit-for-bit. At 100 TB the
+    corpus is touched exactly twice, map-side combined both times."""
+    toks = H.tokens("text")[0]
+    docs = widen(t(spark, sf_dir, "documents"))
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) >= 2 THEN "
+                f"transform(sequence(1, size({toks}) - 1), "
+                f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    bg_all = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        docs.select(F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    totals = bg_all.agg(F.sum("c_xy").alias("bb")).crossJoin(
+        uni.agg(F.sum("c_tok").alias("tt"))
+    )
+    u1 = uni.select(col("tok").alias("w1"), col("c_tok").alias("c_x"))
+    u2 = uni.select(col("tok").alias("w2"), col("c_tok").alias("c_y"))
+    pmi = F.expr(
+        "ln((CAST(c_xy AS DOUBLE) * CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))"
+        " / (CAST(bb AS DOUBLE) * CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))"
+    )
+    return (
+        bg_all.filter(col("c_xy") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split(col("bigram"), " ")[0])
+        .withColumn("w2", F.split(col("bigram"), " ")[1])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.floor(pmi * 1e4 + F.lit(0.5)).cast("long").alias("pmi_q"),
+        )
+    )
+
+
+def _pmi_bigrams_oracle() -> str:
+    tk = H.tokens("text")[1]
+    return f"""
+WITH toks AS (
+    SELECT {tk} AS tk FROM documents
+), bgs AS (
+    SELECT unnest([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))]) AS bigram
+    FROM toks
+), bg_all AS (
+    SELECT bigram, count(*) AS c_xy FROM bgs GROUP BY bigram
+), uni AS (
+    SELECT tok, count(*) AS c_tok
+    FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+), totals AS (
+    SELECT (SELECT CAST(sum(c_xy) AS BIGINT) FROM bg_all) AS bb,
+           (SELECT CAST(sum(c_tok) AS BIGINT) FROM uni) AS tt
+)
+SELECT string_split(b.bigram, ' ')[1] AS w1,
+       string_split(b.bigram, ' ')[2] AS w2,
+       b.c_xy, u1.c_tok AS c_x, u2.c_tok AS c_y,
+       CAST(floor(
+           ln((CAST(b.c_xy AS DOUBLE) * CAST(t.tt AS DOUBLE) * CAST(t.tt AS DOUBLE))
+              / (CAST(t.bb AS DOUBLE) * CAST(u1.c_tok AS DOUBLE) * CAST(u2.c_tok AS DOUBLE)))
+           * 1e4 + 0.5) AS BIGINT) AS pmi_q
+FROM bg_all b
+JOIN uni u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+JOIN uni u2 ON u2.tok = string_split(b.bigram, ' ')[2]
+CROSS JOIN totals t
+WHERE b.c_xy >= {PMI_MIN_COUNT}
+"""
+
+
+LOCAL_QUERIES["text_pmi_bigrams"] = QuerySpec(
+    q_text_pmi_bigrams, _pmi_bigrams_oracle()
+)
+
+
+# --- keyword extraction ------------------------------------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+def q_text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the tagging/labeling stage
+    of a corpus pipeline (distinct from corpus-level ``text_top_tokens``
+    and from query-centric BM25: this scores every doc's own terms).
+
+    Plan: one explode→(doc_id, token) partial-agg shuffle builds the tf
+    table; document frequency is a vocab-sized aggregate OF that table
+    (no second corpus pass) broadcast back; n_docs rides a 1-row
+    broadcast crossJoin. The per-doc top-k avoids a rank window's
+    sort-within-partition: a groupBy(doc_id) collects the doc's own
+    vocab-bounded term list and slices the top k after an in-memory
+    sort_array — one shuffle, map-side combined, no skew (per-doc term
+    lists are document-bounded). idf is exact-int math through an
+    identical double expression in both engines."""
+    toks = H.tokens("text")[0]
+    docs = widen(t(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score_q = F.expr(
+        "CAST(floor(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0)"
+        " / (CAST(df AS DOUBLE) + 1.0)) * 1e4 + 0.5) AS BIGINT)"
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "tok", "tf", score_q.alias("score_q"))
+    )
+    topk = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct((-col("score_q")).alias("ns"), "tok", "tf"))
+                ),
+                1,
+                KEYWORDS_PER_DOC,
+            ).alias("top")
+        )
+        .select("doc_id", F.posexplode("top").alias("pos", "kw"))
+    )
+    return topk.select(
+        "doc_id",
+        (col("pos") + 1).alias("rank"),
+        col("kw.tok").alias("tok"),
+        col("kw.tf").alias("tf"),
+        (-col("kw.ns")).alias("score_q"),
+    )
+
+
+def _keywords_tfidf_oracle() -> str:
+    tk = H.tokens("text")[1]
+    return f"""
+WITH tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM (SELECT doc_id, unnest({tk}) AS tok FROM documents)
+    GROUP BY doc_id, tok
+), df_tbl AS (
+    SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), nd AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT t.doc_id, t.tok, t.tf,
+           CAST(floor(CAST(t.tf AS DOUBLE) * ln((CAST(nd.n_docs AS DOUBLE) + 1.0)
+               / (CAST(d.df AS DOUBLE) + 1.0)) * 1e4 + 0.5) AS BIGINT) AS score_q
+    FROM tf t JOIN df_tbl d USING (tok) CROSS JOIN nd
+), ranked AS (
+    SELECT doc_id, tok, tf, score_q,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, tok ASC)
+               AS rank
+    FROM scored
+)
+SELECT doc_id, rank, tok, tf, score_q
+FROM ranked WHERE rank <= {KEYWORDS_PER_DOC}
+"""
+
+
+LOCAL_QUERIES["text_keywords_tfidf"] = QuerySpec(
+    q_text_keywords_tfidf, _keywords_tfidf_oracle()
+)
