@@ -99,6 +99,20 @@ EXTRA_LOCAL_QUERIES = [
     # r5 session 3 (cont.): product-analytics shapes over events
     "events_funnel",
     "events_cohort_retention",
+    # r5 session 4: retrieval/tagging/sketch/warehouse additions
+    "text_phrase_search",
+    "text_keywords_tfidf",
+    "text_pmi_bigrams",
+    "events_hll_users",
+    "events_anomaly_days",
+    "warehouse_scd2_merge",
+    "emb_drift_report",
+    # r5 session 4 (cont.): sketch family — streaming HLL twin,
+    # Count-Min heavy hitters
+    "stream_hll_users",
+    "text_cms_heavy_hitters",
+    "events_hll_merge",
+    "warehouse_asof_lookup",
 ]
 
 _GRADED = all_queries()

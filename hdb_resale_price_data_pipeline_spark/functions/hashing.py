@@ -228,3 +228,48 @@ def simhash(token_pair: tuple[str, str], bits: int = 16, a: int = 131, b: int = 
         f"THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)"
     )
     return spark, duck
+
+
+# --- avalanche integer hash + HLL pieces (shared batch/streaming) -----------
+
+HLL_MOD = 2_147_483_648  # 2^31
+HLL_ALPHA = 0.7182725932495458  # alpha_256 = 0.7213 / (1 + 1.079/256)
+
+
+def avalanche_hash(column: str, xor, shr) -> str:
+    """31-bit xor-shift-multiply finalizer (Wang / murmur-style) of an
+    integer column, parameterized over each engine's XOR and
+    shift-right syntax (Spark: ``^`` / ``shiftright``; DuckDB:
+    ``xor()`` / ``>>``). A plain affine LCG keeps consecutive ids
+    injective mod 2^k, destroying the balls-in-bins statistics sketches
+    rely on; this finalizer avalanches. Every intermediate stays
+    < 2^57 — DuckDB BIGINT overflow *errors* while Spark wraps, so both
+    sides must stay in range."""
+    x0 = f"({column} % {HLL_MOD})"
+    x1 = f"(({xor(shr(x0, 16), x0)} * 73244475) % {HLL_MOD})"
+    x2 = f"(({xor(shr(x1, 16), x1)} * 73244475) % {HLL_MOD})"
+    return xor(shr(x2, 16), x2)
+
+
+def spark_xor(a: str, b: str) -> str:
+    return f"({a} ^ {b})"
+
+
+def spark_shr(x: str, n: int) -> str:
+    return f"shiftright({x}, {n})"
+
+
+def duck_xor(a: str, b: str) -> str:
+    return f"xor({a}, {b})"
+
+
+def duck_shr(x: str, n: int) -> str:
+    return f"({x} >> {n})"
+
+
+def hll_rho() -> str:
+    """HLL rank over column ``q`` (the hash's top 23 bits):
+    24 − bit_length(q), branch-unrolled as exact integer comparisons —
+    no float log2 whose boundary rounding could diverge."""
+    whens = " ".join(f"WHEN q >= {1 << (22 - k)} THEN {k + 1}" for k in range(23))
+    return f"(CASE {whens} ELSE 24 END)"

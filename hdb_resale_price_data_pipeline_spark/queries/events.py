@@ -736,30 +736,15 @@ LOCAL_QUERIES["events_anomaly_days"] = QuerySpec(
 
 # --- deterministic HyperLogLog -----------------------------------------------
 
-# 31-bit xor-shift-multiply finalizer (Wang / murmur-style avalanche —
-# a plain affine LCG keeps consecutive ids injective mod 256, which
-# destroys the balls-in-bins statistics HLL relies on). Every
-# intermediate stays < 2^57: DuckDB BIGINT overflow *errors* while
-# Spark wraps, so both sides must stay in range (functions/hashing.py).
-_HLL_MOD = 2_147_483_648  # 2^31
-_HLL_ALPHA = 0.7182725932495458  # alpha_256 = 0.7213 / (1 + 1.079/256)
-
-
-def _hll_hash(xor, shr) -> str:
-    """Avalanche hash of user_id, parameterized over each engine's XOR
-    and shift-right syntax (Spark: ``^``/``shiftright``; DuckDB:
-    ``xor()``/``>>``)."""
-    x0 = f"(user_id % {_HLL_MOD})"
-    x1 = f"(({xor(shr(x0, 16), x0)} * 73244475) % {_HLL_MOD})"
-    x2 = f"(({xor(shr(x1, 16), x1)} * 73244475) % {_HLL_MOD})"
-    return xor(shr(x2, 16), x2)
-
-
-def _hll_rho() -> str:
-    """rho over column ``q`` (the hash's top 23 bits): 24 − bit_length,
-    branch-unrolled as exact integer comparisons — no float log2."""
-    whens = " ".join(f"WHEN q >= {1 << (22 - k)} THEN {k + 1}" for k in range(23))
-    return f"(CASE {whens} ELSE 24 END)"
+from ..functions.hashing import (  # noqa: E402 — sketch helpers
+    HLL_ALPHA as _HLL_ALPHA,
+    avalanche_hash,
+    duck_shr,
+    duck_xor,
+    hll_rho as _hll_rho,
+    spark_shr,
+    spark_xor,
+)
 
 
 def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,11 +763,17 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch is applied identically in both engines. Exact distinct
     rides alongside for the observed relative error."""
     ev = t(spark, sf_dir, "events")
-    h = _hll_hash(
-        xor=lambda a, b: f"({a} ^ {b})",
-        shr=lambda x, n: f"shiftright({x}, {n})",
-    )
-    registers = (
+    registers = hll_registers(ev)
+    return hll_fold(registers, ev)
+
+
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, idx) → max rho. Pure aggregation — the SAME plan
+    fragment serves batch and streaming (streaming/events.py
+    stream_hll_registers wraps it): max is associative, so partial
+    aggregation / state-store merge both apply."""
+    h = avalanche_hash("user_id", xor=spark_xor, shr=spark_shr)
+    return (
         ev.select("event_type", F.expr(h).alias("h"))
         .select(
             "event_type",
@@ -793,18 +784,31 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "idx")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def hll_est_expr(n_present: str = "n_present", sum_hi: str = "sum_hi") -> str:
+    """The HLL estimate over a folded register row — IDENTICAL text in
+    both engines (exact-integer harmonic sum at 2^24 scale; linear-
+    counting branch below 2.5·m when zero registers exist)."""
+    denom = (
+        f"(CAST({sum_hi} + (256 - {n_present}) * 16777216 AS DOUBLE) / 16777216.0)"
+    )
+    raw = f"(CAST({_HLL_ALPHA} AS DOUBLE) * 65536.0 / {denom})"
+    return (
+        f"(CASE WHEN (256 - {n_present}) > 0 AND {raw} <= 640.0 "
+        f"THEN 256.0 * ln(256.0 / CAST(256 - {n_present} AS DOUBLE)) "
+        f"ELSE {raw} END)"
+    )
+
+
+def hll_fold(registers: DataFrame, ev: DataFrame) -> DataFrame:
+    """Fold a register table into the estimate + observed error columns
+    (shared by the batch query and the streaming twin)."""
     folded = registers.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 24 - max_rho)")).alias("sum_hi"),
     )
-    est = (
-        "(CASE WHEN (256 - n_present) > 0 AND "
-        f"(CAST({_HLL_ALPHA} AS DOUBLE) * 65536.0 / (CAST(sum_hi + (256 - n_present) * 16777216 AS DOUBLE)"
-        " / 16777216.0)) <= 640.0 "
-        "THEN 256.0 * ln(256.0 / CAST(256 - n_present AS DOUBLE)) "
-        f"ELSE CAST({_HLL_ALPHA} AS DOUBLE) * 65536.0 / (CAST(sum_hi + (256 - n_present) * 16777216 AS DOUBLE)"
-        " / 16777216.0) END)"
-    )
+    est = hll_est_expr()
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
@@ -823,18 +827,8 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_hll_sql() -> str:
-    d_hash = _hll_hash(
-        xor=lambda a, b: f"xor({a}, {b})",
-        shr=lambda x, n: f"({x} >> {n})",
-    )
-    est = (
-        "(CASE WHEN (256 - n_present) > 0 AND "
-        f"(CAST({_HLL_ALPHA} AS DOUBLE) * 65536.0 / (CAST(sum_hi + (256 - n_present) * 16777216 AS DOUBLE)"
-        " / 16777216.0)) <= 640.0 "
-        "THEN 256.0 * ln(256.0 / CAST(256 - n_present AS DOUBLE)) "
-        f"ELSE CAST({_HLL_ALPHA} AS DOUBLE) * 65536.0 / (CAST(sum_hi + (256 - n_present) * 16777216 AS DOUBLE)"
-        " / 16777216.0) END)"
-    )
+    d_hash = avalanche_hash("user_id", xor=duck_xor, shr=duck_shr)
+    est = hll_est_expr()
     return f"""
 WITH hashed AS (
     SELECT event_type, {d_hash} AS h FROM events
@@ -861,4 +855,100 @@ FROM folded f JOIN exact e USING (event_type)
 
 LOCAL_QUERIES["events_hll_users"] = QuerySpec(
     q_events_hll_users, _events_hll_sql()
+)
+
+
+def q_events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability — the property that makes HLL the 100 TB
+    rollup primitive: each time partition (here the month's two
+    fortnights) builds its register table INDEPENDENTLY, and the union
+    estimate comes from a max-merge of registers with ZERO re-scan of
+    either partition. This is how a warehouse serves "distinct users
+    last N days" — N partial sketches, one register-grain merge —
+    where exact distinct would re-shuffle every partition's raw keys.
+
+    Emits per-type fortnight estimates, the merged estimate, and the
+    exact union distinct for the observed error; every column
+    hash-matches the DuckDB twin."""
+    ev = t(spark, sf_dir, "events")
+    part_a = ev.filter(F.dayofmonth(col("ts")) <= 15)
+    part_b = ev.filter(F.dayofmonth(col("ts")) > 15)
+    regs_a = hll_registers(part_a)
+    regs_b = hll_registers(part_b)
+    merged = (
+        regs_a.unionByName(regs_b)
+        .groupBy("event_type", "idx")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+    def est_of(regs: DataFrame, alias: str) -> DataFrame:
+        folded = regs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 24 - max_rho)")).alias(
+                "sum_hi"
+            ),
+        )
+        return folded.select(
+            "event_type",
+            F.expr(
+                f"CAST(floor({hll_est_expr()} * 1e4 + 0.5) AS BIGINT)"
+            ).alias(alias),
+        )
+
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_union")
+    )
+    return (
+        est_of(regs_a, "est_a_q")
+        .join(est_of(regs_b, "est_b_q"), "event_type")
+        .join(est_of(merged, "est_merged_q"), "event_type")
+        .join(F.broadcast(exact), "event_type")
+    )
+
+
+def _events_hll_merge_sql() -> str:
+    d_hash = avalanche_hash("user_id", xor=duck_xor, shr=duck_shr)
+
+    def regs(pred: str, name: str) -> str:
+        return f"""{name} AS (
+    SELECT event_type, idx, max({_hll_rho()}) AS max_rho
+    FROM (SELECT event_type, h % 256 AS idx, (h >> 8) AS q
+          FROM (SELECT event_type, {d_hash} AS h FROM events
+                WHERE {pred}))
+    GROUP BY event_type, idx
+)"""
+
+    def fold(src: str, name: str, alias: str) -> str:
+        return f"""{name} AS (
+    SELECT event_type,
+           CAST(floor({hll_est_expr()} * 1e4 + 0.5) AS BIGINT) AS {alias}
+    FROM (SELECT event_type, count(*) AS n_present,
+                 CAST(sum((CAST(1 AS BIGINT) << (24 - max_rho))) AS BIGINT)
+                     AS sum_hi
+          FROM {src} GROUP BY event_type)
+)"""
+
+    return f"""
+WITH {regs("day(ts) <= 15", "regs_a")},
+{regs("day(ts) > 15", "regs_b")},
+merged AS (
+    SELECT event_type, idx, max(max_rho) AS max_rho
+    FROM (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+    GROUP BY event_type, idx
+),
+{fold("regs_a", "fa", "est_a_q")},
+{fold("regs_b", "fb", "est_b_q")},
+{fold("merged", "fm", "est_merged_q")},
+exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS exact_union
+    FROM events GROUP BY event_type
+)
+SELECT fa.event_type, fa.est_a_q, fb.est_b_q, fm.est_merged_q, e.exact_union
+FROM fa JOIN fb USING (event_type) JOIN fm USING (event_type)
+JOIN exact e USING (event_type)
+"""
+
+
+LOCAL_QUERIES["events_hll_merge"] = QuerySpec(
+    q_events_hll_merge, _events_hll_merge_sql()
 )

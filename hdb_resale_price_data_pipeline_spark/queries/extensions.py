@@ -514,3 +514,24 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_sliding_counts": QuerySpec(q_stream_sliding, _STREAM_SLIDING_SQL),
 }
+
+
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_hll_users: the HLL register table
+    maintained as a complete-mode streaming aggregate (fixed
+    types × 256 rows of state store — the sketch answer to streaming
+    COUNT DISTINCT's unbounded state), folded to the estimate in
+    batch. availableNow emits the final register state, so the result
+    equals the batch twin exactly and carries its full value oracle."""
+    from ..streaming import events_stream, run_stream_to_df, stream_hll_registers
+    from .events import hll_fold
+
+    regs = run_stream_to_df(
+        stream_hll_registers(events_stream(spark, sf_dir)), spark, mode="complete"
+    )
+    return hll_fold(regs, t(spark, sf_dir, "events"))
+
+
+from .events import _events_hll_sql as _hll_twin_sql  # noqa: E402
+
+LOCAL_QUERIES["stream_hll_users"] = QuerySpec(q_stream_hll_users, _hll_twin_sql())

@@ -1213,3 +1213,69 @@ FROM (
 LOCAL_QUERIES["warehouse_scd2_merge"] = QuerySpec(
     q_warehouse_scd2_merge, _WAREHOUSE_SCD2_SQL
 )
+
+
+# --- point-in-time dimension lookup ------------------------------------------
+
+def q_warehouse_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: each order is enriched with the
+    customer-dimension VERSION valid at its order date — the query that
+    makes SCD2 history (q_warehouse_scd2_merge) worth keeping, and the
+    temporal analog of the reference's static dim enrich.
+
+    Plan: the versioned dim is dim-sized (≤2 rows per key) and
+    broadcast; the fact table is scanned once, map-only, with the
+    validity range predicate evaluated inside the broadcast hash join
+    on c_custkey — no shuffle of the fact side, no range-join
+    explosion (each order matches exactly one version by construction:
+    versions of one key never overlap). At 100 TB the fact side
+    streams through; the dim stays a broadcast."""
+    dim = q_warehouse_scd2_merge(spark, sf_dir)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date(col("o_orderdate")).alias("o_date"),
+        "o_totalprice",
+    )
+    return (
+        orders.join(
+            broadcast(dim),
+            (col("o_custkey") == col("c_custkey"))
+            & (col("o_date") >= col("valid_from").cast("date"))
+            & (
+                col("valid_to").isNull()
+                | (col("o_date") < col("valid_to").cast("date"))
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            col("o_date").cast("string").alias("o_date"),
+            "c_mktsegment",
+            "acctbal_cents",
+            "valid_from",
+        )
+    )
+
+
+_WAREHOUSE_ASOF_SQL = f"""
+WITH dim AS ({_WAREHOUSE_SCD2_SQL}),
+orders_d AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(date_trunc('day', o_orderdate) AS DATE) AS o_date,
+           o_totalprice
+    FROM orders
+)
+SELECT o.o_orderkey, o.o_custkey, CAST(o.o_date AS VARCHAR) AS o_date,
+       d.c_mktsegment, d.acctbal_cents, d.valid_from
+FROM orders_d o
+JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_date >= CAST(d.valid_from AS DATE)
+ AND (d.valid_to IS NULL OR o.o_date < CAST(d.valid_to AS DATE))
+"""
+
+
+LOCAL_QUERIES["warehouse_asof_lookup"] = QuerySpec(
+    q_warehouse_asof_lookup, _WAREHOUSE_ASOF_SQL
+)

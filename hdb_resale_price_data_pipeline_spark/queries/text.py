@@ -2571,3 +2571,101 @@ FROM ranked WHERE rank <= {KEYWORDS_PER_DOC}
 LOCAL_QUERIES["text_keywords_tfidf"] = QuerySpec(
     q_text_keywords_tfidf, _keywords_tfidf_oracle()
 )
+
+
+# --- Count-Min heavy hitters -------------------------------------------------
+
+CMS_W = 512   # counters per hash row
+CMS_D = 4     # hash rows (DEFAULT_SEEDS[0:4])
+CMS_TOP = 20
+
+
+def q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token counts through a from-scratch Count-Min
+    sketch (d=4 × w=512, deterministic polynomial hashes —
+    functions/hashing.py), with the exact count alongside so the
+    sketch's one-sided error (est ≥ exact, always) is itself
+    hash-verified against the DuckDB twin.
+
+    The CMS update is a SUM into (row, bucket) cells — associative and
+    commutative — so building the cells from the pre-aggregated token
+    counts is bit-identical to streaming per-occurrence increments;
+    that is exactly the map-side-combine identity a 1000-executor
+    ingest relies on (each executor sketches its partition, cells
+    merge by +). Plan: one corpus explode→token-grain partial-agg
+    shuffle; everything after is vocab-sized (4 projection passes over
+    the count table, a 2048-row cell table broadcast onto the top-k
+    candidates)."""
+    toks = H.tokens("text")[0]
+    docs = widen(t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    def bucketed(src: DataFrame, keep: list[str]) -> DataFrame:
+        # ONE posexplode over the 4 bucket expressions — a 4-way union
+        # of projections would re-execute the (corpus-derived) source
+        # subtree once per arm in the DAG.
+        buckets = F.array(
+            *[
+                F.expr(f"({H.string_hash('tok', *H.DEFAULT_SEEDS[d])[0]}) % {CMS_W}")
+                for d in range(CMS_D)
+            ]
+        )
+        return src.select(*keep, F.posexplode(buckets).alias("d", "bucket"))
+
+    cells = (
+        bucketed(counts, ["tok", "n"])
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("cell"))
+    )
+    top = counts.orderBy(col("n").desc(), col("tok")).limit(CMS_TOP)
+    return (
+        bucketed(top, ["tok", "n"])
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "tok",
+            col("n").alias("exact_n"),
+            "cms_est",
+            (col("cms_est") - col("n")).alias("overcount"),
+        )
+    )
+
+
+def _cms_oracle() -> str:
+    tk = H.tokens("text")[1]
+    hs = [H.string_hash("tok", *H.DEFAULT_SEEDS[d])[1] for d in range(CMS_D)]
+    cell_arms = " UNION ALL ".join(
+        f"SELECT {d} AS d, ({hs[d]}) % {CMS_W} AS bucket, n FROM counts"
+        for d in range(CMS_D)
+    )
+    cand_arms = " UNION ALL ".join(
+        f"SELECT tok, n, {d} AS d, ({hs[d]}) % {CMS_W} AS bucket FROM top"
+        for d in range(CMS_D)
+    )
+    return f"""
+WITH counts AS (
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({tk}) AS tok FROM documents) GROUP BY tok
+), cells AS (
+    SELECT d, bucket, CAST(sum(n) AS BIGINT) AS cell
+    FROM ({cell_arms}) GROUP BY d, bucket
+), top AS (
+    SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT {CMS_TOP}
+), cand AS (
+    {cand_arms}
+)
+SELECT c.tok, c.n AS exact_n,
+       CAST(min(cl.cell) AS BIGINT) AS cms_est,
+       CAST(min(cl.cell) - c.n AS BIGINT) AS overcount
+FROM cand c JOIN cells cl USING (d, bucket)
+GROUP BY c.tok, c.n
+"""
+
+
+LOCAL_QUERIES["text_cms_heavy_hitters"] = QuerySpec(
+    q_text_cms_heavy_hitters, _cms_oracle()
+)

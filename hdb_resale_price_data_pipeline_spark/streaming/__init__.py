@@ -11,6 +11,7 @@ rows-only (no SQL oracle for incremental execution).
 from .events import (
     events_stream,
     run_stream_to_df,
+    stream_hll_registers,
     stream_hourly_tumbling,
     stream_session_windows,
     stream_sliding_counts,
@@ -20,6 +21,7 @@ from .events import (
 __all__ = [
     "events_stream",
     "run_stream_to_df",
+    "stream_hll_registers",
     "stream_hourly_tumbling",
     "stream_session_windows",
     "stream_sliding_counts",

@@ -279,18 +279,39 @@ def stream_view_purchase_join(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_df(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_stream_to_df(
+    streaming_df: DataFrame, spark: SparkSession, mode: str = "append"
+) -> DataFrame:
     """Execute a finite streaming query to completion (availableNow
     trigger → memory sink) and return the result as a batch DataFrame.
     This is the driver-facing bridge: ``queries()`` callables must
-    return DataFrames."""
+    return DataFrames. ``mode="append"`` for watermarked windows (emit
+    on finalization); ``mode="complete"`` for unwindowed running
+    aggregates (e.g. sketch registers), where the last microbatch's
+    full state is the result."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     query = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")  # watermarked windows emit on finalization
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_hll_registers(events: DataFrame) -> DataFrame:
+    """Distinct-user HyperLogLog registers as a STREAMING aggregate —
+    the sketch is the canonical answer to streaming COUNT(DISTINCT):
+    exact streaming distinct needs state proportional to the key
+    domain (unbounded at 100 TB), while the HLL register table is a
+    FIXED types × 256 rows of state no matter how many events or users
+    flow through, and max-merge makes every microbatch a partial
+    aggregate. Run in complete mode (no watermark needed: state is
+    bounded by construction, not by time eviction); the batch fold
+    (queries/events.py hll_fold) turns the final registers into the
+    estimate."""
+    from ..queries.events import hll_registers
+
+    return hll_registers(events)

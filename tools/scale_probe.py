@@ -357,6 +357,16 @@ SCALING_QUERIES = [
     "emb_hard_negatives",
     "text_mlm_mask",
     "text_length_buckets",
+    # r5 session 4: phrase scan (map-only), per-doc tf-idf tagging,
+    # PMI collocations (two explode-agg corpus passes), vintage drift
+    # over the shared LSH buckets
+    "text_phrase_search",
+    "text_keywords_tfidf",
+    "text_pmi_bigrams",
+    "emb_drift_report",
+    # r5 session 4 (cont.): CMS cells are token-grain aggs of the one
+    # explode pass — the scale-sensitive part is that pass
+    "text_cms_heavy_hitters",
 ]
 
 
@@ -477,6 +487,12 @@ TPCH_QUERIES = [
     "q18_large_orders",
     "events_salted_totals",
     "customer_windows",
+    # r5 session 4: SCD2 dim merge, deterministic HLL, z-score anomaly
+    # (events replicas repeat user_id — rows x10 at constant distinct,
+    # exactly the regime a sketch must stay flat in)
+    "warehouse_scd2_merge",
+    "events_hll_users",
+    "events_anomaly_days",
 ]
 
 
@@ -513,17 +529,21 @@ def probe_tpch(spark) -> None:
     from hdb_resale_price_data_pipeline_spark.queries import local_queries
 
     registry = local_queries()
+    only = os.environ.get("SPARK_GRAFT_SCALING_ONLY")
+    probe_list = (
+        [q for q in TPCH_QUERIES if q in only.split(",")] if only else TPCH_QUERIES
+    )
     stage_tpch(spark)
     n1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     n10 = spark.read.parquet(f"{TPCH_STAGE}/lineitem.parquet").count()
     print(f"lineitem rows: 1x={n1:,} 10x={n10:,}")
 
-    for name in TPCH_QUERIES:  # shared warmup (codegen/JIT/scan cache)
+    for name in probe_list:  # shared warmup (codegen/JIT/scan cache)
         _noop(registry[name].fn(spark, SF_DIR))
 
     print("\n| query | t@sf0.1 | t@sf1 | slope |")
     print("|---|---|---|---|")
-    for name in TPCH_QUERIES:
+    for name in probe_list:
         fn = registry[name].fn
         t: dict[str, float] = {}
         for label, d in (("1x", SF_DIR), ("10x", TPCH_STAGE)):
