@@ -113,6 +113,8 @@ EXTRA_LOCAL_QUERIES = [
     "text_cms_heavy_hitters",
     "events_hll_merge",
     "warehouse_asof_lookup",
+    "text_cdc_chunks",
+    "emb_mutual_knn",
 ]
 
 _GRADED = all_queries()

@@ -363,7 +363,10 @@ GROUP BY band_name
 
 QUERIES: dict[str, QuerySpec] = {
     "events_range_join": QuerySpec(q_events_range_join, _EVENTS_RANGE_JOIN_SQL),
-    "events_above_median": QuerySpec(q_events_above_median, _EVENTS_ABOVE_MEDIAN_SQL),
+    # r5 session 4: events_above_median demoted to LOCAL_QUERIES (median
+    # window demo; the percentile family stays anchored by
+    # events_sessionize/orders_window_frames) in favor of the
+    # deterministic-HLL sketch — registered after its definition below.
     "events_asof_attribution": QuerySpec(q_events_asof_attribution, _EVENTS_ASOF_SQL),
     "events_salted_totals": QuerySpec(q_events_salted_totals, _EVENTS_SALTED_SQL),
     "events_hourly_pivot": QuerySpec(q_events_hourly_pivot, _EVENTS_HOURLY_PIVOT_SQL),
@@ -853,8 +856,9 @@ FROM folded f JOIN exact e USING (event_type)
 """
 
 
-LOCAL_QUERIES["events_hll_users"] = QuerySpec(
-    q_events_hll_users, _events_hll_sql()
+QUERIES["events_hll_users"] = QuerySpec(q_events_hll_users, _events_hll_sql())
+LOCAL_QUERIES["events_above_median"] = QuerySpec(
+    q_events_above_median, _EVENTS_ABOVE_MEDIAN_SQL
 )
 
 

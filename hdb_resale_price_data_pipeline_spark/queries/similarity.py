@@ -2328,3 +2328,51 @@ FROM per CROSS JOIN tot
 LOCAL_QUERIES["emb_drift_report"] = QuerySpec(
     q_emb_drift_report, _drift_report_oracle()
 )
+
+
+# --- mutual k-NN -------------------------------------------------------------
+
+def q_emb_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual (reciprocal) k-NN filtering of the blocked k-NN graph:
+    keep edge (a, b) only when b also lists a among ITS top-k — the
+    standard hub-suppression step before graph clustering or
+    kNN-classification (asymmetric edges into hub vectors are the
+    dominant noise source in high-dim neighbor graphs).
+
+    The graph is edge-bounded (≤ K per node), so mutualization is one
+    self-join of the edge list on the reversed key — edge-grain, never
+    corpus-grain; the canonical (src < dst) projection halves the
+    output. At 100 TB this join rides the same (src, dst) hash
+    partitioning the graph build already produced."""
+    # One materialization: the self-join's two sides would otherwise
+    # re-execute the whole blocked pair-cosine build (the expensive
+    # subtree) once each. The edge list is ≤ K rows per vector — tiny
+    # next to the corpus — so checkpointing it is the 100 TB-correct
+    # trade (operators/components.py precedent; lazy → materialized by
+    # the join's first action, GC-managed).
+    edges = (
+        q_emb_knn_graph(spark, sf_dir)
+        .select("src", "dst", "qsim")
+        .localCheckpoint(eager=False)
+    )
+    rev = edges.select(
+        col("dst").alias("src"), col("src").alias("dst"),
+        col("qsim").alias("qsim_rev"),
+    )
+    return (
+        edges.join(rev, ["src", "dst"])
+        .filter(col("src") < col("dst"))
+        .select("src", "dst", "qsim")
+    )
+
+
+def _mutual_knn_oracle() -> str:
+    return f"""
+WITH knn AS ({_knn_graph_oracle()})
+SELECT e.src, e.dst, e.qsim
+FROM knn e JOIN knn r ON e.src = r.dst AND e.dst = r.src
+WHERE e.src < e.dst
+"""
+
+
+LOCAL_QUERIES["emb_mutual_knn"] = QuerySpec(q_emb_mutual_knn, _mutual_knn_oracle())

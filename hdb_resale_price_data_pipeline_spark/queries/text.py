@@ -2669,3 +2669,131 @@ GROUP BY c.tok, c.n
 LOCAL_QUERIES["text_cms_heavy_hitters"] = QuerySpec(
     q_text_cms_heavy_hitters, _cms_oracle()
 )
+
+
+# --- content-defined chunking ------------------------------------------------
+
+CDC_WINDOW = 4      # rolling-hash window (tokens)
+CDC_DIVISOR = 16    # boundary when rolling hash % divisor == 0 (~16-token chunks)
+_CDC_M = H.MERSENNE_31
+_CDC_A = 131
+_CDC_A2 = 131 * 131
+_CDC_A3 = 131 * 131 * 131
+
+
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where a rolling
+    hash of the last 4 tokens is ≡ 0 mod 16, so an insertion early in a
+    document only perturbs the chunks it touches — unlike fixed-width
+    chunking (text_chunk_overlap), where one shifted token re-keys
+    every downstream chunk. This is the storage-dedup / shift-robust
+    corpus-dedup primitive (rsync/LBFS lineage); ``n_dups`` counts
+    cross-corpus repeats of each chunk fingerprint.
+
+    Everything before the final dup-count is ROW-LOCAL codegen-side
+    array work (token hashes → windowed rolling hash → boundary
+    positions → per-chunk fingerprints, each token touched O(1) times;
+    the chunk structs are built INSIDE the row so the token-hash array
+    is never duplicated per chunk) — zero shuffles until the one
+    fingerprint-grain aggregate + its AQE join back. Per-term mod
+    keeps every product < 2^62 (DuckDB overflow errors; Spark wraps).
+    At 100 TB: one corpus pass + one chunk-hash shuffle."""
+    toks = H.tokens("text")[0]
+    th = f"transform({toks}, x -> {H.string_hash('x')[0]})"
+    docs = widen(t(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", F.expr(th).alias("th")).filter(F.expr("size(th) > 0"))
+    rolling = (
+        f"transform(sequence(1, size(th)), i -> CASE WHEN i >= {CDC_WINDOW} THEN "
+        f"((element_at(th, i - 3) * {_CDC_A3}) % {_CDC_M}"
+        f" + (element_at(th, i - 2) * {_CDC_A2}) % {_CDC_M}"
+        f" + (element_at(th, i - 1) * {_CDC_A}) % {_CDC_M}"
+        f" + element_at(th, i)) % {_CDC_M} ELSE -1 END)"
+    )
+    # boundaries strictly before the end + the end itself: appending the
+    # final position (rather than dedup'ing) keeps both engines' arrays
+    # in ascending order (DuckDB list_distinct does NOT preserve order)
+    bounds = (
+        f"concat(filter(sequence(1, size(th)), "
+        f"i -> i < size(th) AND element_at(r, i) >= 0 "
+        f"AND element_at(r, i) % {CDC_DIVISOR} = 0), "
+        "array(size(th)))"
+    )
+    chunk_hash = (
+        "aggregate(slice(th, strt, ln), CAST(7 AS BIGINT), "
+        f"(acc, x) -> (acc * {_CDC_A} + x) % {_CDC_M})"
+    )
+    chunks = (
+        "transform(sequence(1, size(bounds)), j -> "
+        "named_struct('chunk_idx', j, "
+        "'start_pos', CASE WHEN j = 1 THEN 1 ELSE element_at(bounds, j - 1) + 1 END, "
+        "'n_tokens', element_at(bounds, j) - "
+        "(CASE WHEN j = 1 THEN 0 ELSE element_at(bounds, j - 1) END)))"
+    )
+    per_chunk = (
+        base.select("doc_id", "th", F.expr(rolling).alias("r"))
+        .select("doc_id", "th", F.expr(bounds).alias("bounds"))
+        .select("doc_id", "th", F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            "doc_id",
+            col("c.chunk_idx").alias("chunk_idx"),
+            col("c.start_pos").alias("start_pos"),
+            col("c.n_tokens").alias("n_tokens"),
+            F.expr(
+                chunk_hash.replace("strt", "c.start_pos").replace("ln", "c.n_tokens")
+            ).alias("chunk_hash"),
+        )
+    )
+    dups = per_chunk.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_dups"))
+    return per_chunk.join(dups, "chunk_hash").select(
+        "doc_id", "chunk_idx", "start_pos", "n_tokens", "chunk_hash", "n_dups"
+    )
+
+
+def _cdc_chunks_oracle() -> str:
+    tk = H.tokens("text")[1]
+    th = f"list_transform(tk, x -> {H.string_hash('x')[1]})"
+    return f"""
+WITH base AS (
+    SELECT doc_id, {th} AS th
+    FROM (SELECT doc_id, {tk} AS tk FROM documents)
+    WHERE len(tk) > 0
+), rolled AS (
+    SELECT doc_id, th,
+           [CASE WHEN i >= {CDC_WINDOW} THEN
+                ((th[i - 3] * {_CDC_A3}) % {_CDC_M}
+                 + (th[i - 2] * {_CDC_A2}) % {_CDC_M}
+                 + (th[i - 1] * {_CDC_A}) % {_CDC_M}
+                 + th[i]) % {_CDC_M} ELSE -1 END
+            for i in range(1, len(th) + 1)] AS r
+    FROM base
+), bounded AS (
+    SELECT doc_id, th,
+           list_append(
+               [i for i in range(1, len(th))
+                if r[i] >= 0 AND r[i] % {CDC_DIVISOR} = 0],
+               len(th)) AS bounds
+    FROM rolled
+), per_chunk AS (
+    SELECT doc_id,
+           unnest(range(1, len(bounds) + 1)) AS chunk_idx,
+           unnest([CASE WHEN j = 1 THEN 1 ELSE bounds[j - 1] + 1 END
+                   for j in range(1, len(bounds) + 1)]) AS start_pos,
+           unnest([bounds[j] - (CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] END)
+                   for j in range(1, len(bounds) + 1)]) AS n_tokens,
+           unnest([list_reduce(
+                       list_prepend(CAST(7 AS BIGINT),
+                           th[(CASE WHEN j = 1 THEN 1 ELSE bounds[j - 1] + 1 END):(bounds[j])]),
+                       (acc, x) -> (acc * {_CDC_A} + x) % {_CDC_M})
+                   for j in range(1, len(bounds) + 1)]) AS chunk_hash
+    FROM bounded
+), dup_counts AS (
+    SELECT chunk_hash, count(*) AS n_dups FROM per_chunk GROUP BY chunk_hash
+)
+SELECT p.doc_id, p.chunk_idx, p.start_pos, p.n_tokens, p.chunk_hash, d.n_dups
+FROM per_chunk p JOIN dup_counts d USING (chunk_hash)
+"""
+
+
+LOCAL_QUERIES["text_cdc_chunks"] = QuerySpec(
+    q_text_cdc_chunks, _cdc_chunks_oracle()
+)

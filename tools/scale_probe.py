@@ -367,6 +367,10 @@ SCALING_QUERIES = [
     # r5 session 4 (cont.): CMS cells are token-grain aggs of the one
     # explode pass — the scale-sensitive part is that pass
     "text_cms_heavy_hitters",
+    # r5 session 4 (cont.): CDC chunking (row-local arrays + one
+    # fingerprint shuffle), mutual-kNN (edge-bounded self-join)
+    "text_cdc_chunks",
+    "emb_mutual_knn",
 ]
 
 
