@@ -115,6 +115,10 @@ EXTRA_LOCAL_QUERIES = [
     "warehouse_asof_lookup",
     "text_cdc_chunks",
     "emb_mutual_knn",
+    "events_quantile_sketch",
+    "text_weighted_sample",
+    "emb_dim_corr",
+    "text_js_divergence",
 ]
 
 _GRADED = all_queries()

@@ -956,3 +956,117 @@ JOIN exact e USING (event_type)
 LOCAL_QUERIES["events_hll_merge"] = QuerySpec(
     q_events_hll_merge, _events_hll_merge_sql()
 )
+
+
+# --- mergeable quantile sketch -----------------------------------------------
+
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of ``value`` per event type through a MERGEABLE
+    fixed-grid histogram sketch (bucket = floor(value·10); counts merge
+    by +, the same map-side-combine property as the HLL/CMS family) —
+    completing the sketch trio: cardinality (HLL), frequency (CMS),
+    quantiles (this). The exact rank-r value rides alongside purely to
+    verify the sketch's ≤0.1 bucket-width error; the sketch path is
+    the one that scales (a 100 TB run never sorts the data — the
+    histogram is bucket-grain, its cumulative window runs over ≤5k
+    rows per type).
+
+    All rank arithmetic is ceil(q·n) on exact integers through
+    identical double literals; the estimate is the smallest bucket
+    whose cumulative count reaches the rank."""
+    ev = t(spark, sf_dir, "events")
+    # bucket-grain (≤5k rows/type) and consumed by three branches (cum,
+    # totals, est) — checkpoint so the corpus aggregation runs once
+    # (operators/components.py precedent; lazy, GC-managed)
+    hist = (
+        ev.groupBy(
+            "event_type",
+            F.floor(col("value") * 10).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wb))
+    totals = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    qq = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(pct).alias("q_pct"),
+                    F.ceil(col("n") * F.lit(pct / 100.0)).cast("long").alias("r"),
+                )
+                for pct in (50, 95, 99)
+            ]
+        )
+    )
+    ranks = totals.select("event_type", "n", qq.alias("qq")).select(
+        "event_type", "n", col("qq.q_pct").alias("q_pct"), col("qq.r").alias("r")
+    )
+    est = (
+        ranks.join(cum, "event_type")
+        .filter(col("cum") >= col("r"))
+        .groupBy("event_type", "n", "q_pct", "r")
+        .agg(F.min("bucket").alias("est_tenths"))
+    )
+    we = Window.partitionBy("event_type").orderBy("value", "event_id")
+    rk = ranks.select(
+        col("event_type").alias("rk_type"), "q_pct", col("r").alias("rk_r")
+    )
+    exact = (
+        ev.withColumn("rn", F.row_number().over(we))
+        .join(
+            F.broadcast(rk),
+            (col("rn") == col("rk_r")) & (col("event_type") == col("rk_type")),
+        )
+        .select(
+            "event_type",
+            "q_pct",
+            F.floor(col("value") * 10000 + F.lit(0.5)).cast("long").alias("exact_q"),
+        )
+    )
+    return est.join(exact, ["event_type", "q_pct"]).select(
+        "event_type", "q_pct", "n", "r", "est_tenths", "exact_q"
+    )
+
+
+_EVENTS_QUANTILE_SQL = """
+WITH hist AS (
+    SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bucket,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+), cum AS (
+    SELECT event_type, bucket, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+    FROM hist
+), totals AS (
+    SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+), ranks AS (
+    SELECT event_type, n, q_pct,
+           CAST(ceil(n * q_pct / 100.0) AS BIGINT) AS r
+    FROM totals, (SELECT unnest([50, 95, 99]) AS q_pct)
+), est AS (
+    SELECT rk.event_type, rk.n, rk.q_pct, rk.r,
+           min(c.bucket) AS est_tenths
+    FROM ranks rk JOIN cum c USING (event_type)
+    WHERE c.cum >= rk.r
+    GROUP BY 1, 2, 3, 4
+), ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn
+    FROM events
+), exact AS (
+    SELECT rk.event_type, rk.q_pct,
+           CAST(floor(x.value * 10000 + 0.5) AS BIGINT) AS exact_q
+    FROM ranks rk JOIN ranked x
+      ON x.event_type = rk.event_type AND x.rn = rk.r
+)
+SELECT e.event_type, e.q_pct, e.n, e.r, e.est_tenths, x.exact_q
+FROM est e JOIN exact x USING (event_type, q_pct)
+"""
+
+
+LOCAL_QUERIES["events_quantile_sketch"] = QuerySpec(
+    q_events_quantile_sketch, _EVENTS_QUANTILE_SQL
+)

@@ -1002,7 +1002,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_customer_order_activity, _CUSTOMER_ORDER_ACTIVITY_SQL
     ),
     "hdb_cleaning_semantics": QuerySpec(q_hdb_cleaning_semantics, _HDB_CLEANING_SQL),
-    "orders_cube": QuerySpec(q_orders_cube, _ORDERS_CUBE_SQL),
+    # r5 session 4: orders_cube (cube demo; §2.6 aggregation anchored by
+    # pricing_summary/segment_set_ops, rollup re-agg by orders_rollup)
+    # demoted to LOCAL_QUERIES for the SCD2 warehouse merge — registered
+    # after its definition below.
     "segment_set_ops": QuerySpec(q_segment_set_ops, _SEGMENT_SET_OPS_SQL),
     "pricing_summary": QuerySpec(q_pricing_summary, _PRICING_SUMMARY_SQL),
     "avg_revenue_by_region_year": QuerySpec(q_avg_revenue_by_region_year, _AVG_REVENUE_SQL),
@@ -1210,9 +1213,10 @@ FROM (
 """
 
 
-LOCAL_QUERIES["warehouse_scd2_merge"] = QuerySpec(
+QUERIES["warehouse_scd2_merge"] = QuerySpec(
     q_warehouse_scd2_merge, _WAREHOUSE_SCD2_SQL
 )
+LOCAL_QUERIES["orders_cube"] = QuerySpec(q_orders_cube, _ORDERS_CUBE_SQL)
 
 
 # --- point-in-time dimension lookup ------------------------------------------

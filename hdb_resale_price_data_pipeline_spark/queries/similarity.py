@@ -2376,3 +2376,157 @@ WHERE e.src < e.dst
 
 
 LOCAL_QUERIES["emb_mutual_knn"] = QuerySpec(q_emb_mutual_knn, _mutual_knn_oracle())
+
+
+# --- dimension-correlation diagnostics ---------------------------------------
+
+DIM_CORR_TOP = 20
+
+
+def q_emb_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-|r| correlated embedding-dimension pairs — the redundancy
+    diagnostic run before dimensionality reduction or PQ subspace
+    assignment (strongly-correlated dims waste code budget when split
+    across subquantizers).
+
+    Built the distributed-covariance way (Spark MLlib's shape): each
+    partition computes ONE integer Gram-matrix partial (XᵀX over the
+    1e6-quantized dims — numpy int64 matmul, exact), plus column sums
+    and a count; partials merge by + at (i, j) grain — d(d+1)/2 + d + 1
+    rows per partition, so the shuffle is matrix-sized no matter the
+    corpus. Pearson r then comes from exact integer moments through an
+    identical double expression in both engines. Exactness bound: the
+    int64 partials overflow only past ~9e6 rows × unit-norm dims per
+    partition — re-tile partitions before that, the merge is
+    unaffected. One corpus pass, zero corpus shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    staged = emb.select(col("embedding").cast("array<double>").alias("_ed"))
+
+    def partials(batches):
+        gram = None
+        lin = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.floor(
+                np.stack(pdf["_ed"].to_numpy()) * 1e6 + 0.5
+            ).astype(np.int64)
+            gram = x.T @ x if gram is None else gram + x.T @ x
+            lin = x.sum(axis=0) if lin is None else lin + x.sum(axis=0)
+            n += len(x)
+        if n == 0:
+            return
+        d = gram.shape[0]
+        rows = [
+            (i + 1, j + 1, int(gram[i, j])) for i in range(d) for j in range(i, d)
+        ]
+        rows += [(i + 1, 0, int(lin[i])) for i in range(d)]
+        rows.append((0, 0, n))
+        yield pd.DataFrame(rows, columns=["i", "j", "s"])
+
+    # matrix-sized (d(d+1)/2 + d + 1 rows) and consumed by five branches
+    # (pairs, lin x2, diag x2, nrow) — checkpoint or the one corpus
+    # Arrow pass re-executes per branch (plan snapshot caught
+    # map_in_pandas x6)
+    cells = (
+        staged.mapInPandas(partials, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    nrow = cells.filter((col("i") == 0) & (col("j") == 0)).select(
+        col("s").alias("n")
+    )
+    lin = cells.filter((col("i") > 0) & (col("j") == 0)).select(
+        col("i").alias("li"), col("s").alias("s_lin")
+    )
+    diag = cells.filter((col("i") > 0) & (col("j") == col("i"))).select(
+        col("i").alias("di"), col("s").alias("s_diag")
+    )
+    pairs = cells.filter((col("j") > col("i")) & (col("i") > 0))
+    corr = F.expr(
+        "(CAST(n AS DOUBLE) * CAST(s AS DOUBLE)"
+        " - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(s_ii AS DOUBLE)"
+        " - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(s_jj AS DOUBLE)"
+        " - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)))"
+    )
+    return (
+        pairs.join(F.broadcast(lin), col("i") == col("li"))
+        .withColumnRenamed("s_lin", "s_i")
+        .drop("li")
+        .join(F.broadcast(lin), col("j") == col("li"))
+        .withColumnRenamed("s_lin", "s_j")
+        .drop("li")
+        .join(F.broadcast(diag), col("i") == col("di"))
+        .withColumnRenamed("s_diag", "s_ii")
+        .drop("di")
+        .join(F.broadcast(diag), col("j") == col("di"))
+        .withColumnRenamed("s_diag", "s_jj")
+        .drop("di")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "i",
+            "j",
+            F.floor(corr * 1e6 + F.lit(0.5)).cast("long").alias("corr_q"),
+        )
+        .orderBy(F.abs(col("corr_q")).desc(), "i", "j")
+        .limit(DIM_CORR_TOP)
+    )
+
+
+_EMB_DIM_CORR_SQL = f"""
+WITH q AS (
+    SELECT [CAST(floor(x * 1e6 + 0.5) AS BIGINT) for x in embedding] AS e
+    FROM embeddings
+), idx AS (
+    SELECT e, unnest(range(1, len(e) + 1)) AS i FROM q
+), pairs_raw AS (
+    SELECT e, i, unnest(range(i, len(e) + 1)) AS j FROM idx
+), cells AS (
+    SELECT i, j, CAST(sum(e[i] * e[j]) AS BIGINT) AS s
+    FROM pairs_raw GROUP BY i, j
+), lin AS (
+    SELECT i, CAST(sum(e[i]) AS BIGINT) AS s_lin FROM idx GROUP BY i
+), nrow AS (
+    SELECT count(*) AS n FROM q
+), joined AS (
+    SELECT p.i, p.j, p.s,
+           l1.s_lin AS s_i, l2.s_lin AS s_j,
+           d1.s AS s_ii, d2.s AS s_jj, nr.n
+    FROM cells p
+    JOIN lin l1 ON l1.i = p.i
+    JOIN lin l2 ON l2.i = p.j
+    JOIN cells d1 ON d1.i = p.i AND d1.j = p.i
+    JOIN cells d2 ON d2.i = p.j AND d2.j = p.j
+    CROSS JOIN nrow nr
+    WHERE p.j > p.i
+)
+SELECT i, j,
+       CAST(floor(
+           (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+            - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(s_ii AS DOUBLE)
+                   - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s_jj AS DOUBLE)
+                     - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT) AS corr_q
+FROM joined
+ORDER BY abs(CAST(floor(
+           (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+            - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(s_ii AS DOUBLE)
+                   - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s_jj AS DOUBLE)
+                     - CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT)) DESC, i, j
+LIMIT {DIM_CORR_TOP}
+"""
+
+
+LOCAL_QUERIES["emb_dim_corr"] = QuerySpec(q_emb_dim_corr, _EMB_DIM_CORR_SQL)

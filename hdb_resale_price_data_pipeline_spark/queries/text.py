@@ -2797,3 +2797,164 @@ FROM per_chunk p JOIN dup_counts d USING (chunk_hash)
 LOCAL_QUERIES["text_cdc_chunks"] = QuerySpec(
     q_text_cdc_chunks, _cdc_chunks_oracle()
 )
+
+
+# --- weighted sampling -------------------------------------------------------
+
+WSAMPLE_K = 100
+
+
+def q_text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsampling WITHOUT replacement via the
+    Efraimidis–Spirakis exponential race: each doc gets the
+    deterministic key r = −ln(u)/w (u from the avalanche hash of
+    doc_id, w = its quality score) and the K smallest keys win —
+    inclusion probability proportional to weight, exactly the
+    quality-weighted subsample a data-mixing pipeline draws.
+
+    Deterministic where random sampling is not: re-runs, retries, and
+    re-partitions select the SAME sample (u is a pure function of
+    doc_id), which is what makes the draw auditable and the oracle
+    possible. Plan: one map-only scoring pass +
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus;
+    at 100 TB the per-partition top-K merge is driver-bounded at K."""
+    from ..functions.hashing import avalanche_hash, spark_shr, spark_xor
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    h = avalanche_hash("doc_id", xor=spark_xor, shr=spark_shr)
+    w = T.quality_score("text")
+    neg_ln_u = F.expr(f"-ln((CAST({h} AS DOUBLE) + 1.0) / 2147483649.0)")
+    r = neg_ln_u / w
+    return (
+        docs.select(
+            "doc_id",
+            F.floor(w * 1e4 + F.lit(0.5)).cast("long").alias("w_q"),
+            F.floor(r * 1e6 + F.lit(0.5)).cast("long").alias("r_q"),
+            r.alias("_r"),
+        )
+        .filter(col("w_q") > 0)
+        .orderBy(col("_r").asc(), col("doc_id"))
+        .limit(WSAMPLE_K)
+        .select("doc_id", "w_q", "r_q")
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from ..functions.hashing import avalanche_hash, duck_shr, duck_xor
+
+    h = avalanche_hash("doc_id", xor=duck_xor, shr=duck_shr)
+    w = T.quality_score_duck("text")
+    r = f"(-ln((CAST({h} AS DOUBLE) + 1.0) / 2147483649.0) / ({w}))"
+    return f"""
+SELECT doc_id,
+       CAST(floor(({w}) * 1e4 + 0.5) AS BIGINT) AS w_q,
+       CAST(floor({r} * 1e6 + 0.5) AS BIGINT) AS r_q
+FROM documents
+WHERE CAST(floor(({w}) * 1e4 + 0.5) AS BIGINT) > 0
+ORDER BY {r} ASC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
+LOCAL_QUERIES["text_weighted_sample"] = QuerySpec(
+    q_text_weighted_sample, _weighted_sample_oracle()
+)
+
+
+# --- token-distribution drift ------------------------------------------------
+
+JSD_TOP = 20
+
+
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two corpus vintages' unigram
+    distributions (even/odd doc_id as the deterministic split) — the
+    text twin of ``emb_drift_report``: the drift monitor that catches a
+    source mix or extraction change shifting the token distribution.
+
+    ONE explode pass builds both vintages' counts as conditional sums;
+    everything after is vocab-sized. The per-token JS contribution is
+    quantized to a 1e-12 BIGINT grid and summed EXACTLY (sum of raw
+    doubles would be partition-order-dependent — the scoring.py
+    precedent), so the total divergence hash-matches. Emits the top-20
+    |contribution| tokens with the corpus-level js_q alongside."""
+    toks = H.tokens("text")[0]
+    docs = widen(t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.expr(toks)).alias("tok"), (col("doc_id") % 2).alias("side"))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.expr("CAST(side = 0 AS INT)")).alias("c_a"),
+            F.sum(F.expr("CAST(side = 1 AS INT)")).alias("c_b"),
+        )
+        # vocab-sized, consumed by scored/totals/total_js — checkpoint
+        # or the corpus explode re-executes per branch
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    contrib = F.expr(
+        "0.5 * (CASE WHEN c_a > 0 THEN (CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE))"
+        " * ln((CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE))"
+        " / ((CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE)"
+        " + CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE)) / 2.0)) ELSE 0.0 END)"
+        " + 0.5 * (CASE WHEN c_b > 0 THEN (CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE))"
+        " * ln((CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE))"
+        " / ((CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE)"
+        " + CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE)) / 2.0)) ELSE 0.0 END)"
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        "c_a",
+        "c_b",
+        F.floor(contrib * 1e12 + F.lit(0.5)).cast("long").alias("contrib_q"),
+    )
+    total_js = scored.agg(F.sum("contrib_q").alias("js_q"))
+    return (
+        scored.crossJoin(F.broadcast(total_js))
+        .orderBy(F.abs(col("contrib_q")).desc(), "tok")
+        .limit(JSD_TOP)
+        .select("tok", "c_a", "c_b", "contrib_q", "js_q")
+    )
+
+
+def _js_divergence_oracle() -> str:
+    tk = H.tokens("text")[1]
+    contrib = (
+        "0.5 * (CASE WHEN c_a > 0 THEN (CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE))"
+        " * ln((CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE))"
+        " / ((CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE)"
+        " + CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE)) / 2.0)) ELSE 0.0 END)"
+        " + 0.5 * (CASE WHEN c_b > 0 THEN (CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE))"
+        " * ln((CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE))"
+        " / ((CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE)"
+        " + CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE)) / 2.0)) ELSE 0.0 END)"
+    )
+    return f"""
+WITH counts AS (
+    SELECT tok,
+           CAST(sum(CAST(side = 0 AS INT)) AS BIGINT) AS c_a,
+           CAST(sum(CAST(side = 1 AS INT)) AS BIGINT) AS c_b
+    FROM (SELECT unnest({tk}) AS tok, doc_id % 2 AS side FROM documents)
+    GROUP BY tok
+), totals AS (
+    SELECT CAST(sum(c_a) AS BIGINT) AS t_a, CAST(sum(c_b) AS BIGINT) AS t_b
+    FROM counts
+), scored AS (
+    SELECT tok, c_a, c_b,
+           CAST(floor(({contrib}) * 1e12 + 0.5) AS BIGINT) AS contrib_q
+    FROM counts CROSS JOIN totals
+), total_js AS (
+    SELECT CAST(sum(contrib_q) AS BIGINT) AS js_q FROM scored
+)
+SELECT tok, c_a, c_b, contrib_q, js_q
+FROM scored CROSS JOIN total_js
+ORDER BY abs(contrib_q) DESC, tok
+LIMIT {JSD_TOP}
+"""
+
+
+LOCAL_QUERIES["text_js_divergence"] = QuerySpec(
+    q_text_js_divergence, _js_divergence_oracle()
+)

@@ -371,6 +371,11 @@ SCALING_QUERIES = [
     # fingerprint shuffle), mutual-kNN (edge-bounded self-join)
     "text_cdc_chunks",
     "emb_mutual_knn",
+    # r5 session 4 (cont.): weighted sampling (map-only + TakeOrdered)
+    "text_weighted_sample",
+    # r5 session 4 (cont.): Gram-partial dim correlation, JS drift
+    "emb_dim_corr",
+    "text_js_divergence",
 ]
 
 
@@ -497,6 +502,7 @@ TPCH_QUERIES = [
     "warehouse_scd2_merge",
     "events_hll_users",
     "events_anomaly_days",
+    "events_quantile_sketch",
 ]
 
 
