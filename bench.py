@@ -119,6 +119,9 @@ EXTRA_LOCAL_QUERIES = [
     "text_weighted_sample",
     "emb_dim_corr",
     "text_js_divergence",
+    "orders_brand_affinity",
+    "text_vocab_coverage",
+    "emb_pca_project",
 ]
 
 _GRADED = all_queries()

@@ -1283,3 +1283,101 @@ JOIN dim d
 LOCAL_QUERIES["warehouse_asof_lookup"] = QuerySpec(
     q_warehouse_asof_lookup, _WAREHOUSE_ASOF_SQL
 )
+
+
+# --- market-basket affinity --------------------------------------------------
+
+BASKET_MIN_SUPPORT = 5
+
+
+def q_orders_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at brand grain: for every brand
+    pair co-occurring in an order, the support count and the LIFT
+    (observed co-occurrence vs independence) — the a-priori first pass
+    behind recommendations and assortment analysis.
+
+    Plan: lineitem joins the broadcast part dim for the brand, one
+    distinct to (order, brand) — baskets are order-bounded (≤13 rows
+    here), so the within-order pair self-join is bounded-quadratic per
+    basket, never global; pair support partial-aggregates; the brand
+    marginals are a brands-sized aggregate broadcast back, n_orders a
+    1-row crossJoin. Lift from exact integer counts through an
+    identical double expression. At 100 TB: one (order, brand) shuffle
+    + basket-local pairs; everything downstream is brands²-sized."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # consumed by four branches (both self-join sides, marginals,
+    # n_orders) — one materialization beats four lineitem⋈part passes;
+    # this is the basket table itself, already distinct-reduced to
+    # (order, brand) grain, ~1 row per basket item
+    ob = (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .select("l_orderkey", col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = ob.select("l_orderkey", col("brand").alias("brand_a"))
+    b = ob.select("l_orderkey", col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(col("support") >= BASKET_MIN_SUPPORT)
+    )
+    marg = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    lift = F.expr(
+        "(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE))"
+        " / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))"
+    )
+    return (
+        pairs.join(
+            broadcast(marg.select(col("brand").alias("brand_a"), col("c").alias("c_a"))),
+            "brand_a",
+        )
+        .join(
+            broadcast(marg.select(col("brand").alias("brand_b"), col("c").alias("c_b"))),
+            "brand_b",
+        )
+        .crossJoin(broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            "c_a",
+            "c_b",
+            F.floor(lift * 1e6 + F.lit(0.5)).cast("long").alias("lift_q"),
+        )
+    )
+
+
+_ORDERS_BRAND_AFFINITY_SQL = f"""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS support
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+    GROUP BY 1, 2
+    HAVING count(*) >= {BASKET_MIN_SUPPORT}
+), marg AS (
+    SELECT brand, count(*) AS c FROM ob GROUP BY brand
+), n AS (
+    SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob
+)
+SELECT p.brand_a, p.brand_b, p.support, ma.c AS c_a, mb.c AS c_b,
+       CAST(floor((CAST(p.support AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+           / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)) * 1e6 + 0.5)
+           AS BIGINT) AS lift_q
+FROM pairs p
+JOIN marg ma ON ma.brand = p.brand_a
+JOIN marg mb ON mb.brand = p.brand_b
+CROSS JOIN n
+"""
+
+
+LOCAL_QUERIES["orders_brand_affinity"] = QuerySpec(
+    q_orders_brand_affinity, _ORDERS_BRAND_AFFINITY_SQL
+)

@@ -2383,22 +2383,19 @@ LOCAL_QUERIES["emb_mutual_knn"] = QuerySpec(q_emb_mutual_knn, _mutual_knn_oracle
 DIM_CORR_TOP = 20
 
 
-def q_emb_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-|r| correlated embedding-dimension pairs — the redundancy
-    diagnostic run before dimensionality reduction or PQ subspace
-    assignment (strongly-correlated dims waste code budget when split
-    across subquantizers).
-
-    Built the distributed-covariance way (Spark MLlib's shape): each
+def gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer second-moment cells of the embedding matrix —
+    (i, j, S_ij) for i≤j plus (i, 0, S_i) column sums and (0, 0, n) —
+    built the distributed-covariance way (Spark MLlib's shape): each
     partition computes ONE integer Gram-matrix partial (XᵀX over the
-    1e6-quantized dims — numpy int64 matmul, exact), plus column sums
-    and a count; partials merge by + at (i, j) grain — d(d+1)/2 + d + 1
-    rows per partition, so the shuffle is matrix-sized no matter the
-    corpus. Pearson r then comes from exact integer moments through an
-    identical double expression in both engines. Exactness bound: the
-    int64 partials overflow only past ~9e6 rows × unit-norm dims per
-    partition — re-tile partitions before that, the merge is
-    unaffected. One corpus pass, zero corpus shuffles."""
+    1e6-quantized dims — numpy int64 matmul, exact), partials merge
+    by + at (i, j) grain, so the shuffle is matrix-sized no matter the
+    corpus. Exactness bound: int64 partials overflow only past ~9e6
+    rows × unit-norm dims per partition — re-tile before that; the
+    merge is unaffected. localCheckpoint'ed: matrix-sized and consumed
+    by several branches (the plan snapshot caught map_in_pandas × 6
+    without it). One corpus pass, zero corpus shuffles. Shared by the
+    correlation diagnostic and the power-iteration PCA."""
     import numpy as np
     import pandas as pd
 
@@ -2428,16 +2425,22 @@ def q_emb_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((0, 0, n))
         yield pd.DataFrame(rows, columns=["i", "j", "s"])
 
-    # matrix-sized (d(d+1)/2 + d + 1 rows) and consumed by five branches
-    # (pairs, lin x2, diag x2, nrow) — checkpoint or the one corpus
-    # Arrow pass re-executes per branch (plan snapshot caught
-    # map_in_pandas x6)
-    cells = (
+    return (
         staged.mapInPandas(partials, "i int, j int, s long")
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
         .localCheckpoint(eager=False)
     )
+
+
+def q_emb_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-|r| correlated embedding-dimension pairs — the redundancy
+    diagnostic run before dimensionality reduction or PQ subspace
+    assignment (strongly-correlated dims waste code budget when split
+    across subquantizers). Pearson r from the shared exact integer
+    moments (``gram_cells``) through an identical double expression in
+    both engines."""
+    cells = gram_cells(spark, sf_dir)
     nrow = cells.filter((col("i") == 0) & (col("j") == 0)).select(
         col("s").alias("n")
     )
@@ -2530,3 +2533,145 @@ LIMIT {DIM_CORR_TOP}
 
 
 LOCAL_QUERIES["emb_dim_corr"] = QuerySpec(q_emb_dim_corr, _EMB_DIM_CORR_SQL)
+
+
+# --- power-iteration PCA -----------------------------------------------------
+
+PCA_ITERS = 8
+
+
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component projection, trained IN-ENGINE: the
+    covariance direction comes from the shared exact integer Gram
+    cells (``gram_cells`` — one corpus pass, matrix-sized shuffle),
+    the top eigenvector from 8 fixed power iterations, and every
+    vector's PC1 score from a row-local sequential fold. The trained
+    dimension-reduction twin of the RANDOM projection
+    (``emb_random_projection``), whose serving recall the ANN sweep
+    measured unfit — PCA spends the budget on measured variance.
+
+    ORACLE DESIGN (the PowerIteration-unroll, completing the
+    Lloyd-unroll / GD-unroll family): the driver iterates with plain
+    Python floats in EXPLICIT loop order — acc = acc + C[i][j]·v[j] —
+    and the DuckDB twin unrolls the same 8 iterations as CTE layers
+    whose mat-vec and norm are SEQUENTIAL list_reduce folds in the
+    same index order, so every intermediate double is bit-identical
+    (IEEE ops are deterministic given order; numpy's pairwise
+    summation would NOT match). The collect is matrix-sized
+    (d(d+1)/2 + d + 1 longs) at any corpus size; the projection pass
+    is shuffle-free codegen-side zip_with/aggregate in the same fold
+    order."""
+    import math
+
+    cells = gram_cells(spark, sf_dir)
+    n = 0
+    lin: dict[int, int] = {}
+    gram: dict[tuple[int, int], int] = {}
+    for r in cells.collect():
+        if r.i == 0:
+            n = r.s
+        elif r.j == 0:
+            lin[r.i] = r.s
+        else:
+            gram[(r.i, r.j)] = r.s
+    d = max(lin)
+    C = [
+        [
+            float(n) * float(gram[(min(i, j), max(i, j))])
+            - float(lin[i]) * float(lin[j])
+            for j in range(1, d + 1)
+        ]
+        for i in range(1, d + 1)
+    ]
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(PCA_ITERS):
+        u = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + C[i][j] * v[j]
+            u.append(acc)
+        s = 0.0
+        for i in range(d):
+            s = s + u[i] * u[i]
+        nr = math.sqrt(s)
+        v = [x / nr for x in u]
+
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    v_lit = F.array(*[F.lit(x) for x in v])
+    proj = F.aggregate(
+        F.zip_with(
+            col("embedding").cast("array<double>"), v_lit, lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.floor(proj * 1e6 + F.lit(0.5)).cast("long").alias("pc1_q"),
+    )
+
+
+def _pca_oracle() -> str:
+    fold = "(a, b) -> a + b"
+    layers = []
+    prev = "base"
+    for k in range(1, PCA_ITERS + 1):
+        layers.append(f"""u{k} AS (
+    SELECT m, d, list_transform(range(1, d + 1), i ->
+        list_reduce(list_prepend(0.0, list_transform(range(1, d + 1),
+            j -> m[i][j] * v[j])), {fold})) AS u
+    FROM {prev}
+), it{k} AS (
+    SELECT m, d, list_transform(u, x -> x / sqrt(
+        list_reduce(list_prepend(0.0, list_transform(range(1, d + 1),
+            i -> u[i] * u[i])), {fold}))) AS v
+    FROM u{k}
+)""")
+        prev = f"it{k}"
+    chain = ",\n".join(layers)
+    return f"""
+WITH q AS (
+    SELECT [CAST(floor(x * 1e6 + 0.5) AS BIGINT) for x in embedding] AS e
+    FROM embeddings
+), idx AS (
+    SELECT e, unnest(range(1, len(e) + 1)) AS i FROM q
+), pairs_raw AS (
+    SELECT e, i, unnest(range(i, len(e) + 1)) AS j FROM idx
+), cells AS (
+    SELECT i, j, CAST(sum(e[i] * e[j]) AS BIGINT) AS s
+    FROM pairs_raw GROUP BY i, j
+), lin AS (
+    SELECT i, CAST(sum(e[i]) AS BIGINT) AS s_lin FROM idx GROUP BY i
+), nrow AS (
+    SELECT count(*) AS n FROM q
+), cov AS (
+    SELECT c.i, c.j,
+           CAST(nr.n AS DOUBLE) * CAST(c.s AS DOUBLE)
+           - CAST(l1.s_lin AS DOUBLE) * CAST(l2.s_lin AS DOUBLE) AS cv
+    FROM (SELECT i, j, s FROM cells
+          UNION ALL SELECT j AS i, i AS j, s FROM cells WHERE j > i) c
+    JOIN lin l1 ON l1.i = c.i
+    JOIN lin l2 ON l2.i = c.j
+    CROSS JOIN nrow nr
+), crows AS (
+    SELECT i, list(cv ORDER BY j) AS "row" FROM cov GROUP BY i
+), mat AS (
+    SELECT list("row" ORDER BY i) AS m, count(*) AS d FROM crows
+), base AS (
+    SELECT m, d,
+           list_transform(range(1, d + 1),
+               x -> 1.0 / sqrt(CAST(d AS DOUBLE))) AS v
+    FROM mat
+),
+{chain}
+SELECT e.vec_id,
+       CAST(floor(list_reduce(list_prepend(0.0,
+           list_transform(range(1, f.d + 1),
+               k -> CAST(e.embedding[k] AS DOUBLE) * f.v[k])), {fold})
+           * 1e6 + 0.5) AS BIGINT) AS pc1_q
+FROM embeddings e CROSS JOIN {prev} f
+"""
+
+
+LOCAL_QUERIES["emb_pca_project"] = QuerySpec(q_emb_pca_project, _pca_oracle())

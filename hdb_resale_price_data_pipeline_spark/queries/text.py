@@ -2958,3 +2958,79 @@ LIMIT {JSD_TOP}
 LOCAL_QUERIES["text_js_divergence"] = QuerySpec(
     q_text_js_divergence, _js_divergence_oracle()
 )
+
+
+# --- vocabulary coverage -----------------------------------------------------
+
+VOCAB_COVERAGE_KS = (10, 100, 1000, 10000)
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of token OCCURRENCES covered
+    by the top-K vocabulary, for K in {10, 100, 1k, 10k} — the Zipf
+    diagnostic that sizes a tokenizer vocabulary (and predicts the UNK
+    rate text_bpe_encode_ids will pay at each budget).
+
+    One corpus explode→token-grain partial agg; the rank window and
+    cumulative sum run over the VOCAB-sized count table (never the
+    corpus), and the total rides a 1-row broadcast crossJoin. Ordering
+    is (count desc, token asc) — fully deterministic under ties."""
+    toks = H.tokens("text")[0]
+    docs = widen(t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(col("n").desc(), col("tok"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum", F.sum("n").over(w)
+    )
+    total = counts.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_vocab"))
+    ks = ", ".join(str(k) for k in VOCAB_COVERAGE_KS)
+    return (
+        ranked.filter(col("rank").isin(*VOCAB_COVERAGE_KS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            col("rank").alias("k"),
+            "n_vocab",
+            col("cum").alias("covered"),
+            "total",
+            F.floor(
+                F.expr("CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)") * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("coverage_q"),
+        )
+    )
+
+
+def _vocab_coverage_oracle() -> str:
+    tk = H.tokens("text")[1]
+    ks = ", ".join(str(k) for k in VOCAB_COVERAGE_KS)
+    return f"""
+WITH counts AS (
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({tk}) AS tok FROM documents) GROUP BY tok
+), ranked AS (
+    SELECT tok, n,
+           row_number() OVER (ORDER BY n DESC, tok) AS rank,
+           sum(n) OVER (ORDER BY n DESC, tok) AS cum
+    FROM counts
+), total AS (
+    SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_vocab FROM counts
+)
+SELECT r.rank AS k, t.n_vocab, CAST(r.cum AS BIGINT) AS covered, t.total,
+       CAST(floor(CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE) * 1e6 + 0.5)
+           AS BIGINT) AS coverage_q
+FROM ranked r CROSS JOIN total t
+WHERE r.rank IN ({ks})
+"""
+
+
+LOCAL_QUERIES["text_vocab_coverage"] = QuerySpec(
+    q_text_vocab_coverage, _vocab_coverage_oracle()
+)

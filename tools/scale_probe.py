@@ -373,9 +373,12 @@ SCALING_QUERIES = [
     "emb_mutual_knn",
     # r5 session 4 (cont.): weighted sampling (map-only + TakeOrdered)
     "text_weighted_sample",
-    # r5 session 4 (cont.): Gram-partial dim correlation, JS drift
+    # r5 session 4 (cont.): Gram-partial dim correlation, JS drift,
+    # vocab coverage, power-iteration PCA
     "emb_dim_corr",
     "text_js_divergence",
+    "text_vocab_coverage",
+    "emb_pca_project",
 ]
 
 
@@ -503,6 +506,7 @@ TPCH_QUERIES = [
     "events_hll_users",
     "events_anomaly_days",
     "events_quantile_sketch",
+    "orders_brand_affinity",
 ]
 
 
