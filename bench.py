@@ -122,6 +122,10 @@ EXTRA_LOCAL_QUERIES = [
     "orders_brand_affinity",
     "text_vocab_coverage",
     "emb_pca_project",
+    "customers_rfm_segments",
+    "events_ewma_daily",
+    "events_key_skew",
+    "text_span_corruption",
 ]
 
 _GRADED = all_queries()

@@ -1070,3 +1070,178 @@ FROM est e JOIN exact x USING (event_type, q_pct)
 LOCAL_QUERIES["events_quantile_sketch"] = QuerySpec(
     q_events_quantile_sketch, _EVENTS_QUANTILE_SQL
 )
+
+
+# --- EWMA daily smoothing ------------------------------------------------
+
+EWMA_ALPHA = 0.3
+
+
+def q_events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    event type — the standard smoothing behind alert thresholds and
+    trend dashboards (s_t = α·x_t + (1-α)·s_{t-1}, s_0 = 0).
+
+    EWMA is inherently sequential, but only at DAY grain: the corpus
+    collapses to a ≤(types × days) table in one partial-aggregable
+    shuffle, and the recurrence runs as a per-row SEQUENTIAL fold over
+    the collect_list prefix of that tiny table (prefix volume is
+    days²/2 per type — trivial forever). Bit-exact across engines
+    because both sides fold left-to-right in day order with the same
+    acc·0.7 + x·0.3 double expression (IEEE ops are deterministic
+    given order); the quantized result is hash-compared."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        col("event_type"),
+        F.to_date(col("ts")).cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.floor(
+            F.aggregate(
+                F.collect_list("n").over(w),
+                F.lit(0.0),
+                lambda acc, x: acc * F.lit(1.0 - EWMA_ALPHA)
+                + x.cast("double") * F.lit(EWMA_ALPHA),
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ewma_q"),
+    )
+
+
+_EVENTS_EWMA_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)),
+           (acc, x) -> acc * {1.0 - EWMA_ALPHA} + x * {EWMA_ALPHA})
+           * 1e6 + 0.5) AS BIGINT) AS ewma_q
+FROM daily
+"""
+
+
+LOCAL_QUERIES["events_ewma_daily"] = QuerySpec(q_events_ewma_daily, _EVENTS_EWMA_SQL)
+
+
+# --- key-skew profile ---------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew profile for the event stream's user_id — the
+    diagnostic run BEFORE choosing a shuffle key at scale (a Gini near
+    1 or a fat top-k share says: salt this key or expect straggler
+    tasks). Emits one row: key count, event total, max key load, the
+    exact Gini coefficient of the load distribution, and the share
+    held by the top-{K} keys.
+
+    Gini needs sorted ranks, but never sorts the keys: loads are
+    small integers, so the exact sorted-rank formula
+    G = Σ v·m·(2·cb + m − n) / (n·Σ v·m) runs over the VALUE
+    HISTOGRAM (one cumulative window over a ≤distinct-loads-sized
+    table; ties contribute in closed form). All moments are exact
+    BIGINTs (overflow only past v_max·m·n ≈ 9e18 — re-grid the
+    histogram first at that scale); the single division happens once,
+    in an identical double expression. Top-k is TakeOrderedAndProject.
+    Plan: one key-grain shuffle + histogram agg; the key frame is
+    localCheckpoint'ed for its two consumers."""
+    ev = t(spark, sf_dir, "events")
+    keys = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    hist = keys.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    stats = (
+        hist.select(
+            "c",
+            "m",
+            F.expr(
+                "sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND CURRENT ROW) - m"
+            ).alias("cb"),
+            F.expr("sum(m) OVER ()").alias("n"),
+        )
+        .agg(
+            F.max("n").alias("n_users"),
+            F.sum(F.expr("c * m")).alias("total_events"),
+            F.max("c").alias("max_c"),
+            F.sum(F.expr("c * m * (2 * cb + m - n)")).alias("numer"),
+        )
+    )
+    top = (
+        keys.orderBy(col("c").desc(), col("user_id"))
+        .limit(SKEW_TOP_K)
+        .agg(F.sum("c").alias("top_c"))
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_users",
+        "total_events",
+        "max_c",
+        F.floor(
+            F.expr("CAST(numer AS DOUBLE)"
+                   " / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("gini_q"),
+        F.floor(
+            F.expr("CAST(top_c AS DOUBLE) / CAST(total_events AS DOUBLE)")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("topk_share_q"),
+    )
+
+
+_EVENTS_KEY_SKEW_SQL = f"""
+WITH keys AS (
+    SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+), hist AS (
+    SELECT c, count(*) AS m FROM keys GROUP BY c
+), cum AS (
+    SELECT c, m,
+           sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - m AS cb,
+           sum(m) OVER () AS n
+    FROM hist
+), stats AS (
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           CAST(sum(c * m) AS BIGINT) AS total_events,
+           max(c) AS max_c,
+           CAST(sum(c * m * (2 * cb + m - n)) AS BIGINT) AS numer
+    FROM cum
+), top AS (
+    SELECT CAST(sum(c) AS BIGINT) AS top_c
+    FROM (SELECT c FROM keys ORDER BY c DESC, user_id LIMIT {SKEW_TOP_K})
+)
+SELECT s.n_users, s.total_events, s.max_c,
+       CAST(floor(CAST(s.numer AS DOUBLE)
+           / (CAST(s.n_users AS DOUBLE) * CAST(s.total_events AS DOUBLE))
+           * 1e6 + 0.5) AS BIGINT) AS gini_q,
+       CAST(floor(CAST(t.top_c AS DOUBLE) / CAST(s.total_events AS DOUBLE)
+           * 1e6 + 0.5) AS BIGINT) AS topk_share_q
+FROM stats s CROSS JOIN top t
+"""
+
+
+LOCAL_QUERIES["events_key_skew"] = QuerySpec(q_events_key_skew, _EVENTS_KEY_SKEW_SQL)

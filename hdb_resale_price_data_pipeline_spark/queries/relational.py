@@ -1381,3 +1381,108 @@ CROSS JOIN n
 LOCAL_QUERIES["orders_brand_affinity"] = QuerySpec(
     q_orders_brand_affinity, _ORDERS_BRAND_AFFINITY_SQL
 )
+
+
+# --- RFM customer segmentation -----------------------------------------------
+
+RFM_AS_OF = "2001-12-31"
+RFM_QUARTILES = 4
+# monetary histogram grid: lifetime cents DIV 10000 = hundreds of dollars
+RFM_MON_GRID = 10000
+
+
+def q_customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse marketing cut: quartile each customer on days
+    since last order, order count, and lifetime spend, then profile the
+    4x4x4 segments.
+
+    A window ``ntile`` over all customers would collapse to a single
+    task at scale (no partitionBy); instead each metric uses the
+    HISTOGRAM-QUANTILE pattern (proven in text_curriculum_shards):
+    recency and frequency are small-integer grids already, monetary is
+    bucketed to a hundreds-of-dollars grid, so each quartile comes from
+    a histogram-sized cumulative window broadcast back as a bucket→
+    quartile map. Customers sharing a grid value share a quartile (ties
+    never split). Spend is exact integer cents (double sums would be
+    order-dependent). Plan: one customer-grain shuffle + three
+    histogram aggs; the customer frame is localCheckpoint'ed for its
+    four consumers; output is ≤64 segment rows."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        col("o_orderdate").cast("date").alias("od"),
+        F.floor(col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit(RFM_AS_OF).cast("date"), F.max("od")).alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("mon_cents"),
+        )
+        .withColumn("monb", F.expr(f"mon_cents DIV {RFM_MON_GRID}"))
+        .localCheckpoint(eager=False)
+    )
+
+    def quartile_map(metric: str) -> DataFrame:
+        hist = cust.groupBy(metric).agg(F.count(F.lit(1)).alias("cnt"))
+        return hist.select(
+            metric,
+            F.expr(
+                f"CAST(1 + ((sum(cnt) OVER (ORDER BY {metric}"
+                f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)"
+                f" * {RFM_QUARTILES}) DIV (sum(cnt) OVER ()) AS INT)"
+            ).alias(f"{metric}_q"),
+        )
+
+    seg = (
+        cust.join(F.broadcast(quartile_map("rec")), "rec")
+        .join(F.broadcast(quartile_map("freq")), "freq")
+        .join(F.broadcast(quartile_map("monb")), "monb")
+    )
+    return seg.groupBy("rec_q", "freq_q", "monb_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mon_cents").alias("segment_cents"),
+        F.sum("o_custkey").alias("custkey_checksum"),
+    )
+
+
+_CUSTOMERS_RFM_SQL = f"""
+WITH cust AS (
+    SELECT o_custkey,
+           date_diff('day', CAST(max(CAST(o_orderdate AS DATE)) AS DATE),
+                     DATE '{RFM_AS_OF}') AS rec,
+           count(*) AS freq,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS mon_cents,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               // {RFM_MON_GRID} AS BIGINT) AS monb
+    FROM orders GROUP BY o_custkey
+),
+rh AS (SELECT rec, count(*) AS cnt FROM cust GROUP BY rec),
+rq AS (SELECT rec, CAST(1 + ((sum(cnt) OVER (ORDER BY rec
+           ROWS UNBOUNDED PRECEDING) - cnt) * {RFM_QUARTILES})
+           // (sum(cnt) OVER ()) AS INT) AS rec_q FROM rh),
+fh AS (SELECT freq, count(*) AS cnt FROM cust GROUP BY freq),
+fq AS (SELECT freq, CAST(1 + ((sum(cnt) OVER (ORDER BY freq
+           ROWS UNBOUNDED PRECEDING) - cnt) * {RFM_QUARTILES})
+           // (sum(cnt) OVER ()) AS INT) AS freq_q FROM fh),
+mh AS (SELECT monb, count(*) AS cnt FROM cust GROUP BY monb),
+mq AS (SELECT monb, CAST(1 + ((sum(cnt) OVER (ORDER BY monb
+           ROWS UNBOUNDED PRECEDING) - cnt) * {RFM_QUARTILES})
+           // (sum(cnt) OVER ()) AS INT) AS monb_q FROM mh)
+SELECT rq.rec_q, fq.freq_q, mq.monb_q,
+       count(*) AS n_customers,
+       CAST(sum(c.mon_cents) AS BIGINT) AS segment_cents,
+       CAST(sum(c.o_custkey) AS BIGINT) AS custkey_checksum
+FROM cust c
+JOIN rq ON rq.rec = c.rec
+JOIN fq ON fq.freq = c.freq
+JOIN mq ON mq.monb = c.monb
+GROUP BY 1, 2, 3
+"""
+
+
+LOCAL_QUERIES["customers_rfm_segments"] = QuerySpec(
+    q_customers_rfm_segments, _CUSTOMERS_RFM_SQL
+)

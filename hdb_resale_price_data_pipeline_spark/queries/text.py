@@ -3034,3 +3034,115 @@ WHERE r.rank IN ({ks})
 LOCAL_QUERIES["text_vocab_coverage"] = QuerySpec(
     q_text_vocab_coverage, _vocab_coverage_oracle()
 )
+
+
+# --- span corruption (T5-style) -----------------------------------------------
+
+SPAN_RATE = 4  # % of positions that OPEN a 3-token corruption span
+SPAN_LEN = 3
+SPAN_HEAD = 20
+
+# deterministic per-(doc, position) span-start predicate — same shape as
+# _MLM_PRED but decorrelated constants, so MLM masks and span starts are
+# independent signals on the same corpus
+_SPAN_PRED = (
+    "((((((({doc} % 2147483648) * 999983 + ({i}) * 20011) % 2147483648)"
+    " * 2654435761) % 2147483648) {div} 32768) % 100) < " + str(SPAN_RATE)
+)
+
+
+def _span_masked(pos: str, doc: str, div: str) -> str:
+    """masked(pos) for 1-based pos: a span opened at pos, pos-1 or pos-2."""
+    def p(i: str) -> str:
+        return _SPAN_PRED.format(doc=doc, i=i, div=div)
+
+    return (
+        f"({p(pos)}"
+        f" OR ((({pos}) >= 2) AND {p(f'({pos}) - 1')})"
+        f" OR ((({pos}) >= 3) AND {p(f'({pos}) - 2')}))"
+    )
+
+
+def _span_start(pos: str, doc: str, div: str) -> str:
+    """start(pos): masked(pos) and not masked(pos-1) — overlapping spans
+    merge (T5 semantics), so a start is the left edge of a masked run."""
+    return (
+        f"({_span_masked(pos, doc, div)}"
+        f" AND ((({pos}) = 1) OR NOT {_span_masked(f'({pos}) - 1', doc, div)}))"
+    )
+
+
+def q_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption training-example construction (T5-style): open a
+    corruption span at ~{SPAN_RATE}% of token positions, each span
+    masking {SPAN_LEN} tokens (overlaps merge); the encoder input keeps
+    the uncorrupted tokens with one '<X>' sentinel per span, the decoder
+    target is the masked-out tokens. Deterministic — spans are a pure
+    function of (doc_id, position), so retries/re-shards regenerate the
+    same examples (see text_mlm_mask for why that matters).
+
+    Row-local by construction: one shuffle-free whole-stage-codegen'd
+    pass of HOF expressions over the doc's own token array (no Python
+    boundary); emits counts plus bounded heads, never corpus-sized
+    arrays."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    toks = H.tokens("text")[0]
+    m = _span_masked("i + 1", "doc_id", "div")
+    s = _span_start("i + 1", "doc_id", "div")
+    tagged = (
+        f"transform({toks}, (x, i) -> named_struct("
+        f"'x', x, 'm', IF({m}, 1, 0), 's', IF({s}, 1, 0)))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"aggregate({tagged}, 0, (acc, e) -> acc + e.m)"
+        ).alias("n_masked"),
+        F.expr(
+            f"aggregate({tagged}, 0, (acc, e) -> acc + e.s)"
+        ).alias("n_spans"),
+        F.expr(
+            f"slice(transform(filter({tagged}, e -> e.m = 0 OR e.s = 1),"
+            f" e -> IF(e.s = 1, '<X>', e.x)), 1, {SPAN_HEAD})"
+        ).alias("input_head"),
+        F.expr(
+            f"slice(transform(filter({tagged}, e -> e.m = 1), e -> e.x),"
+            f" 1, {SPAN_HEAD})"
+        ).alias("target_head"),
+    )
+
+
+def _span_corruption_oracle() -> str:
+    toks = H.tokens("text")[1]
+    m = _span_masked("i", "doc_id", "//")
+    s = _span_start("i", "doc_id", "//")
+    return f"""
+WITH base AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+), tagged AS (
+    SELECT doc_id, toks,
+           [ {{'x': toks[i],
+               'm': CASE WHEN {m} THEN 1 ELSE 0 END,
+               's': CASE WHEN {s} THEN 1 ELSE 0 END}}
+             for i in range(1, len(toks) + 1) ] AS tm
+    FROM base
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       list_reduce(list_prepend(0, list_transform(tm, e -> e['m'])),
+                   (a, b) -> a + b) AS n_masked,
+       list_reduce(list_prepend(0, list_transform(tm, e -> e['s'])),
+                   (a, b) -> a + b) AS n_spans,
+       list_transform(list_filter(tm, e -> e['m'] = 0 OR e['s'] = 1),
+                      e -> CASE WHEN e['s'] = 1 THEN '<X>'
+                                ELSE e['x'] END)[1:{SPAN_HEAD}] AS input_head,
+       list_transform(list_filter(tm, e -> e['m'] = 1),
+                      e -> e['x'])[1:{SPAN_HEAD}] AS target_head
+FROM tagged
+"""
+
+
+LOCAL_QUERIES["text_span_corruption"] = QuerySpec(
+    q_text_span_corruption, _span_corruption_oracle()
+)

@@ -379,6 +379,8 @@ SCALING_QUERIES = [
     "text_js_divergence",
     "text_vocab_coverage",
     "emb_pca_project",
+    # r5 session 5: T5 span corruption (shuffle-free map)
+    "text_span_corruption",
 ]
 
 
@@ -507,6 +509,11 @@ TPCH_QUERIES = [
     "events_anomaly_days",
     "events_quantile_sketch",
     "orders_brand_affinity",
+    # r5 session 5: RFM histogram quartiles, EWMA day-grain fold,
+    # exact-Gini key-skew profile
+    "customers_rfm_segments",
+    "events_ewma_daily",
+    "events_key_skew",
 ]
 
 
