@@ -126,6 +126,10 @@ EXTRA_LOCAL_QUERIES = [
     "events_ewma_daily",
     "events_key_skew",
     "text_span_corruption",
+    "emb_knn_triangles",
+    "events_markov_transitions",
+    "customers_purchase_intervals",
+    "events_multitouch_attribution",
 ]
 
 _GRADED = all_queries()

@@ -1245,3 +1245,171 @@ FROM stats s CROSS JOIN top t
 
 
 LOCAL_QUERIES["events_key_skew"] = QuerySpec(q_events_key_skew, _EVENTS_KEY_SKEW_SQL)
+
+
+# --- Markov transition matrix ---------------------------------------------
+
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (event_type → next event_type) step in a user's timeline, the count
+    and the conditional transition probability — the model behind
+    next-action prediction, funnel leak detection, and session
+    simulation.
+
+    The lead() window is partitioned per user (never a global sort);
+    transitions then partial-aggregate to a types²-sized matrix, and
+    the row-normalizing marginal is a types-sized broadcast join. At
+    100 TB: one user-grain shuffle for the window, one types²-sized
+    agg — the matrix never grows with the corpus."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+        )
+        .filter(col("dst_type").isNotNull())
+    )
+    # types²-sized and consumed twice (matrix + row marginal) — one
+    # materialization beats re-running the user-window subtree for the
+    # broadcast build side
+    trans = (
+        steps.groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    marg = trans.groupBy("src_type").agg(F.sum("n").alias("src_total"))
+    return trans.join(F.broadcast(marg), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n",
+        "src_total",
+        F.floor(
+            F.expr("CAST(n AS DOUBLE) / CAST(src_total AS DOUBLE)") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("p_q"),
+    )
+
+
+_EVENTS_MARKOV_SQL = """
+WITH steps AS (
+    SELECT event_type AS src_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst_type
+    FROM events
+), trans AS (
+    SELECT src_type, dst_type, count(*) AS n
+    FROM steps WHERE dst_type IS NOT NULL GROUP BY 1, 2
+), marg AS (
+    SELECT src_type, CAST(sum(n) AS BIGINT) AS src_total
+    FROM trans GROUP BY src_type
+)
+SELECT t.src_type, t.dst_type, t.n, m.src_total,
+       CAST(floor(CAST(t.n AS DOUBLE) / CAST(m.src_total AS DOUBLE)
+           * 1e6 + 0.5) AS BIGINT) AS p_q
+FROM trans t JOIN marg m USING (src_type)
+"""
+
+
+LOCAL_QUERIES["events_markov_transitions"] = QuerySpec(
+    q_events_markov_transitions, _EVENTS_MARKOV_SQL
+)
+
+
+# --- position-based multi-touch attribution ----------------------------------
+
+
+def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution: every
+    view/click in the 30 minutes before a purchase shares that
+    purchase's credit — 40% to the first touch, 40% to the last, the
+    middle 20% split across interior touches — aggregated to credit per
+    touch channel. The fractional-credit complement of the last-touch
+    (events_asof_attribution) and pair-enumeration
+    (events_attribution_join) family members.
+
+    Pairs come from the same user-key equi-join + residual time-range
+    predicate as the stream-stream twin; position windows are
+    partitioned PER PURCHASE (pair-grain, horizon-bounded — never a
+    global sort). Credits are integer millionths assigned per touch
+    (k=1 → 1e6; ends 4e5; interiors floor(2e5/(k−2))), so the channel
+    sums are exact BIGINTs — a double credit summed across partitions
+    would be order-dependent."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    touches = ev.where(col("event_type").isin("view", "click")).select(
+        col("event_id").alias("touch_id"),
+        col("user_id"),
+        col("ts").alias("touch_ts"),
+        col("event_type").alias("channel"),
+    )
+    purchases = ev.where(col("event_type") == "purchase").select(
+        col("event_id").alias("purchase_id"),
+        col("user_id").alias("p_user_id"),
+        col("ts").alias("purchase_ts"),
+    )
+    pairs = touches.join(
+        purchases,
+        (col("user_id") == col("p_user_id"))
+        & (col("purchase_ts") >= col("touch_ts"))
+        & (col("purchase_ts") <= col("touch_ts") + F.expr("interval 30 minutes")),
+    )
+    w = W.partitionBy("purchase_id").orderBy("touch_ts", "touch_id")
+    ranked = pairs.select(
+        "purchase_id",
+        "channel",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(W.partitionBy("purchase_id")).alias("k"),
+    )
+    credit = F.expr(
+        "CASE WHEN k = 1 THEN 1000000"
+        " WHEN pos = 1 OR pos = k THEN 400000"
+        " ELSE 200000 DIV (k - 2) END"
+    )
+    return (
+        ranked.select("channel", credit.alias("credit_q"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_q").alias("total_credit_q"),
+        )
+    )
+
+
+_EVENTS_MULTITOUCH_SQL = """
+WITH pairs AS (
+    SELECT p.event_id AS purchase_id, v.event_type AS channel,
+           v.ts AS touch_ts, v.event_id AS touch_id
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTES
+    WHERE v.event_type IN ('view', 'click') AND p.event_type = 'purchase'
+), ranked AS (
+    SELECT channel,
+           row_number() OVER (PARTITION BY purchase_id
+                              ORDER BY touch_ts, touch_id) AS pos,
+           count(*) OVER (PARTITION BY purchase_id) AS k
+    FROM pairs
+)
+SELECT channel,
+       count(*) AS n_touches,
+       CAST(sum(CASE WHEN k = 1 THEN 1000000
+                     WHEN pos = 1 OR pos = k THEN 400000
+                     ELSE 200000 // (k - 2) END) AS BIGINT) AS total_credit_q
+FROM ranked
+GROUP BY channel
+"""
+
+
+LOCAL_QUERIES["events_multitouch_attribution"] = QuerySpec(
+    q_events_multitouch_attribution, _EVENTS_MULTITOUCH_SQL
+)

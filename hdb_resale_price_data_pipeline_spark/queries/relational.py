@@ -1486,3 +1486,89 @@ GROUP BY 1, 2, 3
 LOCAL_QUERIES["customers_rfm_segments"] = QuerySpec(
     q_customers_rfm_segments, _CUSTOMERS_RFM_SQL
 )
+
+
+# --- inter-purchase intervals --------------------------------------------------
+
+
+def q_customers_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval summary: day gaps between each customer's
+    consecutive orders, reduced to one row of exact lifecycle stats
+    (count, mean, lower median, p90, max) — the repeat-purchase cadence
+    behind churn windows and replenishment campaigns.
+
+    The lag() window is partitioned per customer (never global); gaps
+    are small integers, so every quantile comes from the gap-value
+    HISTOGRAM via one cumulative window over a ≤max-gap-sized table —
+    the corpus is never sorted. Mean is an exact integer quotient
+    quantized once; the lower-median / p90 conventions (smallest gap
+    with 2·cum ≥ n, 10·cum ≥ 9n) are implemented identically in both
+    engines."""
+    from pyspark.sql.window import Window as W
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        col("o_orderdate").cast("date").alias("od"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev", F.lag("od").over(w))
+        .filter(col("prev").isNotNull())
+        .select(F.datediff(col("od"), col("prev")).alias("gap"))
+    )
+    hist = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("m"))
+    cum = hist.select(
+        "gap",
+        "m",
+        F.expr(
+            "sum(m) OVER (ORDER BY gap ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW)"
+        ).alias("cum"),
+        F.expr("sum(m) OVER ()").alias("n"),
+        F.expr("sum(gap * m) OVER ()").alias("gap_sum"),
+    )
+    return cum.agg(
+        F.max("n").alias("n_gaps"),
+        F.floor(
+            F.expr("CAST(max(gap_sum) AS DOUBLE) / CAST(max(n) AS DOUBLE)")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_gap_q"),
+        F.min(F.when(F.expr("2 * cum >= n"), col("gap"))).alias("median_gap"),
+        F.min(F.when(F.expr("10 * cum >= 9 * n"), col("gap"))).alias("p90_gap"),
+        F.max("gap").alias("max_gap"),
+    )
+
+
+_CUSTOMERS_INTERVALS_SQL = """
+WITH gaps AS (
+    SELECT date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+    FROM orders
+), g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+hist AS (SELECT gap, count(*) AS m FROM g GROUP BY gap),
+cum AS (
+    SELECT gap, m,
+           sum(m) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(m) OVER () AS n,
+           sum(gap * m) OVER () AS gap_sum
+    FROM hist
+)
+SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(floor(CAST(max(gap_sum) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+           * 1e6 + 0.5) AS BIGINT) AS mean_gap_q,
+       min(CASE WHEN 2 * cum >= n THEN gap END) AS median_gap,
+       min(CASE WHEN 10 * cum >= 9 * n THEN gap END) AS p90_gap,
+       max(gap) AS max_gap
+FROM cum
+"""
+
+
+LOCAL_QUERIES["customers_purchase_intervals"] = QuerySpec(
+    q_customers_purchase_intervals, _CUSTOMERS_INTERVALS_SQL
+)

@@ -2675,3 +2675,104 @@ FROM embeddings e CROSS JOIN {prev} f
 
 
 LOCAL_QUERIES["emb_pca_project"] = QuerySpec(q_emb_pca_project, _pca_oracle())
+
+
+# --- triangle counting / clustering coefficient -------------------------------
+
+
+def q_emb_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the mutual k-NN graph: triangle count, wedge
+    count, and the global clustering coefficient 3·T/W — the standard
+    graph-quality probe (a near-random neighbor graph has CC ≈ 0; a
+    well-clustered corpus shows high transitivity, and a CC collapse
+    after an index change is the canary for a broken ANN build).
+
+    The mutual graph is edge-bounded (≤K per node, canonical src<dst),
+    so the classic two-join triangle enumeration — wedges from an
+    edge-list self-join on the shared low endpoint, closed by joining
+    the third side — is edge-grain throughout, never corpus-grain; at
+    100 TB both joins ride one (src) / (src, dst) hash partitioning of
+    a list that is K× the node count. Wedge totals come in closed form
+    from the degree distribution (Σ d(d−1)/2, exact BIGINTs). The edge
+    list is localCheckpoint'ed for its four consumers (the mutualized
+    build is the expensive subtree)."""
+    edges = (
+        q_emb_mutual_knn(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    # wedges centered at the smallest id: (a<b), (a<c), b<c
+    e1 = edges.select(col("src").alias("a"), col("dst").alias("b"))
+    e2 = edges.select(col("src").alias("a"), col("dst").alias("c"))
+    tri = (
+        e1.join(e2, "a")
+        .filter(col("b") < col("c"))
+        .join(
+            edges.select(col("src").alias("b"), col("dst").alias("c")),
+            ["b", "c"],
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(col("src").alias("v"))
+        .unionByName(edges.select(col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1)")).alias("wedges2"),  # 2 * wedge count
+        F.sum("d").alias("deg_sum"),  # 2 * edge count
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        F.expr("deg_sum DIV 2").alias("n_edges"),
+        F.expr("wedges2 DIV 2").alias("n_wedges"),
+        "n_triangles",
+        F.floor(
+            F.expr(
+                "CAST(6 * n_triangles AS DOUBLE) / CAST(wedges2 AS DOUBLE)"
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("global_cc_q"),
+    )
+
+
+def _knn_triangles_oracle() -> str:
+    return f"""
+WITH knn AS ({_knn_graph_oracle()}),
+mutual AS (
+    SELECT e.src, e.dst
+    FROM knn e JOIN knn r ON e.src = r.dst AND e.dst = r.src
+    WHERE e.src < e.dst
+), tri AS (
+    SELECT count(*) AS n_triangles
+    FROM mutual e1
+    JOIN mutual e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN mutual e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+), deg AS (
+    SELECT v, count(*) AS d
+    FROM (SELECT src AS v FROM mutual UNION ALL SELECT dst FROM mutual)
+    GROUP BY v
+), stats AS (
+    SELECT count(*) AS n_nodes,
+           CAST(sum(d * (d - 1)) AS BIGINT) AS wedges2,
+           CAST(sum(d) AS BIGINT) AS deg_sum
+    FROM deg
+)
+SELECT s.n_nodes,
+       s.deg_sum // 2 AS n_edges,
+       s.wedges2 // 2 AS n_wedges,
+       t.n_triangles,
+       CAST(floor(CAST(6 * t.n_triangles AS DOUBLE) / CAST(s.wedges2 AS DOUBLE)
+           * 1e6 + 0.5) AS BIGINT) AS global_cc_q
+FROM stats s CROSS JOIN tri t
+"""
+
+
+LOCAL_QUERIES["emb_knn_triangles"] = QuerySpec(
+    q_emb_knn_triangles, _knn_triangles_oracle()
+)

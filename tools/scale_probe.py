@@ -379,8 +379,10 @@ SCALING_QUERIES = [
     "text_js_divergence",
     "text_vocab_coverage",
     "emb_pca_project",
-    # r5 session 5: T5 span corruption (shuffle-free map)
+    # r5 session 5: T5 span corruption (shuffle-free map), triangle
+    # census of the mutual k-NN graph (edge-grain joins)
     "text_span_corruption",
+    "emb_knn_triangles",
 ]
 
 
@@ -514,6 +516,11 @@ TPCH_QUERIES = [
     "customers_rfm_segments",
     "events_ewma_daily",
     "events_key_skew",
+    # r5 session 5 (cont.): Markov transitions, purchase intervals,
+    # multi-touch attribution
+    "events_markov_transitions",
+    "customers_purchase_intervals",
+    "events_multitouch_attribution",
 ]
 
 
