@@ -130,6 +130,8 @@ EXTRA_LOCAL_QUERIES = [
     "events_markov_transitions",
     "customers_purchase_intervals",
     "events_multitouch_attribution",
+    "stream_ewma_daily",
+    "events_ab_test",
 ]
 
 _GRADED = all_queries()

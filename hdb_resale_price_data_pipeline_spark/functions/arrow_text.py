@@ -32,7 +32,7 @@ import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
 
-from .hashing import DEFAULT_SEEDS, MERSENNE_31
+from .hashing import MERSENNE_31, take_seeds
 
 
 def _tokens(text: str, lowered: bool = False) -> list[str]:
@@ -101,7 +101,7 @@ def band_keys_udf(shingle_len: int, num_bands: int, rows_per_band: int):
     ``band_keys_from_codes`` over ``shingle_codes``: per seed, min over
     shingles of the char-code fold; per band, '-'-joined consecutive
     signature slots."""
-    seeds = DEFAULT_SEEDS[: num_bands * rows_per_band]
+    seeds = take_seeds(num_bands * rows_per_band)
 
     @pandas_udf("array<string>")
     def _bands(text: pd.Series) -> pd.Series:

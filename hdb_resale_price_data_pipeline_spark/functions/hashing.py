@@ -39,7 +39,42 @@ DEFAULT_SEEDS: list[tuple[int, int]] = [
     (179, 41),
     (181, 43),
     (191, 47),
+    # extension (same prime-pair pattern): configs up to 32 signature
+    # slots (e.g. 8 bands × 4 rows). Earlier entries are a stable
+    # prefix — existing 8-slot oracles are unaffected.
+    (193, 53),
+    (197, 59),
+    (199, 61),
+    (211, 67),
+    (223, 71),
+    (227, 73),
+    (229, 79),
+    (233, 83),
+    (239, 89),
+    (241, 97),
+    (251, 101),
+    (257, 103),
+    (263, 107),
+    (269, 109),
+    (271, 113),
+    (277, 127),
+    (281, 131),
+    (283, 137),
+    (293, 139),
+    (307, 149),
 ]
+
+
+def take_seeds(n: int) -> list[tuple[int, int]]:
+    """First ``n`` seed pairs, failing loudly past the pool — a silent
+    short slice made band_keys_udf die with an opaque IndexError deep
+    in the Arrow pass when asked for >12 slots."""
+    if n > len(DEFAULT_SEEDS):
+        raise ValueError(
+            f"minhash config needs {n} signature slots but the seed pool "
+            f"has {len(DEFAULT_SEEDS)}; extend DEFAULT_SEEDS"
+        )
+    return DEFAULT_SEEDS[:n]
 
 
 def char_codes(s: str) -> tuple[str, str]:
@@ -133,7 +168,7 @@ def band_keys_from_codes(
     codes_ref: str, num_bands: int = 4, rows_per_band: int = 2
 ) -> list[tuple[str, str]]:
     """LSH band keys computed from a pre-materialized codes column."""
-    seeds = DEFAULT_SEEDS[: num_bands * rows_per_band]
+    seeds = take_seeds(num_bands * rows_per_band)
     slots = [fold_codes(codes_ref, a, b) for a, b in seeds]
     out: list[tuple[str, str]] = []
     for band in range(num_bands):
@@ -182,7 +217,7 @@ def minhash_signature(
     shingle_pair: tuple[str, str], num_hashes: int = 8
 ) -> list[tuple[str, str]]:
     """One (spark, duck) pair per signature slot."""
-    seeds = DEFAULT_SEEDS[:num_hashes]
+    seeds = take_seeds(num_hashes)
     return [minhash(shingle_pair, a, b) for a, b in seeds]
 
 

@@ -1090,13 +1090,20 @@ def q_events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     because both sides fold left-to-right in day order with the same
     acc·0.7 + x·0.3 double expression (IEEE ops are deterministic
     given order); the quantized result is hash-compared."""
-    from pyspark.sql.window import Window as W
-
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         col("event_type"),
         F.to_date(col("ts")).cast("string").alias("day"),
     ).agg(F.count(F.lit(1)).alias("n"))
+    return ewma_fold(daily)
+
+
+def ewma_fold(daily: DataFrame) -> DataFrame:
+    """The day-grain EWMA recurrence (shared by the batch query and the
+    streaming twin, which maintains the same day table as a
+    complete-mode streaming aggregate)."""
+    from pyspark.sql.window import Window as W
+
     w = (
         W.partitionBy("event_type")
         .orderBy("day")
@@ -1413,3 +1420,100 @@ GROUP BY channel
 LOCAL_QUERIES["events_multitouch_attribution"] = QuerySpec(
     q_events_multitouch_attribution, _EVENTS_MULTITOUCH_SQL
 )
+
+
+# --- A/B experiment readout ----------------------------------------------
+
+
+AB_CONVERT_MIN = 14
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: bucket users into variants by
+    id hash (deterministic assignment — how experiments actually
+    bucket), measure per-variant conversion (user made ≥1 purchase),
+    and emit the pooled two-proportion z statistic with the absolute
+    lift — the significance gate behind every ship/no-ship decision.
+
+    All moments are exact integers from ONE user-grain aggregate
+    (conversion is max-over-events, partial-aggregable); the z formula
+    runs once, driver-free, as an identical double expression in both
+    engines. At 100 TB: one user_id shuffle, then a 2-row reduction."""
+    ev = t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(col("event_type") == "purchase", 1).otherwise(0))
+            >= AB_CONVERT_MIN,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    variants = users.select(
+        F.when(col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    # 2 rows, consumed by both variant branches — one materialization
+    # beats re-running the user-grain aggregate per branch
+    counts = (
+        variants.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = counts.filter(col("variant") == "A").select(
+        col("n_users").alias("na"), col("n_converted").alias("xa")
+    )
+    b = counts.filter(col("variant") == "B").select(
+        col("n_users").alias("nb"), col("n_converted").alias("xb")
+    )
+    z_expr = (
+        "(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))"
+        " / sqrt((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+        " * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+        " * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))"
+    )
+    lift_expr = (
+        "CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)"
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        F.floor(F.expr(lift_expr) * 1e6 + F.lit(0.5)).cast("long").alias("lift_q"),
+        F.floor(F.expr(z_expr) * 1e6 + F.lit(0.5)).cast("long").alias("z_q"),
+    )
+
+
+_EVENTS_AB_SQL = f"""
+WITH users AS (
+    SELECT user_id,
+           CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     >= {AB_CONVERT_MIN} THEN 1 ELSE 0 END AS converted
+    FROM events GROUP BY user_id
+), counts AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+           count(*) AS n_users, CAST(sum(converted) AS BIGINT) AS n_converted
+    FROM users GROUP BY 1
+), a AS (SELECT n_users AS na, n_converted AS xa FROM counts WHERE variant = 'A'),
+b AS (SELECT n_users AS nb, n_converted AS xb FROM counts WHERE variant = 'B')
+SELECT na, xa, nb, xb,
+       CAST(floor((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           AS lift_q,
+       CAST(floor((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+            / sqrt((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+            * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+            * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) AS z_q
+FROM a CROSS JOIN b
+"""
+
+
+LOCAL_QUERIES["events_ab_test"] = QuerySpec(q_events_ab_test, _EVENTS_AB_SQL)

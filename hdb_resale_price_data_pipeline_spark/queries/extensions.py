@@ -535,3 +535,27 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .events import _events_hll_sql as _hll_twin_sql  # noqa: E402
 
 LOCAL_QUERIES["stream_hll_users"] = QuerySpec(q_stream_hll_users, _hll_twin_sql())
+
+
+def q_stream_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_ewma_daily: the (event_type, day) count
+    table is maintained as a complete-mode streaming aggregate
+    (streaming/events.stream_daily_counts — partial-aggregable state,
+    one row per type-day), then the inherently-sequential EWMA
+    recurrence folds over the EMITTED day table in batch
+    (queries/events.ewma_fold, the exact same code path). availableNow
+    emits the final state, so the result equals the batch twin exactly
+    and carries its full value oracle."""
+    from ..streaming import events_stream, run_stream_to_df
+    from ..streaming.events import stream_daily_counts
+    from .events import ewma_fold
+
+    daily = run_stream_to_df(
+        stream_daily_counts(events_stream(spark, sf_dir)), spark, mode="complete"
+    )
+    return ewma_fold(daily)
+
+
+from .events import _EVENTS_EWMA_SQL as _ewma_twin_sql  # noqa: E402
+
+LOCAL_QUERIES["stream_ewma_daily"] = QuerySpec(q_stream_ewma_daily, _ewma_twin_sql)

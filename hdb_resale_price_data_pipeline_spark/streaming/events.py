@@ -315,3 +315,20 @@ def stream_hll_registers(events: DataFrame) -> DataFrame:
     from ..queries.events import hll_registers
 
     return hll_registers(events)
+
+
+def stream_daily_counts(events: DataFrame) -> DataFrame:
+    """Per-(event_type, day) volume as a STREAMING aggregate — the state
+    backing the streaming EWMA twin. Complete mode: state is one row
+    per (type, day) pair (types × elapsed-days — slowly growing; a
+    production deployment past ~years of days would switch to a
+    watermarked append window and fold only closed days, same
+    downstream recurrence). Counts are partial-aggregable, so every
+    microbatch merges map-side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    return events.groupBy(
+        col("event_type"),
+        F.to_date(col("ts")).cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -521,6 +521,8 @@ TPCH_QUERIES = [
     "events_markov_transitions",
     "customers_purchase_intervals",
     "events_multitouch_attribution",
+    # r5 session 5 (cont.): two-proportion A/B readout
+    "events_ab_test",
 ]
 
 
