@@ -1469,12 +1469,17 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = counts.filter(col("variant") == "B").select(
         col("n_users").alias("nb"), col("n_converted").alias("xb")
     )
+    # degenerate experiments (nobody or everybody converts) have zero
+    # pooled variance — the z statistic is undefined, not infinite;
+    # NULL in both engines (an unguarded quotient is an ANSI
+    # divide-by-zero crash in Spark 4)
     z_expr = (
-        "(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
+        "CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN NULL ELSE"
+        " (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
         " - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))"
         " / sqrt((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
         " * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
-        " * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))"
+        " * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) END"
     )
     lift_expr = (
         "CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
@@ -1506,11 +1511,12 @@ SELECT na, xa, nb, xb,
        CAST(floor((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
             - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
            AS lift_q,
-       CAST(floor((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+       CAST(floor(CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN NULL ELSE
+            (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
             - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
             / sqrt((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
             * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
-            * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+            * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) END
             * 1e6 + 0.5) AS BIGINT) AS z_q
 FROM a CROSS JOIN b
 """
