@@ -132,6 +132,9 @@ EXTRA_LOCAL_QUERIES = [
     "events_multitouch_attribution",
     "stream_ewma_daily",
     "events_ab_test",
+    "events_decayed_leaderboard",
+    "stream_cms_heavy_users",
+    "emb_silhouette",
 ]
 
 _GRADED = all_queries()

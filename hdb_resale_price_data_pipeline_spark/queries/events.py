@@ -1523,3 +1523,88 @@ FROM a CROSS JOIN b
 
 
 LOCAL_QUERIES["events_ab_test"] = QuerySpec(q_events_ab_test, _EVENTS_AB_SQL)
+
+
+# --- time-decayed leaderboard -------------------------------------------------
+
+DECAY_AS_OF = "2024-02-01"
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_TOP_K = 10
+
+
+def q_events_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity leaderboard: each event is
+    worth 2^(-days_ago / half_life) points and the top-{K} users by
+    decayed score win — the recency-weighted ranking behind trending
+    lists and engagement scores, where plain counts would let dead
+    accounts coast forever.
+
+    DETERMINISM BY CONSTRUCTION: days_ago is an integer, so with a
+    power-of-two base every per-day weight 2^(-d/7) rounds once to a
+    double and each (user, day)-count × weight product is one rounding;
+    the per-user SUM over ≤30 distinct days is then ASSOCIATIVITY-SAFE
+    in practice only if ordered — so the fold runs over the day-grain
+    prefix per user in day order (collect_list + sequential fold, the
+    EWMA precedent), never a shuffle-order-dependent double sum. One
+    (user, day) shuffle; the fold table is users × active-days;
+    TakeOrderedAndProject picks the K."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.lit(DECAY_AS_OF).cast("date"), F.to_date(col("ts"))
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    terms = F.transform(
+        F.collect_list(F.struct("d", "n")).over(w),
+        lambda s: s["n"].cast("double")
+        * F.pow(
+            F.lit(2.0),
+            -s["d"].cast("double") / F.lit(float(DECAY_HALF_LIFE_DAYS)),
+        ),
+    )
+    score = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        ud.select(
+            "user_id",
+            F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("score_q"),
+        )
+        .distinct()
+    )
+    return (
+        scored.orderBy(col("score_q").desc(), col("user_id"))
+        .limit(DECAY_TOP_K)
+    )
+
+
+_EVENTS_DECAYED_SQL = f"""
+WITH ud AS (
+    SELECT user_id,
+           date_diff('day', CAST(ts AS DATE), DATE '{DECAY_AS_OF}') AS d,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+), folded AS (
+    SELECT user_id,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list({{'d': d, 'n': n}} ORDER BY d),
+                   s -> CAST(s['n'] AS DOUBLE)
+                   * power(2.0, -CAST(s['d'] AS DOUBLE) / {DECAY_HALF_LIFE_DAYS}))),
+               (acc, x) -> acc + x)
+               * 1e6 + 0.5) AS BIGINT) AS score_q
+    FROM ud GROUP BY user_id
+)
+SELECT user_id, score_q FROM folded
+ORDER BY score_q DESC, user_id LIMIT {DECAY_TOP_K}
+"""
+
+
+LOCAL_QUERIES["events_decayed_leaderboard"] = QuerySpec(
+    q_events_decayed_leaderboard, _EVENTS_DECAYED_SQL
+)

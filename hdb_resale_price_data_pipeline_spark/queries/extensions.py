@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import col
 
 from ..functions import hashing as H
 from ..operators.multimodal import (
@@ -559,3 +560,94 @@ def q_stream_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .events import _EVENTS_EWMA_SQL as _ewma_twin_sql  # noqa: E402
 
 LOCAL_QUERIES["stream_ewma_daily"] = QuerySpec(q_stream_ewma_daily, _ewma_twin_sql)
+
+
+CMS_USER_TOP = 15
+
+
+def q_stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters through a Count-Min sketch: the d×w cell
+    table is maintained as a complete-mode streaming aggregate
+    (streaming/events.stream_cms_user_cells — fixed 4×256 cells of
+    state, the frequency counterpart of the streaming-HLL argument),
+    then the top-k candidate users' sketch estimates are read off the
+    EMITTED cells in batch next to their exact counts, so the sketch's
+    one-sided error (est ≥ exact, always) is itself hash-verified.
+    availableNow emits the final cells; streaming per-occurrence
+    increments are bit-identical to batch count-then-sum (commutative
+    +), so the query carries a full DuckDB value oracle."""
+    from ..functions import hashing as H
+    from ..streaming import events_stream, run_stream_to_df
+    from ..streaming.events import (
+        CMS_USER_D,
+        CMS_USER_W,
+        stream_cms_user_cells,
+    )
+
+    cells = run_stream_to_df(
+        stream_cms_user_cells(events_stream(spark, sf_dir)), spark, mode="complete"
+    )
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy(col("user_id").cast("string").alias("uid")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = counts.orderBy(col("n").desc(), col("uid")).limit(CMS_USER_TOP)
+    buckets = F.array(
+        *[
+            F.expr(
+                f"({H.string_hash('uid', *H.DEFAULT_SEEDS[d])[0]}) % {CMS_USER_W}"
+            )
+            for d in range(CMS_USER_D)
+        ]
+    )
+    return (
+        top.select("uid", "n", F.posexplode(buckets).alias("d", "bucket"))
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("uid", "n")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "uid",
+            col("n").alias("exact_n"),
+            "cms_est",
+            (col("cms_est") - col("n")).alias("overcount"),
+        )
+    )
+
+
+def _cms_users_oracle() -> str:
+    from ..functions import hashing as H
+    from ..streaming.events import CMS_USER_D, CMS_USER_W
+
+    hs = [H.string_hash("uid", *H.DEFAULT_SEEDS[d])[1] for d in range(CMS_USER_D)]
+    cell_arms = " UNION ALL ".join(
+        f"SELECT {d} AS d, ({hs[d]}) % {CMS_USER_W} AS bucket FROM uids"
+        for d in range(CMS_USER_D)
+    )
+    cand_arms = " UNION ALL ".join(
+        f"SELECT uid, n, {d} AS d, ({hs[d]}) % {CMS_USER_W} AS bucket FROM top"
+        for d in range(CMS_USER_D)
+    )
+    return f"""
+WITH uids AS (
+    SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+), cells AS (
+    SELECT d, bucket, count(*) AS cell
+    FROM ({cell_arms}) GROUP BY d, bucket
+), counts AS (
+    SELECT uid, count(*) AS n FROM uids GROUP BY uid
+), top AS (
+    SELECT uid, n FROM counts ORDER BY n DESC, uid LIMIT {CMS_USER_TOP}
+), cand AS (
+    {cand_arms}
+)
+SELECT c.uid, c.n AS exact_n,
+       CAST(min(cl.cell) AS BIGINT) AS cms_est,
+       CAST(min(cl.cell) - c.n AS BIGINT) AS overcount
+FROM cand c JOIN cells cl USING (d, bucket)
+GROUP BY c.uid, c.n
+"""
+
+
+LOCAL_QUERIES["stream_cms_heavy_users"] = QuerySpec(
+    q_stream_cms_heavy_users, _cms_users_oracle()
+)

@@ -2776,3 +2776,126 @@ FROM stats s CROSS JOIN tri t
 LOCAL_QUERIES["emb_knn_triangles"] = QuerySpec(
     q_emb_knn_triangles, _knn_triangles_oracle()
 )
+
+
+# --- clustering quality: centroid silhouette ----------------------------------
+
+
+def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid-silhouette score for the trained k-means
+    index: s = (b − a) / max(a, b) with a = distance to the OWN
+    centroid and b = distance to the nearest OTHER centroid — the
+    O(n·K) scale substitute for the O(n²) true silhouette, and the
+    standard report row for "is K right / did the fit collapse".
+
+    EXACTNESS DESIGN: centroids (driver-side, K-bounded) and embedding
+    coordinates are both quantized to the 1e6 integer grid FIRST, so
+    every squared distance is an exact BIGINT — summation order stops
+    mattering, and the only cross-engine hazard left is the
+    knife-edge .5 centroid-quantization tie the Lloyd-unroll oracle
+    already tolerates (measure-zero; tested at 3 SFs). The per-vector
+    score quantizes before the per-cluster mean, so the mean is an
+    exact integer quotient. One corpus pass over the cached assigned
+    frame; everything else is K-sized."""
+    import math
+
+    codebook, assigned = _ivf_kmeans_index(spark, sf_dir)
+    cq = {
+        cid: [int(math.floor(float(v) * 1e6 + 0.5)) for v in cent]
+        for cid, cent in codebook
+    }
+    eq = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    staged = assigned.select(
+        "vec_id", "ivf_cid", F.expr(eq).alias("eqv")
+    )
+
+    def d2(cid: int) -> F.Column:
+        cent_lit = F.array(*[F.lit(v) for v in cq[cid]])
+        return F.aggregate(
+            F.zip_with(col("eqv"), cent_lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(F.lit(cid).cast("int").alias("cid"), d2(cid).alias("dd"))
+            for cid, _ in codebook
+        ]
+    )
+    scored = staged.withColumn("dists", dists).select(
+        "vec_id",
+        "ivf_cid",
+        F.expr("element_at(filter(dists, s -> s.cid = ivf_cid), 1).dd").alias("a2"),
+        F.expr(
+            "array_min(transform(filter(dists, s -> s.cid != ivf_cid), s -> s.dd))"
+        ).alias("b2"),
+    )
+    s_q = F.expr(
+        "CASE WHEN greatest(a2, b2) = 0 THEN NULL ELSE"
+        " CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))"
+        " / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) END"
+    )
+    return (
+        scored.select("ivf_cid", s_q.alias("s_q"))
+        .groupBy("ivf_cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                "CAST(floor(CAST(sum(s_q) AS DOUBLE) / count(s_q) + 0.5)"
+                " AS BIGINT)"
+            ).alias("mean_s_q"),
+            F.min("s_q").alias("min_s_q"),
+            F.max("s_q").alias("max_s_q"),
+        )
+    )
+
+
+def _silhouette_oracle() -> str:
+    from ..operators.ivf import duck_ivf_dist
+
+    d2_own = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(1, len(emb) + 1), i ->"
+        " (CAST(floor(emb[i] * 1e6 + 0.5) AS BIGINT)"
+        "  - CAST(floor(cent[i] * 1e6 + 0.5) AS BIGINT))"
+        " * (CAST(floor(emb[i] * 1e6 + 0.5) AS BIGINT)"
+        "  - CAST(floor(cent[i] * 1e6 + 0.5) AS BIGINT)))), (a, b) -> a + b)"
+    )
+    return f"""
+{_kmeans_cents_cte()},
+assigned AS (
+    SELECT vec_id, emb, cid AS own_cid FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY {duck_ivf_dist("c.cent", "e.embedding")}, c.cid) AS rn
+        FROM embeddings e, cents{KMEANS_ITERS} c
+    ) WHERE rn = 1
+), qd AS (
+    SELECT a.vec_id, a.own_cid, c.cid, {d2_own} AS dd
+    FROM assigned a, cents{KMEANS_ITERS} c
+), ab AS (
+    SELECT vec_id, own_cid,
+           min(CASE WHEN cid = own_cid THEN dd END) AS a2,
+           min(CASE WHEN cid != own_cid THEN dd END) AS b2
+    FROM qd GROUP BY vec_id, own_cid
+), sc AS (
+    SELECT own_cid AS ivf_cid,
+           CASE WHEN greatest(a2, b2) = 0 THEN NULL ELSE
+             CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                  / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT) END AS s_q
+    FROM ab
+)
+SELECT ivf_cid, count(*) AS n_vecs,
+       CAST(floor(CAST(sum(s_q) AS DOUBLE) / count(s_q) + 0.5) AS BIGINT)
+           AS mean_s_q,
+       min(s_q) AS min_s_q, max(s_q) AS max_s_q
+FROM sc GROUP BY ivf_cid
+"""
+
+
+LOCAL_QUERIES["emb_silhouette"] = QuerySpec(q_emb_silhouette, _silhouette_oracle())

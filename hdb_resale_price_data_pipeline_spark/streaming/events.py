@@ -332,3 +332,38 @@ def stream_daily_counts(events: DataFrame) -> DataFrame:
         col("event_type"),
         F.to_date(col("ts")).cast("string").alias("day"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+CMS_USER_D = 4
+CMS_USER_W = 256
+
+
+def stream_cms_user_cells(events: DataFrame) -> DataFrame:
+    """Count-Min sketch cells over user_id as a STREAMING aggregate —
+    the fixed-memory answer to streaming heavy hitters: state is
+    exactly d × w = {D} × {W} cells no matter how many events or users
+    flow through (the HLL-registers argument, applied to frequency).
+    The CMS update is a commutative + into cells, so every microbatch
+    is a partial aggregate and per-occurrence streaming increments are
+    bit-identical to batch count-then-sum. ONE posexplode over the d
+    bucket expressions (a d-way union of projections would re-execute
+    the source per arm)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from ..functions import hashing as H
+
+    buckets = F.array(
+        *[
+            F.expr(
+                f"({H.string_hash('uid', *H.DEFAULT_SEEDS[d])[0]}) % {CMS_USER_W}"
+            )
+            for d in range(CMS_USER_D)
+        ]
+    )
+    return (
+        events.select(col("user_id").cast("string").alias("uid"))
+        .select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )

@@ -383,6 +383,8 @@ SCALING_QUERIES = [
     # census of the mutual k-NN graph (edge-grain joins)
     "text_span_corruption",
     "emb_knn_triangles",
+    # r5 session 5 (cont.): centroid silhouette over the trained index
+    "emb_silhouette",
 ]
 
 
@@ -521,8 +523,10 @@ TPCH_QUERIES = [
     "events_markov_transitions",
     "customers_purchase_intervals",
     "events_multitouch_attribution",
-    # r5 session 5 (cont.): two-proportion A/B readout
+    # r5 session 5 (cont.): two-proportion A/B readout, decayed
+    # leaderboard
     "events_ab_test",
+    "events_decayed_leaderboard",
 ]
 
 
