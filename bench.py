@@ -135,6 +135,9 @@ EXTRA_LOCAL_QUERIES = [
     "events_decayed_leaderboard",
     "stream_cms_heavy_users",
     "emb_silhouette",
+    "events_activity_streaks",
+    "text_zipf_slope",
+    "orders_backlog_monthly",
 ]
 
 _GRADED = all_queries()

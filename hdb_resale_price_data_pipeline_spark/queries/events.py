@@ -1608,3 +1608,72 @@ ORDER BY score_q DESC, user_id LIMIT {DECAY_TOP_K}
 LOCAL_QUERIES["events_decayed_leaderboard"] = QuerySpec(
     q_events_decayed_leaderboard, _EVENTS_DECAYED_SQL
 )
+
+
+# --- activity streaks (gaps and islands) --------------------------------------
+
+STREAK_TOP_K = 15
+
+
+def q_events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streaks: the gaps-and-islands
+    pattern (day − row_number = island id over each user's distinct
+    active days) that powers engagement streaks, SLA uptime runs, and
+    sensor-outage reports. Emits the top-{K} streaks by length.
+
+    Every window is partitioned PER USER over that user's DISTINCT
+    ACTIVE DAYS (≤ elapsed days per user — bounded, never a global
+    sort); the distinct collapse is one partial-aggregable shuffle.
+    Top-k is TakeOrderedAndProject with a full deterministic
+    tiebreak."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    days = (
+        ev.select("user_id", F.to_date(col("ts")).alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island",
+        F.datediff(col("day"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").cast("string").alias("streak_start"),
+        F.max("day").cast("string").alias("streak_end"),
+    )
+    return (
+        streaks.select("user_id", "streak_days", "streak_start", "streak_end")
+        .orderBy(
+            col("streak_days").desc(), col("user_id"), col("streak_start")
+        )
+        .limit(STREAK_TOP_K)
+    )
+
+
+_EVENTS_STREAKS_SQL = f"""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), islands AS (
+    SELECT user_id, day,
+           date_diff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+    FROM days
+), streaks AS (
+    SELECT user_id, island, count(*) AS streak_days,
+           CAST(min(day) AS VARCHAR) AS streak_start,
+           CAST(max(day) AS VARCHAR) AS streak_end
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id, streak_days, streak_start, streak_end
+FROM streaks
+ORDER BY streak_days DESC, user_id, streak_start
+LIMIT {STREAK_TOP_K}
+"""
+
+
+LOCAL_QUERIES["events_activity_streaks"] = QuerySpec(
+    q_events_activity_streaks, _EVENTS_STREAKS_SQL
+)

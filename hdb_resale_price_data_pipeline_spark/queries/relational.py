@@ -1572,3 +1572,73 @@ FROM cum
 LOCAL_QUERIES["customers_purchase_intervals"] = QuerySpec(
     q_customers_purchase_intervals, _CUSTOMERS_INTERVALS_SQL
 )
+
+
+# --- order backlog timeline ----------------------------------------------------
+
+
+def q_orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order backlog: orders placed vs orders fully shipped
+    (an order completes when its LAST lineitem ships) and the running
+    open-order count — the event-sourced fulfillment view behind
+    capacity planning and SLA dashboards.
+
+    Completion is one order-grain max(l_shipdate) aggregate; both
+    event streams then collapse to MONTH grain before the running
+    window, so the cumulative sums run over a ≤months-sized table
+    (never the corpus) — the EWMA/day-grain precedent one level
+    coarser. Exact integer counts throughout; full-outer month
+    alignment with zero-fills."""
+    from pyspark.sql.window import Window as W
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format(col("o_orderdate"), "yyyy-MM").alias("m")
+    )
+    opened = orders.groupBy("m").agg(F.count(F.lit(1)).alias("n_opened"))
+    done = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(col("l_shipdate")).alias("done_ts"))
+        .select(F.date_format(col("done_ts"), "yyyy-MM").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n_done"))
+    )
+    timeline = (
+        opened.join(done, "m", "full_outer")
+        .na.fill(0, ["n_opened", "n_done"])
+    )
+    w = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return timeline.select(
+        "m",
+        "n_opened",
+        "n_done",
+        (F.sum("n_opened").over(w) - F.sum("n_done").over(w)).alias("backlog"),
+    )
+
+
+_ORDERS_BACKLOG_SQL = """
+WITH opened AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m, count(*) AS n_opened
+    FROM orders GROUP BY 1
+), done AS (
+    SELECT m, count(*) AS n_done FROM (
+        SELECT strftime(max(l_shipdate), '%Y-%m') AS m
+        FROM lineitem GROUP BY l_orderkey
+    ) GROUP BY m
+), timeline AS (
+    SELECT coalesce(o.m, d.m) AS m,
+           coalesce(o.n_opened, 0) AS n_opened,
+           coalesce(d.n_done, 0) AS n_done
+    FROM opened o FULL OUTER JOIN done d ON o.m = d.m
+)
+SELECT m, n_opened, n_done,
+       CAST(sum(n_opened) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+            - sum(n_done) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS backlog
+FROM timeline
+"""
+
+
+LOCAL_QUERIES["orders_backlog_monthly"] = QuerySpec(
+    q_orders_backlog_monthly, _ORDERS_BACKLOG_SQL
+)

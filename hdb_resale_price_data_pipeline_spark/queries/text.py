@@ -3146,3 +3146,95 @@ FROM tagged
 LOCAL_QUERIES["text_span_corruption"] = QuerySpec(
     q_text_span_corruption, _span_corruption_oracle()
 )
+
+
+# --- Zipf slope fit -----------------------------------------------------------
+
+ZIPF_LOG_GRID = 10000  # ln values quantized to 1e-4 before the moment sums
+
+
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: the least-squares
+    slope of ln(frequency) on ln(rank) over the vocabulary — natural
+    text sits near −1, and a corpus that drifts (template spam pushes
+    the head, OCR noise fattens the tail) moves the slope before it
+    moves most other health metrics. Companion to text_vocab_coverage
+    (which reads the same curve as coverage budgets).
+
+    EXACTNESS DESIGN: ln() is not required to round identically across
+    engine libms, so each ln is quantized to the 1e-4 grid FIRST (a
+    1-ulp libm divergence flips a grid cell only on an exact .5 knife
+    edge — the same measure-zero class the Lloyd oracle tolerates);
+    the four regression moments are then exact BIGINT sums over the
+    VOCAB-sized rank table (grid 1e4 keeps Σxy under int64 up to ~3e16
+    tokens of vocab mass), and the closed-form slope runs once through
+    an identical double expression. Rank is the one windowed step —
+    over the vocab histogram, never the corpus."""
+    toks = H.tokens("text")[0]
+    docs = widen(t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(col("n").desc(), col("tok"))
+    g = ZIPF_LOG_GRID
+    pts = counts.withColumn("rank", F.row_number().over(w)).select(
+        F.expr(
+            f"CAST(floor(ln(CAST(rank AS DOUBLE)) * {g} + 0.5) AS BIGINT)"
+        ).alias("x"),
+        F.expr(f"CAST(floor(ln(CAST(n AS DOUBLE)) * {g} + 0.5) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    slope = (
+        "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return mom.select(
+        col("m").alias("n_vocab"),
+        F.floor(F.expr(slope) * 1e6 + F.lit(0.5)).cast("long").alias("slope_q"),
+    )
+
+
+def _zipf_oracle() -> str:
+    tk = H.tokens("text")[1]
+    g = ZIPF_LOG_GRID
+    return f"""
+WITH counts AS (
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({tk}) AS tok FROM documents) GROUP BY tok
+), pts AS (
+    SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, tok)
+               AS DOUBLE)) * {g} + 0.5) AS BIGINT) AS x,
+           CAST(floor(ln(CAST(n AS DOUBLE)) * {g} + 0.5) AS BIGINT) AS y
+    FROM counts
+), mom AS (
+    SELECT count(*) AS m,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM pts
+)
+SELECT m AS n_vocab,
+       CAST(floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * 1e6 + 0.5) AS BIGINT) AS slope_q
+FROM mom
+"""
+
+
+LOCAL_QUERIES["text_zipf_slope"] = QuerySpec(q_text_zipf_slope, _zipf_oracle())

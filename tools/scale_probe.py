@@ -383,8 +383,10 @@ SCALING_QUERIES = [
     # census of the mutual k-NN graph (edge-grain joins)
     "text_span_corruption",
     "emb_knn_triangles",
-    # r5 session 5 (cont.): centroid silhouette over the trained index
+    # r5 session 5 (cont.): centroid silhouette over the trained index,
+    # Zipf slope fit
     "emb_silhouette",
+    "text_zipf_slope",
 ]
 
 
@@ -527,6 +529,9 @@ TPCH_QUERIES = [
     # leaderboard
     "events_ab_test",
     "events_decayed_leaderboard",
+    # r5 session 5 (cont.): streaks, backlog timeline
+    "events_activity_streaks",
+    "orders_backlog_monthly",
 ]
 
 
