@@ -138,6 +138,9 @@ EXTRA_LOCAL_QUERIES = [
     "events_activity_streaks",
     "text_zipf_slope",
     "orders_backlog_monthly",
+    "multimodal_exact_dups",
+    "dedup_containment",
+    "orders_brand_recommendation",
 ]
 
 _GRADED = all_queries()

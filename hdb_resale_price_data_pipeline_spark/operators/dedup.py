@@ -347,3 +347,74 @@ def ngram_jaccard_pairs(
         )
         .filter(col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_len: int,
+    threshold: float,
+) -> DataFrame:
+    """Blocked n-gram CONTAINMENT |A∩B| / min(|A|, |B|) — the subset-
+    duplication detector symmetric Jaccard structurally misses: a short
+    doc pasted inside a long one has Jaccard ≈ |A|/|B| (arbitrarily
+    small) but containment ≈ 1. This is also why the candidates come
+    from the inverted-index posting join rather than MinHash banding —
+    a symmetric-MinHash band collision has probability ~Jaccard^r, so
+    LSH is blind to exactly the pairs containment exists to find, while
+    the posting join generates every pair sharing ≥1 distinctive gram.
+
+    Same plan shape (and 100 TB story) as ``ngram_jaccard_pairs``: one
+    posting explode, one (block, gram) self-join, gram-count
+    denominators; the contained side is reported explicitly."""
+    assert threshold > 0.0, "inverted-index formulation requires threshold > 0"
+    from ..functions.arrow_text import distinct_grams_udf
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    base = df.select(
+        col(id_col).alias("doc_id"),
+        col(block_col).alias("block"),
+        distinct_grams_udf(shingle_len)(col(text_col)).alias("grams"),
+    )
+    postings = base.select(
+        "doc_id", "block", F.explode("grams").alias("gram")
+    ).localCheckpoint(eager=False)
+    counts = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (col("a.block") == col("b.block"))
+            & (col("a.gram") == col("b.gram"))
+            & (col("a.doc_id") < col("b.doc_id")),
+        )
+        .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_grams", "na")
+        .join(counts.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_grams", "nb")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    col("n_common").cast("double")
+                    / F.least("na", "nb").cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                ).cast("double")
+                / 10000
+            ).alias("containment"),
+            F.when(col("na") <= col("nb"), col("doc_a"))
+            .otherwise(col("doc_b"))
+            .alias("contained_id"),
+        )
+        .filter(col("containment") >= threshold)
+    )

@@ -17,6 +17,7 @@ from ..operators.dedup import (
     dedup_exact,
     least_nulls_survivor,
     minhash_band_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_buckets,
     verify_jaccard_pairs,
@@ -719,4 +720,44 @@ FROM (
 
 LOCAL_QUERIES["dedup_leakage_split"] = QuerySpec(
     q_dedup_leakage_split, _leakage_split_oracle()
+)
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication pairs by n-gram containment (see
+    operators/dedup.ngram_containment_pairs for why LSH candidates
+    cannot feed this one): |A∩B| / min(|A|, |B|) ≥ {τ} with the
+    contained (smaller) side reported for the cut/keep decision."""
+    docs = t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        widen(docs), "doc_id", "text", block_col="lang",
+        shingle_len=NGRAM_LEN, threshold=CONTAINMENT_THRESHOLD,
+    )
+
+
+def _containment_oracle() -> str:
+    grams = H.shingles(H.tokens("text"), NGRAM_LEN)[1]
+    return f"""
+WITH base AS (
+    SELECT doc_id, lang AS block, list_distinct({grams}) AS grams FROM documents
+), scored AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / least(len(a.grams), len(b.grams))
+                 * 10000 + 0.5) AS DOUBLE) / 10000 AS containment,
+           CASE WHEN len(a.grams) <= len(b.grams) THEN a.doc_id
+                ELSE b.doc_id END AS contained_id
+    FROM base a
+    JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, containment, contained_id
+FROM scored WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+LOCAL_QUERIES["dedup_containment"] = QuerySpec(
+    q_dedup_containment, _containment_oracle()
 )

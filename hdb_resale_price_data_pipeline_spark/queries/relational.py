@@ -1642,3 +1642,96 @@ FROM timeline
 LOCAL_QUERIES["orders_backlog_monthly"] = QuerySpec(
     q_orders_backlog_monthly, _ORDERS_BACKLOG_SQL
 )
+
+
+# --- brand recommendation ------------------------------------------------------
+
+
+def q_orders_brand_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative recommendation, composed from the
+    basket-affinity matrix: each customer's recommended NEW brand is
+    the unowned brand with the highest summed lift against the brands
+    they already buy (the a-priori → recommend pipeline, brand grain).
+
+    The affinity matrix is brands²-sized — broadcast onto the
+    (customer, brand) ownership table; candidate scores are exact
+    BIGINT sums of the quantized lifts; ownership exclusion is an
+    anti-join on the same (customer, brand) key; the final top-1 is a
+    per-customer window. At 100 TB: ownership is the only corpus-grain
+    table, shuffled once on customer."""
+    from pyspark.sql.window import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cb = (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(orders, col("l_orderkey") == col("o_orderkey"))
+        .select(col("o_custkey").alias("custkey"), col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    aff = q_orders_brand_affinity(spark, sf_dir).select(
+        "brand_a", "brand_b", "lift_q"
+    )
+    sym = aff.unionByName(
+        aff.select(
+            col("brand_b").alias("brand_a"),
+            col("brand_a").alias("brand_b"),
+            "lift_q",
+        )
+    ).localCheckpoint(eager=False)
+    scored = (
+        cb.join(F.broadcast(sym), cb.brand == sym.brand_a)
+        .select("custkey", col("brand_b").alias("cand"), "lift_q")
+        .join(
+            cb.select("custkey", col("brand").alias("cand")),
+            ["custkey", "cand"],
+            "left_anti",
+        )
+        .groupBy("custkey", "cand")
+        .agg(F.sum("lift_q").alias("score_q"), F.count(F.lit(1)).alias("n_links"))
+    )
+    w = W.partitionBy("custkey").orderBy(col("score_q").desc(), col("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("custkey", col("cand").alias("recommended_brand"), "score_q", "n_links")
+    )
+
+
+def _brand_recommendation_oracle() -> str:
+    return f"""
+WITH aff_base AS ({_ORDERS_BRAND_AFFINITY_SQL}),
+aff AS (
+    SELECT brand_a, brand_b, lift_q FROM aff_base
+    UNION ALL
+    SELECT brand_b AS brand_a, brand_a AS brand_b, lift_q FROM aff_base
+), cb AS (
+    SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+), scored AS (
+    SELECT c.custkey, a.brand_b AS cand,
+           CAST(sum(a.lift_q) AS BIGINT) AS score_q,
+           count(*) AS n_links
+    FROM cb c
+    JOIN aff a ON a.brand_a = c.brand
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cb o WHERE o.custkey = c.custkey AND o.brand = a.brand_b
+    )
+    GROUP BY c.custkey, a.brand_b
+)
+SELECT custkey, cand AS recommended_brand, score_q, n_links
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY custkey
+                                 ORDER BY score_q DESC, cand) AS rn
+    FROM scored
+) WHERE rn = 1
+"""
+
+
+LOCAL_QUERIES["orders_brand_recommendation"] = QuerySpec(
+    q_orders_brand_recommendation, _brand_recommendation_oracle()
+)

@@ -387,6 +387,10 @@ SCALING_QUERIES = [
     # Zipf slope fit
     "emb_silhouette",
     "text_zipf_slope",
+    # r5 session 5 (cont.): content-digest dedup summary, containment
+    # posting join
+    "multimodal_exact_dups",
+    "dedup_containment",
 ]
 
 
@@ -529,9 +533,10 @@ TPCH_QUERIES = [
     # leaderboard
     "events_ab_test",
     "events_decayed_leaderboard",
-    # r5 session 5 (cont.): streaks, backlog timeline
+    # r5 session 5 (cont.): streaks, backlog timeline, brand recs
     "events_activity_streaks",
     "orders_backlog_monthly",
+    "orders_brand_recommendation",
 ]
 
 
