@@ -141,6 +141,9 @@ EXTRA_LOCAL_QUERIES = [
     "multimodal_exact_dups",
     "dedup_containment",
     "orders_brand_recommendation",
+    "emb_ann_mrr",
+    "events_value_percentiles",
+    "customers_ltv_cohorts",
 ]
 
 _GRADED = all_queries()

@@ -356,6 +356,7 @@ def ngram_containment_pairs(
     block_col: str,
     shingle_len: int,
     threshold: float,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Blocked n-gram CONTAINMENT |A∩B| / min(|A|, |B|) — the subset-
     duplication detector symmetric Jaccard structurally misses: a short
@@ -382,6 +383,19 @@ def ngram_containment_pairs(
     postings = base.select(
         "doc_id", "block", F.explode("grams").alias("gram")
     ).localCheckpoint(eager=False)
+    if max_doc_freq is not None:
+        # same hot-shingle relief valve as ngram_jaccard_pairs, same
+        # semantics shift: containment measured over the
+        # distinctive-gram space
+        keep = (
+            postings.groupBy("block", "gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(col("_df") <= max_doc_freq)
+            .select("block", "gram")
+        )
+        postings = postings.join(
+            keep, ["block", "gram"], "left_semi"
+        ).localCheckpoint(eager=False)
     counts = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = postings.alias("a")
     b = postings.alias("b")

@@ -1677,3 +1677,71 @@ LIMIT {STREAK_TOP_K}
 LOCAL_QUERIES["events_activity_streaks"] = QuerySpec(
     q_events_activity_streaks, _EVENTS_STREAKS_SQL
 )
+
+
+# --- per-group exact value percentiles -------------------------------------
+
+
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value PER event type — the per-group
+    latency/value distribution readout dashboards page on. Values are
+    2-decimal currency, so they live on an integer-cents grid: each
+    group's percentiles come from its value HISTOGRAM via one
+    cumulative window over a ≤(types × distinct-cents) table (the
+    histogram-quantile pattern, grouped) — the corpus is never
+    sorted, and every emitted number is an exact integer. Percentile
+    convention: smallest value with cum ≥ ceil(p·n), identical in
+    both engines via k·cum ≥ p_num·n integer predicates."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type",
+        F.floor(col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("m"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("m").over(w).alias("cum"),
+        F.sum("m").over(W.partitionBy("event_type")).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.min(F.when(F.expr("2 * cum >= n"), col("cents"))).alias("p50_cents"),
+        F.min(F.when(F.expr("10 * cum >= 9 * n"), col("cents"))).alias("p90_cents"),
+        F.min(F.when(F.expr("100 * cum >= 99 * n"), col("cents"))).alias("p99_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+_EVENTS_PCTL_SQL = """
+WITH hist AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           count(*) AS m
+    FROM events GROUP BY 1, 2
+), cum AS (
+    SELECT event_type, cents,
+           sum(m) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(m) OVER (PARTITION BY event_type) AS n
+    FROM hist
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       min(CASE WHEN 2 * cum >= n THEN cents END) AS p50_cents,
+       min(CASE WHEN 10 * cum >= 9 * n THEN cents END) AS p90_cents,
+       min(CASE WHEN 100 * cum >= 99 * n THEN cents END) AS p99_cents,
+       max(cents) AS max_cents
+FROM cum GROUP BY event_type
+"""
+
+
+LOCAL_QUERIES["events_value_percentiles"] = QuerySpec(
+    q_events_value_percentiles, _EVENTS_PCTL_SQL
+)

@@ -1735,3 +1735,69 @@ FROM (
 LOCAL_QUERIES["orders_brand_recommendation"] = QuerySpec(
     q_orders_brand_recommendation, _brand_recommendation_oracle()
 )
+
+
+# --- LTV cohort curves -----------------------------------------------------
+
+
+def q_customers_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value cohort curves: customers cohorted by FIRST-order
+    month, revenue accumulated by months-since-first — the (cohort age
+    × revenue) matrix behind payback-period and retention-economics
+    charts (the orders-side twin of events_cohort_retention).
+
+    First-order month is a per-customer min() window (partitioned —
+    never global); month arithmetic stays on integer month indexes;
+    revenue is exact integer cents. Output is a cohorts × ages matrix —
+    bounded by the calendar squared, no matter the corpus."""
+    from pyspark.sql.window import Window as W
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("midx"),
+        F.floor(col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("o_custkey")
+    aged = orders.withColumn("cohort_midx", F.min("midx").over(w)).select(
+        F.expr(
+            "concat(CAST(cohort_midx DIV 12 AS STRING), '-',"
+            " lpad(CAST(cohort_midx % 12 + 1 AS STRING), 2, '0'))"
+        ).alias("cohort_month"),
+        (col("midx") - col("cohort_midx")).alias("months_since"),
+        "cents",
+        "o_custkey",
+    )
+    return aged.groupBy("cohort_month", "months_since").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+_CUSTOMERS_LTV_SQL = """
+WITH o AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS midx,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+), aged AS (
+    SELECT concat(CAST(min(midx) OVER (PARTITION BY o_custkey) // 12 AS VARCHAR),
+                  '-',
+                  lpad(CAST(min(midx) OVER (PARTITION BY o_custkey) % 12 + 1
+                       AS VARCHAR), 2, '0')) AS cohort_month,
+           midx - min(midx) OVER (PARTITION BY o_custkey) AS months_since,
+           cents, o_custkey
+    FROM o
+)
+SELECT cohort_month, months_since,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM aged
+GROUP BY 1, 2
+"""
+
+
+LOCAL_QUERIES["customers_ltv_cohorts"] = QuerySpec(
+    q_customers_ltv_cohorts, _CUSTOMERS_LTV_SQL
+)

@@ -2899,3 +2899,100 @@ FROM sc GROUP BY ivf_cid
 
 
 LOCAL_QUERIES["emb_silhouette"] = QuerySpec(q_emb_silhouette, _silhouette_oracle())
+
+
+# --- retrieval-quality eval: MRR of the LSH index ------------------------------
+
+MRR_QUERIES = 10
+
+
+def q_emb_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation AS A QUERY: for each of the first
+    {Q} query vectors, where does the TRUE nearest neighbor (exact
+    brute-force cosine) land in the hyperplane-LSH candidate ranking —
+    per-query rank plus quantized reciprocal rank, the MRR evidence an
+    index owner reads before trusting a serving path (the batch twin of
+    tools/ann_sweep.py, with a full value oracle instead of a printed
+    table).
+
+    The exact-NN pass is deliberately brute force (Q × n broadcast
+    pairs — the price of ground truth, which is why Q is a sampled
+    handful and not the corpus); both rankings read ONE checkpointed
+    pair-score table, and every rank uses the same (cosine desc,
+    vec_id) deterministic tiebreak. Reciprocal ranks quantize to
+    integer millionths BEFORE any aggregation downstream consumers
+    might do."""
+    from pyspark.sql.window import Window as W
+
+    emb, dim = _lsh_index(spark, sf_dir)
+    queries = emb.filter(col("vec_id") < MRR_QUERIES).select(
+        col("vec_id").alias("qid"),
+        col("embedding").alias("q_emb"),
+        col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") != col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "bucket",
+            "q_bucket",
+            S.cosine_expr("embedding", "q_emb", dim=dim).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = W.partitionBy("qid").orderBy(col("c").desc(), col("vec_id"))
+    exact_nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("qid", col("vec_id").alias("true_nn"))
+    )
+    ranked = (
+        scored.filter(col("bucket") == col("q_bucket"))
+        .withColumn("ann_rank", F.row_number().over(w))
+        .select("qid", col("vec_id").alias("true_nn"), "ann_rank")
+    )
+    return exact_nn.join(ranked, ["qid", "true_nn"], "left").select(
+        "qid",
+        "true_nn",
+        "ann_rank",
+        F.coalesce(
+            F.floor(F.lit(1000000.0) / col("ann_rank") + F.lit(0.5)).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("rr_q"),
+    )
+
+
+def _ann_mrr_oracle() -> str:
+    bucket = S.hyperplane_bucket("embedding", N_PLANES)[1]
+    cos = S.cosine("e.embedding", "q.q_emb")[1]
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+    SELECT vec_id AS qid, embedding AS q_emb, bucket AS q_bucket
+    FROM bucketed WHERE vec_id < {MRR_QUERIES}
+), scored AS (
+    SELECT q.qid, e.vec_id, e.bucket, q.q_bucket, {cos} AS c
+    FROM bucketed e, q
+    WHERE e.vec_id != q.qid
+), exact_nn AS (
+    SELECT qid, vec_id AS true_nn FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), ranked AS (
+    SELECT qid, vec_id AS true_nn,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS ann_rank
+    FROM scored WHERE bucket = q_bucket
+)
+SELECT x.qid, x.true_nn, r.ann_rank,
+       coalesce(CAST(floor(1000000.0 / r.ann_rank + 0.5) AS BIGINT),
+                CAST(0 AS BIGINT)) AS rr_q
+FROM exact_nn x LEFT JOIN ranked r USING (qid, true_nn)
+"""
+
+
+LOCAL_QUERIES["emb_ann_mrr"] = QuerySpec(q_emb_ann_mrr, _ann_mrr_oracle())

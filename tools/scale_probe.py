@@ -391,6 +391,9 @@ SCALING_QUERIES = [
     # posting join
     "multimodal_exact_dups",
     "dedup_containment",
+    # r5 session 5 (cont.): LSH MRR eval (Q x n brute truth + bucket
+    # ranking)
+    "emb_ann_mrr",
 ]
 
 
@@ -537,6 +540,9 @@ TPCH_QUERIES = [
     "events_activity_streaks",
     "orders_backlog_monthly",
     "orders_brand_recommendation",
+    # r5 session 5 (cont.): grouped exact percentiles, LTV cohorts
+    "events_value_percentiles",
+    "customers_ltv_cohorts",
 ]
 
 
