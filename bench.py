@@ -144,6 +144,8 @@ EXTRA_LOCAL_QUERIES = [
     "emb_ann_mrr",
     "events_value_percentiles",
     "customers_ltv_cohorts",
+    "events_active_users",
+    "orders_seasonality",
 ]
 
 _GRADED = all_queries()

@@ -1745,3 +1745,86 @@ FROM cum GROUP BY event_type
 LOCAL_QUERIES["events_value_percentiles"] = QuerySpec(
     q_events_value_percentiles, _EVENTS_PCTL_SQL
 )
+
+
+# --- active users (DAU / WAU / stickiness) ----------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics actives: per day, the distinct active users
+    that day (DAU), in the trailing {W}-day window (WAU), and the
+    DAU/WAU stickiness ratio. Rolling DISTINCT counts cannot partial-
+    aggregate, so the rolling window is a RANGE JOIN of the (user, day)
+    distinct table onto the day spine — |user_days| × {W} join rows,
+    bounded by the activity table times the window, never
+    users × days. Exact integers; the one quotient quantizes once."""
+    ev = t(spark, sf_dir, "events")
+    user_days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date(col("ts")), F.lit("1970-01-01").cast("date")).alias(
+                "dnum"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    days = user_days.select(col("dnum").alias("d")).distinct()
+    dau = user_days.groupBy(col("dnum").alias("d")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    wau = (
+        days.join(
+            user_days,
+            (col("dnum") <= col("d"))
+            & (col("dnum") > col("d") - WAU_WINDOW_DAYS),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format(
+                F.expr("date_add(DATE '1970-01-01', CAST(d AS INT))"), "yyyy-MM-dd"
+            ).alias("day"),
+            "dau",
+            "wau",
+            F.floor(
+                F.expr("CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)") * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("stickiness_q"),
+        )
+    )
+
+
+_EVENTS_ACTIVE_SQL = f"""
+WITH user_days AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum
+    FROM events
+), days AS (
+    SELECT DISTINCT dnum AS d FROM user_days
+), dau AS (
+    SELECT dnum AS d, count(*) AS dau FROM user_days GROUP BY dnum
+), wau AS (
+    SELECT dy.d, count(DISTINCT ud.user_id) AS wau
+    FROM days dy JOIN user_days ud
+      ON ud.dnum <= dy.d AND ud.dnum > dy.d - {WAU_WINDOW_DAYS}
+    GROUP BY dy.d
+)
+SELECT strftime(DATE '1970-01-01' + to_days(CAST(a.d AS INT)), '%Y-%m-%d') AS day,
+       a.dau, w.wau,
+       CAST(floor(CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) * 1e6 + 0.5)
+           AS BIGINT) AS stickiness_q
+FROM dau a JOIN wau w ON a.d = w.d
+"""
+
+
+LOCAL_QUERIES["events_active_users"] = QuerySpec(
+    q_events_active_users, _EVENTS_ACTIVE_SQL
+)

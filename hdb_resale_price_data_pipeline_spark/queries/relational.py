@@ -1801,3 +1801,79 @@ GROUP BY 1, 2
 LOCAL_QUERIES["customers_ltv_cohorts"] = QuerySpec(
     q_customers_ltv_cohorts, _CUSTOMERS_LTV_SQL
 )
+
+
+# --- seasonality index ------------------------------------------------------
+
+
+def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality index: each month-of-year's average order
+    value and order share vs the all-year baseline (index 1e6 =
+    perfectly flat) — the demand-curve readout behind inventory and
+    staffing plans.
+
+    One corpus-grain month aggregate; the baseline rides a 1-row
+    broadcast crossJoin; every ratio is exact-integer-moments through
+    one identical double expression. Output is exactly 12 rows."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").alias("moy"),
+        F.floor(col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per_month = orders.groupBy("moy").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    total = per_month.agg(
+        F.sum("n_orders").alias("t_orders"), F.sum("cents").alias("t_cents")
+    )
+    return per_month.crossJoin(F.broadcast(total)).select(
+        "moy",
+        "n_orders",
+        "cents",
+        F.floor(
+            F.expr(
+                "(CAST(cents AS DOUBLE) / CAST(n_orders AS DOUBLE))"
+                " / (CAST(t_cents AS DOUBLE) / CAST(t_orders AS DOUBLE))"
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("value_index_q"),
+        F.floor(
+            F.expr(
+                "CAST(n_orders AS DOUBLE) * 12.0 / CAST(t_orders AS DOUBLE)"
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("volume_index_q"),
+    )
+
+
+_ORDERS_SEASONALITY_SQL = """
+WITH per_month AS (
+    SELECT month(o_orderdate) AS moy,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+), total AS (
+    SELECT CAST(sum(n_orders) AS BIGINT) AS t_orders,
+           CAST(sum(cents) AS BIGINT) AS t_cents
+    FROM per_month
+)
+SELECT p.moy, p.n_orders, p.cents,
+       CAST(floor((CAST(p.cents AS DOUBLE) / CAST(p.n_orders AS DOUBLE))
+            / (CAST(t.t_cents AS DOUBLE) / CAST(t.t_orders AS DOUBLE))
+            * 1e6 + 0.5) AS BIGINT) AS value_index_q,
+       CAST(floor(CAST(p.n_orders AS DOUBLE) * 12.0 / CAST(t.t_orders AS DOUBLE)
+            * 1e6 + 0.5) AS BIGINT) AS volume_index_q
+FROM per_month p CROSS JOIN total t
+"""
+
+
+LOCAL_QUERIES["orders_seasonality"] = QuerySpec(
+    q_orders_seasonality, _ORDERS_SEASONALITY_SQL
+)

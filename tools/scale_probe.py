@@ -540,9 +540,12 @@ TPCH_QUERIES = [
     "events_activity_streaks",
     "orders_backlog_monthly",
     "orders_brand_recommendation",
-    # r5 session 5 (cont.): grouped exact percentiles, LTV cohorts
+    # r5 session 5 (cont.): grouped exact percentiles, LTV cohorts,
+    # DAU/WAU actives, seasonality index
     "events_value_percentiles",
     "customers_ltv_cohorts",
+    "events_active_users",
+    "orders_seasonality",
 ]
 
 
