@@ -126,7 +126,7 @@ EXTRA_LOCAL_QUERIES = [
     "events_ewma_daily",
     "events_key_skew",
     "text_span_corruption",
-    "emb_knn_triangles",
+    "text_chunk_overlap",
     "events_markov_transitions",
     "customers_purchase_intervals",
     "events_multitouch_attribution",

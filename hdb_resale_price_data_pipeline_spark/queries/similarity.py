@@ -2773,7 +2773,10 @@ FROM stats s CROSS JOIN tri t
 """
 
 
-LOCAL_QUERIES["emb_knn_triangles"] = QuerySpec(
+# r5 session-5 rotation: graded (took text_chunk_overlap's slot) — the
+# graph family's first entry on the driver's hard signal; transitively
+# exercises the blocked k-NN graph build and mutual filtering.
+QUERIES["emb_knn_triangles"] = QuerySpec(
     q_emb_knn_triangles, _knn_triangles_oracle()
 )
 

@@ -474,7 +474,11 @@ _TEXT_CHUNK_SQL = C.chunk_documents_duck(
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "text_chunk_overlap": QuerySpec(q_text_chunk_overlap, _TEXT_CHUNK_SQL),
+    # r5 session-5 rotation: text_chunk_overlap → LOCAL_QUERIES (the
+    # chunking family stays oracle-verified there via text_cdc_chunks /
+    # multimodal_chunks / text_pack_sequences); its graded slot goes to
+    # emb_knn_triangles so the graph family (knn graph → mutual →
+    # census) lands on the driver's hard signal.
     "text_train_test_split": QuerySpec(q_text_train_test_split, _TRAIN_TEST_SQL),
     "text_decontaminate": QuerySpec(q_text_decontaminate, _TEXT_DECONTAM_SQL),
     # r4: the C4/Gopher corpus filters join the graded window below
@@ -1647,6 +1651,7 @@ QUERIES["text_model_selection"] = QuerySpec(
 )
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "text_chunk_overlap": QuerySpec(q_text_chunk_overlap, _TEXT_CHUNK_SQL),
     "text_bloom_decontaminate": QuerySpec(
         q_text_bloom_decontaminate, _bloom_decontam_oracle()
     ),
