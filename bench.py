@@ -146,6 +146,8 @@ EXTRA_LOCAL_QUERIES = [
     "customers_ltv_cohorts",
     "events_active_users",
     "orders_seasonality",
+    "events_retention_bitmap",
+    "events_pattern_no_error",
 ]
 
 _GRADED = all_queries()

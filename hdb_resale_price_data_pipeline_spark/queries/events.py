@@ -1828,3 +1828,174 @@ FROM dau a JOIN wau w ON a.d = w.d
 LOCAL_QUERIES["events_active_users"] = QuerySpec(
     q_events_active_users, _EVENTS_ACTIVE_SQL
 )
+
+
+# --- bitmap-index retention --------------------------------------------------
+
+BITMAP_WORD_BITS = 32
+
+
+def q_events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention through BITMAP INDEXES — the warehouse
+    technique (roaring-bitmap style) that turns distinct-user
+    intersection into bitwise AND + popcount: each day's active-user
+    set packs into (word, 32-bit mask) rows via a partial-aggregable
+    bit_or, and "day-0 users still active on day d" is one word-aligned
+    join with bit_count(b_d & b_0) — no distinct-user shuffle per day
+    pair, state is |users|/32 words per day regardless of event
+    volume. 32-bit words keep every mask positive in a BIGINT (a bit
+    at position 63 flips sign — two's-complement behavior both engines
+    share, but staying positive removes the hazard class entirely)."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(col("ts")).cast("string").alias("day")
+    ).distinct()
+    bitmaps = (
+        ud.select(
+            "day",
+            F.expr(f"user_id DIV {BITMAP_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(user_id % {BITMAP_WORD_BITS} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+        .localCheckpoint(eager=False)
+    )
+    day0 = bitmaps.agg(F.min("day").alias("d0")).select("d0")
+    cohort = (
+        bitmaps.join(F.broadcast(day0), bitmaps.day == col("d0"))
+        .select("word", col("mask").alias("mask0"))
+    )
+    per_day = (
+        bitmaps.join(F.broadcast(cohort), "word")
+        .groupBy("day")
+        .agg(
+            F.sum(F.expr("bit_count(mask & mask0)")).alias("retained"),
+            F.sum(F.expr("bit_count(mask0)")).alias("_cohort_words"),
+        )
+    )
+    cohort_n = cohort.agg(F.sum(F.expr("bit_count(mask0)")).alias("cohort_n"))
+    return per_day.crossJoin(F.broadcast(cohort_n)).select(
+        "day",
+        "retained",
+        "cohort_n",
+        F.floor(
+            F.expr("CAST(retained AS DOUBLE) / CAST(cohort_n AS DOUBLE)") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("retention_q"),
+    )
+
+
+_EVENTS_RETENTION_BITMAP_SQL = f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+    FROM events
+), bitmaps AS (
+    SELECT day, user_id // {BITMAP_WORD_BITS} AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(user_id % {BITMAP_WORD_BITS} AS INT))
+               AS mask
+    FROM ud GROUP BY 1, 2
+), d0 AS (SELECT min(day) AS d0 FROM bitmaps),
+cohort AS (
+    SELECT word, mask AS mask0 FROM bitmaps, d0 WHERE bitmaps.day = d0.d0
+), per_day AS (
+    SELECT b.day,
+           CAST(sum(bit_count(b.mask & c.mask0)) AS BIGINT) AS retained
+    FROM bitmaps b JOIN cohort c USING (word)
+    GROUP BY b.day
+), n AS (SELECT CAST(sum(bit_count(mask0)) AS BIGINT) AS cohort_n FROM cohort)
+SELECT p.day, p.retained, n.cohort_n,
+       CAST(floor(CAST(p.retained AS DOUBLE) / CAST(n.cohort_n AS DOUBLE)
+           * 1e6 + 0.5) AS BIGINT) AS retention_q
+FROM per_day p CROSS JOIN n
+"""
+
+
+LOCAL_QUERIES["events_retention_bitmap"] = QuerySpec(
+    q_events_retention_bitmap, _EVENTS_RETENTION_BITMAP_SQL
+)
+
+
+# --- sequence pattern with negation -------------------------------------------
+
+
+def q_events_pattern_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching WITH NEGATION (MATCH_RECOGNIZE
+    territory): users whose timeline contains a view followed by a
+    purchase with NO error in between — the pattern class funnels
+    can't express (events_funnel orders stages; it cannot say "and
+    nothing bad happened in the gap").
+
+    Runs as a deterministic AUTOMATON FOLD over each user's
+    time-ordered event codes (0=view-armed trigger, reset on error,
+    accept on purchase): one per-user collect + one integer
+    left-fold — no self-joins (the naive formulation is an
+    event⋈event⋈NOT EXISTS anti-range-join, quadratic in hot users).
+    Event types map to small ints FIRST so the fold list is
+    homogeneous in both engines. Emits the 1-row match-rate report."""
+    ev = t(spark, sf_dir, "events")
+    code = (
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'error' THEN 2"
+        " WHEN 'purchase' THEN 3 ELSE 0 END"
+    )
+    step = (
+        "CASE WHEN acc = 2 THEN 2"
+        " WHEN acc = 0 AND x = 1 THEN 1"
+        " WHEN acc = 1 AND x = 2 THEN 0"
+        " WHEN acc = 1 AND x = 3 THEN 2"
+        " ELSE acc END"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            f"aggregate(transform(array_sort(collect_list("
+            f"struct(ts, event_id, {code} AS c))), s -> s.c),"
+            f" 0, (acc, x) -> {step})"
+        ).alias("state")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.expr("IF(state = 2, 1, 0)")).alias("n_matched"),
+        F.floor(
+            F.expr(
+                "CAST(sum(IF(state = 2, 1, 0)) AS DOUBLE)"
+                " / CAST(count(1) AS DOUBLE)"
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("match_rate_q"),
+    )
+
+
+_EVENTS_PATTERN_SQL = """
+WITH coded AS (
+    SELECT user_id, ts, event_id,
+           CASE event_type WHEN 'view' THEN 1 WHEN 'error' THEN 2
+                WHEN 'purchase' THEN 3 ELSE 0 END AS c
+    FROM events
+), per_user AS (
+    SELECT user_id,
+           list_reduce(list_prepend(0, list(c ORDER BY ts, event_id)),
+               (acc, x) -> CASE WHEN acc = 2 THEN 2
+                                WHEN acc = 0 AND x = 1 THEN 1
+                                WHEN acc = 1 AND x = 2 THEN 0
+                                WHEN acc = 1 AND x = 3 THEN 2
+                                ELSE acc END) AS state
+    FROM coded GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN state = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(floor(CAST(sum(CASE WHEN state = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS match_rate_q
+FROM per_user
+"""
+
+
+LOCAL_QUERIES["events_pattern_no_error"] = QuerySpec(
+    q_events_pattern_no_error, _EVENTS_PATTERN_SQL
+)

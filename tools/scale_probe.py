@@ -546,6 +546,9 @@ TPCH_QUERIES = [
     "customers_ltv_cohorts",
     "events_active_users",
     "orders_seasonality",
+    # r5 session 5 (cont.): bitmap retention, negation pattern
+    "events_retention_bitmap",
+    "events_pattern_no_error",
 ]
 
 
