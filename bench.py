@@ -148,6 +148,8 @@ EXTRA_LOCAL_QUERIES = [
     "orders_seasonality",
     "events_retention_bitmap",
     "events_pattern_no_error",
+    "text_source_scorecard",
+    "orders_rapid_repeats",
 ]
 
 _GRADED = all_queries()

@@ -1877,3 +1877,78 @@ FROM per_month p CROSS JOIN total t
 LOCAL_QUERIES["orders_seasonality"] = QuerySpec(
     q_orders_seasonality, _ORDERS_SEASONALITY_SQL
 )
+
+
+# --- rapid-repeat-order audit ---------------------------------------------
+
+DUP_PAY_WINDOW_DAYS = 3
+
+
+def q_orders_rapid_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat-order audit: pairs of orders by the SAME customer
+    within {W} days — the review queue behind double-charge /
+    double-entry detection (the same_amount flag marks the hard
+    candidates; on this synthetic price distribution exact-amount
+    collisions are absent, so the window pairs ARE the surface).
+
+    Customer is the BLOCK (one co-partitioned self-join, never a
+    global date-range join); the day window is a residual predicate
+    inside each block, so work is Σ block² over per-customer order
+    counts — bounded here (~10/customer). A customer with unbounded
+    order volume at 100 TB upgrades the block to (customer,
+    date-bucket) with the window joining adjacent buckets — same
+    plan, tighter blocks."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        col("o_orderdate").cast("date").alias("od"),
+    )
+    a = orders.alias("a")
+    b = orders.alias("b")
+    return (
+        a.join(
+            b,
+            (col("a.o_custkey") == col("b.o_custkey"))
+            & (col("a.o_orderkey") < col("b.o_orderkey"))
+            & (
+                F.abs(F.datediff(col("a.od"), col("b.od")))
+                <= DUP_PAY_WINDOW_DAYS
+            ),
+        )
+        .select(
+            col("a.o_custkey").alias("custkey"),
+            col("a.o_orderkey").alias("order_a"),
+            col("b.o_orderkey").alias("order_b"),
+            col("a.cents").alias("cents_a"),
+            col("b.cents").alias("cents_b"),
+            (col("a.cents") == col("b.cents")).cast("int").alias("same_amount"),
+            F.abs(F.datediff(col("a.od"), col("b.od"))).alias("days_apart"),
+        )
+    )
+
+
+_ORDERS_RAPID_SQL = f"""
+WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(o_orderdate AS DATE) AS od
+    FROM orders
+)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS order_a,
+       b.o_orderkey AS order_b,
+       a.cents AS cents_a,
+       b.cents AS cents_b,
+       CAST(a.cents = b.cents AS INT) AS same_amount,
+       abs(date_diff('day', b.od, a.od)) AS days_apart
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(date_diff('day', b.od, a.od)) <= {DUP_PAY_WINDOW_DAYS}
+"""
+
+
+LOCAL_QUERIES["orders_rapid_repeats"] = QuerySpec(
+    q_orders_rapid_repeats, _ORDERS_RAPID_SQL
+)

@@ -3243,3 +3243,96 @@ FROM mom
 
 
 LOCAL_QUERIES["text_zipf_slope"] = QuerySpec(q_text_zipf_slope, _zipf_oracle())
+
+
+# --- per-source scorecard -----------------------------------------------------
+
+
+def q_text_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus scorecard: doc count, token mass, mean quality
+    (exact integer quotient over the 1e-4 quality grid), and LANGUAGE
+    ENTROPY — the one-page health report a data-sourcing team reads
+    per provider (a source whose language entropy jumps got a new
+    crawl mix; one whose quality mean sags needs its filters retuned).
+
+    ONE corpus pass to (source, lang) grain (counts + token mass +
+    quality sums partial-aggregate together), checkpointed —
+    everything after is providers-sized. Entropy quantizes each
+    p·ln(p) term on the 1e-4 ln grid BEFORE the source-level sum
+    (text_zipf_slope's libm-divergence discipline), so the sum is an
+    exact integer fold."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    sl = (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(T.token_count("text")).alias("toks"),
+            F.sum(F.floor(T.quality_score("text") * 10000).cast("long")).alias(
+                "qs"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = sl.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum("qs").alias("q_sum"),
+    )
+    ent = (
+        sl.join(
+            sl.groupBy("source").agg(F.sum("n").alias("tot")), "source"
+        )
+        .select(
+            "source",
+            F.expr(
+                "CAST(floor(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))"
+                " * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))"
+                " * 10000 + 0.5) AS BIGINT)"
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term").alias("lang_entropy_q4"))
+    )
+    return base.join(ent, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST(floor(CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5)"
+            " AS BIGINT)"
+        ).alias("mean_quality_q4"),
+        "lang_entropy_q4",
+    )
+
+
+def _source_scorecard_oracle() -> str:
+    tk = H.tokens("text")[1]
+    qd = T.quality_score_duck("text")
+    return f"""
+WITH sl AS (
+    SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+), base AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len({tk})) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(floor(({qd}) * 10000) AS BIGINT)) AS BIGINT) AS q_sum
+    FROM documents GROUP BY source
+), ent AS (
+    SELECT sl.source,
+           CAST(sum(CAST(floor(-(CAST(sl.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+               * ln(CAST(sl.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+               * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS lang_entropy_q4
+    FROM sl JOIN (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+                  FROM sl GROUP BY source) t USING (source)
+    GROUP BY sl.source
+)
+SELECT b.source, b.n_docs, b.n_tokens,
+       CAST(floor(CAST(b.q_sum AS DOUBLE) / CAST(b.n_docs AS DOUBLE) + 0.5)
+           AS BIGINT) AS mean_quality_q4,
+       e.lang_entropy_q4
+FROM base b JOIN ent e USING (source)
+"""
+
+
+LOCAL_QUERIES["text_source_scorecard"] = QuerySpec(
+    q_text_source_scorecard, _source_scorecard_oracle()
+)

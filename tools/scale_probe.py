@@ -392,8 +392,9 @@ SCALING_QUERIES = [
     "multimodal_exact_dups",
     "dedup_containment",
     # r5 session 5 (cont.): LSH MRR eval (Q x n brute truth + bucket
-    # ranking)
+    # ranking), per-source scorecard
     "emb_ann_mrr",
+    "text_source_scorecard",
 ]
 
 
@@ -546,9 +547,11 @@ TPCH_QUERIES = [
     "customers_ltv_cohorts",
     "events_active_users",
     "orders_seasonality",
-    # r5 session 5 (cont.): bitmap retention, negation pattern
+    # r5 session 5 (cont.): bitmap retention, negation pattern, rapid
+    # repeats
     "events_retention_bitmap",
     "events_pattern_no_error",
+    "orders_rapid_repeats",
 ]
 
 
