@@ -150,6 +150,7 @@ EXTRA_LOCAL_QUERIES = [
     "events_pattern_no_error",
     "text_source_scorecard",
     "orders_rapid_repeats",
+    "supplier_hhi",
 ]
 
 _GRADED = all_queries()

@@ -1952,3 +1952,64 @@ FROM o a JOIN o b
 LOCAL_QUERIES["orders_rapid_repeats"] = QuerySpec(
     q_orders_rapid_repeats, _ORDERS_RAPID_SQL
 )
+
+
+# --- supplier concentration (HHI) -----------------------------------------------
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: the Herfindahl–Hirschman index of
+    supplier quantity share within each part type — the sourcing-risk
+    number (10000 = single supplier, →0 = atomized) procurement teams
+    track per category.
+
+    HHI = Σ qᵢ² / (Σ qᵢ)² over integer quantity sums, so both moments
+    are EXACT BIGINTs from one (type, supplier) partial agg and the
+    division happens once — never a sum of floating shares (whose
+    order would matter). Plan: lineitem joins two broadcast dims, one
+    (type, supplier) shuffle, then a types-sized rollup."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey")
+    per = (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .groupBy("p_type", "s_suppkey")
+        .agg(F.sum(col("l_quantity").cast("long")).alias("q"))
+    )
+    return per.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").alias("total_qty"),
+        F.floor(
+            F.expr(
+                "CAST(sum(q * q) AS DOUBLE)"
+                " / (CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE))"
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("hhi"),
+    )
+
+
+_SUPPLIER_HHI_SQL = """
+WITH per AS (
+    SELECT p.p_type, l.l_suppkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+)
+SELECT p_type,
+       count(*) AS n_suppliers,
+       CAST(sum(q) AS BIGINT) AS total_qty,
+       CAST(floor(CAST(sum(q * q) AS DOUBLE)
+            / (CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE))
+            * 10000 + 0.5) AS BIGINT) AS hhi
+FROM per GROUP BY p_type
+"""
+
+
+LOCAL_QUERIES["supplier_hhi"] = QuerySpec(q_supplier_hhi, _SUPPLIER_HHI_SQL)

@@ -552,6 +552,7 @@ TPCH_QUERIES = [
     "events_retention_bitmap",
     "events_pattern_no_error",
     "orders_rapid_repeats",
+    "supplier_hhi",
 ]
 
 
