@@ -151,6 +151,8 @@ EXTRA_LOCAL_QUERIES = [
     "text_source_scorecard",
     "orders_rapid_repeats",
     "supplier_hhi",
+    "text_length_ks",
+    "events_peak_concurrency",
 ]
 
 _GRADED = all_queries()

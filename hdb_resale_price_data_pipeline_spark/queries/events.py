@@ -1999,3 +1999,114 @@ FROM per_user
 LOCAL_QUERIES["events_pattern_no_error"] = QuerySpec(
     q_events_pattern_no_error, _EVENTS_PATTERN_SQL
 )
+
+
+# --- peak session concurrency ---------------------------------------------------
+
+
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity number
+    (connection pools, rate limits, license seats) — via the classic
+    INTERVAL SWEEP: each gap-sessionized (user, session) interval
+    emits a +1 boundary at its start and a −1 at its end, and the
+    day's peak is the max running sum over boundaries ordered by
+    (time, −1-before-+1, user, session) — half-open intervals, fully
+    deterministic under ties. Sessions are attributed to their start
+    day (documented clip; midnight-spanners are rare at a 30-min gap).
+
+    The sweep window is partitioned PER DAY over SESSION boundaries
+    (2 rows per session — far below event grain; a day with extreme
+    session volume would shard the sweep by hour with carry-in
+    offsets, same algebra). Sessionization itself is the same per-user
+    lag/cumsum pass events_sessionize uses."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = (
+        ev.withColumn("prev_us", F.lag(F.unix_micros(col("ts"))).over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                col("prev_us").isNull()
+                | (F.unix_micros(col("ts")) - col("prev_us") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(w))
+    )
+    sessions = flagged.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_micros(col("ts"))).alias("start_us"),
+        F.max(F.unix_micros(col("ts"))).alias("end_us"),
+    )
+    starts = sessions.select(
+        "user_id",
+        "session_seq",
+        col("start_us").alias("t_us"),
+        F.lit(1).alias("delta"),
+        F.to_date(F.timestamp_micros(col("start_us"))).cast("string").alias("day"),
+    )
+    ends = sessions.select(
+        "user_id",
+        "session_seq",
+        col("end_us").alias("t_us"),
+        F.lit(-1).alias("delta"),
+        F.to_date(F.timestamp_micros(col("start_us"))).cast("string").alias("day"),
+    )
+    bounds = starts.unionByName(ends)
+    sweep = W.partitionBy("day").orderBy(
+        "t_us", "delta", "user_id", "session_seq"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        bounds.withColumn("running", F.sum("delta").over(sweep))
+        .groupBy("day")
+        .agg(
+            F.max("running").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+        )
+    )
+
+
+_EVENTS_PEAK_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS session_seq
+    FROM flagged
+), sessions AS (
+    SELECT user_id, session_seq,
+           min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+    FROM numbered GROUP BY 1, 2
+), bounds AS (
+    SELECT user_id, session_seq, start_us AS t_us, 1 AS delta,
+           CAST(CAST(make_timestamp(start_us) AS DATE) AS VARCHAR) AS day
+    FROM sessions
+    UNION ALL
+    SELECT user_id, session_seq, end_us AS t_us, -1 AS delta,
+           CAST(CAST(make_timestamp(start_us) AS DATE) AS VARCHAR) AS day
+    FROM sessions
+), swept AS (
+    SELECT day,
+           sum(delta) OVER (PARTITION BY day
+               ORDER BY t_us, delta, user_id, session_seq
+               ROWS UNBOUNDED PRECEDING) AS running
+    FROM bounds
+)
+SELECT day,
+       CAST(max(running) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) / 2 AS BIGINT) AS n_sessions
+FROM swept GROUP BY day
+"""
+
+
+LOCAL_QUERIES["events_peak_concurrency"] = QuerySpec(
+    q_events_peak_concurrency, _EVENTS_PEAK_SQL
+)

@@ -3336,3 +3336,106 @@ FROM base b JOIN ent e USING (source)
 LOCAL_QUERIES["text_source_scorecard"] = QuerySpec(
     q_text_source_scorecard, _source_scorecard_oracle()
 )
+
+
+# --- KS length-drift statistic --------------------------------------------------
+
+KS_TOP = 15
+
+
+def q_text_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Kolmogorov–Smirnov statistic between sources' document
+    LENGTH distributions (token counts) — the distribution-drift test
+    that catches a provider whose docs silently got truncated or
+    concatenated (complementing text_js_divergence, which compares
+    token CONTENT). Emits the top-{K} most-divergent source pairs.
+
+    KS = max |F_a − F_b| over the merged support, computed EXACTLY:
+    lengths histogram per source, cumulative counts at every support
+    point via a support × histogram range join (support is the
+    distinct-length set — bounded by max doc length, never corpus-
+    sized), and the sup taken over |c_a·n_b − c_b·n_a| integer cross
+    moments with ONE final division. No sort of the corpus, no float
+    accumulation."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    lens = docs.select("source", T.token_count("text").alias("len"))
+    hist = (
+        lens.groupBy("source", "len")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    totals = hist.groupBy("source").agg(F.sum("m").alias("n"))
+    support = hist.select("len").distinct().select(col("len").alias("s"))
+    # support-sized (|support| × sources rows) and consumed by BOTH
+    # pair-join sides — one materialization beats re-running the
+    # range join per side
+    cdf = (
+        support.join(hist, col("len") <= col("s"))
+        .groupBy("source", "s")
+        .agg(F.sum("m").alias("c"))
+        .join(F.broadcast(totals), "source")
+        .localCheckpoint(eager=False)
+    )
+    a = cdf.select(
+        col("source").alias("src_a"), "s", col("c").alias("ca"), col("n").alias("na")
+    )
+    b = cdf.select(
+        col("source").alias("src_b"), "s", col("c").alias("cb"), col("n").alias("nb")
+    )
+    pair = a.join(b, "s").filter(col("src_a") < col("src_b"))
+    ks = (
+        pair.groupBy("src_a", "src_b")
+        .agg(
+            F.max(
+                F.abs(F.expr("ca * nb - cb * na"))
+            ).alias("cross_max"),
+            F.max(F.expr("na * nb")).alias("nn"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.floor(
+                F.expr("CAST(cross_max AS DOUBLE) / CAST(nn AS DOUBLE)") * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ks_q"),
+        )
+    )
+    return ks.orderBy(col("ks_q").desc(), "src_a", "src_b").limit(KS_TOP)
+
+
+def _length_ks_oracle() -> str:
+    tk = H.tokens("text")[1]
+    return f"""
+WITH lens AS (
+    SELECT source, len({tk}) AS len FROM documents
+), hist AS (
+    SELECT source, len, count(*) AS m FROM lens GROUP BY 1, 2
+), totals AS (
+    SELECT source, CAST(sum(m) AS BIGINT) AS n FROM hist GROUP BY source
+), support AS (
+    SELECT DISTINCT len AS s FROM hist
+), cdf AS (
+    SELECT h.source, sp.s, CAST(sum(h.m) AS BIGINT) AS c, t.n
+    FROM support sp
+    JOIN hist h ON h.len <= sp.s
+    JOIN totals t ON t.source = h.source
+    GROUP BY h.source, sp.s, t.n
+), pair AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           max(abs(a.c * b.n - b.c * a.n)) AS cross_max,
+           max(a.n * b.n) AS nn
+    FROM cdf a JOIN cdf b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(floor(CAST(cross_max AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6 + 0.5)
+           AS BIGINT) AS ks_q
+FROM pair
+ORDER BY ks_q DESC, src_a, src_b
+LIMIT {KS_TOP}
+"""
+
+
+LOCAL_QUERIES["text_length_ks"] = QuerySpec(q_text_length_ks, _length_ks_oracle())

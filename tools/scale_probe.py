@@ -395,6 +395,8 @@ SCALING_QUERIES = [
     # ranking), per-source scorecard
     "emb_ann_mrr",
     "text_source_scorecard",
+    # r5 session 5 (cont.): KS length drift
+    "text_length_ks",
 ]
 
 
@@ -553,6 +555,7 @@ TPCH_QUERIES = [
     "events_pattern_no_error",
     "orders_rapid_repeats",
     "supplier_hhi",
+    "events_peak_concurrency",
 ]
 
 
