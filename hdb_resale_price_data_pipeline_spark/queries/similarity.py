@@ -473,10 +473,15 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return widen(emb).select(
         "vec_id",
         F.round(F.expr(maxabs), 6).alias("scale"),
+        # Graded-schema contract: scalar output — the int8 codes emit as
+        # one comma-joined string (null elements from the zero-vector
+        # guard keep an explicit 'null' sentinel so the join is
+        # lossless).
         F.expr(
-            f"transform(embedding, x -> "
-            f"cast(round(cast(x AS double) / nullif({maxabs}, 0.0) * 127, 0) AS int))"
-        ).alias("qvec"),
+            f"array_join(transform(embedding, x -> coalesce(cast("
+            f"cast(round(cast(x AS double) / nullif({maxabs}, 0.0) * 127, 0) AS int)"
+            f" AS string), 'null')), ',')"
+        ).alias("qvec_str"),
     )
 
 
@@ -487,7 +492,10 @@ WITH scaled AS (
     FROM embeddings
 )
 SELECT vec_id, round(m, 6) AS scale,
-       list_transform(e, x -> CAST(round(x / nullif(m, 0.0) * 127, 0) AS INT)) AS qvec
+       array_to_string(
+           list_transform(e, x -> coalesce(
+               CAST(CAST(round(x / nullif(m, 0.0) * 127, 0) AS INT) AS VARCHAR),
+               'null')), ',') AS qvec_str
 FROM scaled
 """
 
@@ -2148,8 +2156,14 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     dim = S.embedding_dim(emb)
     project = S.random_projection_udf(dim, RP_TARGET_DIM)
+    # Graded-schema contract: the projected int64 vector emits as one
+    # comma-joined string (elements are never null).
     return widen(emb).select(
-        "vec_id", "label", project(col("embedding")).alias("proj")
+        "vec_id",
+        "label",
+        F.array_join(
+            project(col("embedding")).cast("array<string>"), ","
+        ).alias("proj_str"),
     )
 
 
@@ -2158,15 +2172,18 @@ def _random_projection_oracle() -> str:
 
     return f"""
 SELECT vec_id, label,
-       list_transform(range(0, {RP_TARGET_DIM}), j ->
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(0, len(embedding)), d ->
-               CAST(CASE WHEN (((j*len(embedding)+d)*{RP_MIX}) % {RP_MOD}) // {RP_SHIFT} % 2 = 0
-                    THEN 1 ELSE -1 END AS BIGINT)
-               * CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000000 + 0.5)
-                      AS BIGINT))),
-           (acc, x) -> acc + x)) AS proj
+       array_to_string(
+         list_transform(
+           list_transform(range(0, {RP_TARGET_DIM}), j ->
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, len(embedding)), d ->
+                   CAST(CASE WHEN (((j*len(embedding)+d)*{RP_MIX}) % {RP_MOD}) // {RP_SHIFT} % 2 = 0
+                        THEN 1 ELSE -1 END AS BIGINT)
+                   * CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT))),
+               (acc, x) -> acc + x)),
+           v -> CAST(v AS VARCHAR)), ',') AS proj_str
 FROM embeddings
 """
 

@@ -28,7 +28,15 @@ def _canon(value):
     if isinstance(value, (bytes, bytearray)):
         return value.hex()
     if isinstance(value, (list, tuple, np.ndarray)):
-        return "[" + ",".join(_canon(v) for v in value) + "]"
+        # The DRIVER's canon cannot sort list cells (pandas sort_values
+        # → TypeError, r5's text_bpe_learn red row). The local replica
+        # must never be MORE permissive than the driver, so reject
+        # instead of stringifying; tests/test_registry.py lints the
+        # whole registry for this.
+        raise TypeError(
+            "non-scalar cell reached the correctness canon — the driver "
+            "gate would error on this query; emit joined strings instead"
+        )
     if value is None or (isinstance(value, float) and math.isnan(value)) or value is pd.NA:
         return "\x00NULL"
     if isinstance(value, (float, np.floating)):
