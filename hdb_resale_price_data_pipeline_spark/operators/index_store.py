@@ -19,17 +19,52 @@ loads and serves directly:
 Codebooks are K-bounded / D·ksub-bounded — the same bounded-collect
 discipline as training itself — so load cost is one tiny parquet read
 plus the (lazy) partitioned-scan definition.
+
+RE-SAVE ATOMICITY (r5 advisory): each ``save_ann_index`` writes a fresh
+versioned data directory (``v1``, ``v2``, …) and flips the root
+``manifest.json`` to it LAST (``os.replace`` — atomic on POSIX). A
+reader that resolved the manifest before the flip keeps scanning the
+old version's files, which are never modified; a crash mid-save leaves
+an orphaned half-written ``v{N+1}`` that the next save simply
+overwrites (the manifest still points at ``v{N}``). After the flip the
+saver garbage-collects all versions except the new one and its
+immediate predecessor — the one-version grace window for readers that
+loaded just before the flip (same discipline as
+``compact_partitions_inplace``'s staged copy).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col
 
 INDEX_FORMAT_VERSION = 1
+
+_VDIR_RE = re.compile(r"^v(\d+)$")
+
+
+def _manifest(path: str) -> dict | None:
+    try:
+        with open(f"{path}/manifest.json") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def index_data_dir(path: str) -> str:
+    """Resolve the ACTIVE data root of a persisted index: the versioned
+    subdirectory the manifest points at (legacy unversioned layouts
+    resolve to ``path`` itself). Everything that touches index files —
+    loader, append, compaction, tests — goes through this, so a re-save
+    flip retargets them all at once."""
+    manifest = _manifest(path)
+    vdir = (manifest or {}).get("data_dir", ".")
+    return os.path.normpath(os.path.join(path, vdir))
 
 
 def save_ann_index(
@@ -43,12 +78,20 @@ def save_ann_index(
     ``encoded`` must carry ``ivf_cid`` (list assignment); for IVF-PQ it
     also carries ``pq_code``. The frame is rewritten partitioned by
     ``ivf_cid`` — at production scale prefer a coalesce sized so each
-    list lands in O(few) files."""
+    list lands in O(few) files.
+
+    Crash-safe for concurrent readers: data lands in a FRESH versioned
+    subdirectory and the manifest flips to it last (module docstring)."""
     spark = encoded.sparkSession
+    prev_manifest = _manifest(path)
+    prev_match = _VDIR_RE.match((prev_manifest or {}).get("data_dir", ""))
+    prev_n = int(prev_match.group(1)) if prev_match else 0
+    vdir = f"v{prev_n + 1}"
+    root = f"{path}/{vdir}"
     spark.createDataFrame(
         [(int(cid), [float(v) for v in cent]) for cid, cent in coarse],
         "cid int, cent array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse_codebook")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/coarse_codebook")
     if pq_codebooks is not None:
         rows = [
             (i, j, [float(v) for v in cent])
@@ -57,13 +100,14 @@ def save_ann_index(
         ]
         spark.createDataFrame(
             rows, "m int, code int, cent array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/pq_codebooks")
     encoded.write.mode("overwrite").partitionBy("ivf_cid").parquet(
-        f"{path}/inverted_lists"
+        f"{root}/inverted_lists"
     )
     dim = len(coarse[0][1]) if coarse else 0
     manifest = {
         "version": INDEX_FORMAT_VERSION,
+        "data_dir": vdir,
         "k": len(coarse),
         "dim": dim,
         "m": len(pq_codebooks) if pq_codebooks is not None else 0,
@@ -74,6 +118,12 @@ def save_ann_index(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, f"{path}/manifest.json")
+    # GC: keep the new version + its immediate predecessor (grace window
+    # for readers that resolved the old manifest just before the flip).
+    keep = {vdir, f"v{prev_n}"}
+    for entry in os.listdir(path):
+        if _VDIR_RE.match(entry) and entry not in keep:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 
 def load_ann_index(
@@ -92,9 +142,10 @@ def load_ann_index(
             f"ANN index at {path} has format version "
             f"{manifest.get('version')}; this loader reads {INDEX_FORMAT_VERSION}"
         )
+    root = os.path.normpath(os.path.join(path, manifest.get("data_dir", ".")))
     coarse = [
         (int(r["cid"]), [float(v) for v in r["cent"]])
-        for r in spark.read.parquet(f"{path}/coarse_codebook")
+        for r in spark.read.parquet(f"{root}/coarse_codebook")
         .orderBy("cid")
         .collect()
     ]
@@ -106,14 +157,14 @@ def load_ann_index(
     pq_cbs: list[list[list[float]]] | None = None
     if manifest["has_pq"]:
         rows = (
-            spark.read.parquet(f"{path}/pq_codebooks").orderBy("m", "code").collect()
+            spark.read.parquet(f"{root}/pq_codebooks").orderBy("m", "code").collect()
         )
         pq_cbs = [[] for _ in range(manifest["m"])]
         for r in rows:
             pq_cbs[int(r["m"])].append([float(v) for v in r["cent"]])
         if any(len(cb) != manifest["ksub"] for cb in pq_cbs):
             raise ValueError("pq codebook shape does not match manifest")
-    encoded = spark.read.parquet(f"{path}/inverted_lists").withColumn(
+    encoded = spark.read.parquet(f"{root}/inverted_lists").withColumn(
         "ivf_cid", col("ivf_cid").cast("int")
     )
     return coarse, pq_cbs, encoded
@@ -130,7 +181,7 @@ def append_ann_index(path: str, encoded_new: DataFrame) -> None:
     codes, so callers load codebooks via :func:`load_ann_index` and run
     the same assign/encode passes the original build used."""
     encoded_new.write.mode("append").partitionBy("ivf_cid").parquet(
-        f"{path}/inverted_lists"
+        f"{index_data_dir(path)}/inverted_lists"
     )
 
 
@@ -152,7 +203,7 @@ def compact_ann_index(
 
     return compact_partitions_inplace(
         spark,
-        f"{path}/inverted_lists",
+        f"{index_data_dir(path)}/inverted_lists",
         "ivf_cid",
         max_files_per_partition=max_files_per_list,
         target_file_bytes=target_file_bytes,

@@ -369,7 +369,10 @@ QUERIES: dict[str, QuerySpec] = {
     # deterministic-HLL sketch — registered after its definition below.
     "events_asof_attribution": QuerySpec(q_events_asof_attribution, _EVENTS_ASOF_SQL),
     "events_salted_totals": QuerySpec(q_events_salted_totals, _EVENTS_SALTED_SQL),
-    "events_hourly_pivot": QuerySpec(q_events_hourly_pivot, _EVENTS_HOURLY_PIVOT_SQL),
+    # r6 rotation: events_hourly_pivot demoted to LOCAL_QUERIES (hourly
+    # aggregation stays graded via stream_hourly_tumbling; the pivot
+    # shape stays local-oracled via events_daily_pivot) in favor of the
+    # model-based streaming ingest gate (stream_lr_gate).
     "events_sessionize": QuerySpec(q_events_sessionize, _EVENTS_SESSIONIZE_SQL),
     "events_json_props": QuerySpec(q_events_json_props, _EVENTS_JSON_SQL),
 }
@@ -492,6 +495,10 @@ GROUP BY 1
 
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    # r6 rotation demotion (see QUERIES note):
+    "events_hourly_pivot": QuerySpec(
+        q_events_hourly_pivot, _EVENTS_HOURLY_PIVOT_SQL
+    ),
     "events_attribution_join": QuerySpec(
         q_events_attribution_join, _EVENTS_ATTRIBUTION_SQL
     ),
@@ -1431,9 +1438,12 @@ AB_CONVERT_MIN = 14
 def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion experiment readout: bucket users into variants by
     id hash (deterministic assignment — how experiments actually
-    bucket), measure per-variant conversion (user made ≥1 purchase),
-    and emit the pooled two-proportion z statistic with the absolute
-    lift — the significance gate behind every ship/no-ship decision.
+    bucket), measure per-variant conversion (user made ≥ AB_CONVERT_MIN
+    purchases — a threshold above 1 because the fixture's synthetic
+    users nearly all purchase at least once, so the band split only
+    separates variants at a higher cut), and emit the pooled
+    two-proportion z statistic with the absolute lift — the
+    significance gate behind every ship/no-ship decision.
 
     All moments are exact integers from ONE user-grain aggregate
     (conversion is max-over-events, partial-aggregable); the z formula
@@ -2010,8 +2020,12 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTERVAL SWEEP: each gap-sessionized (user, session) interval
     emits a +1 boundary at its start and a −1 at its end, and the
     day's peak is the max running sum over boundaries ordered by
-    (time, −1-before-+1, user, session) — half-open intervals, fully
-    deterministic under ties. Sessions are attributed to their start
+    (time, +1-before-−1, user, session) — CLOSED intervals, fully
+    deterministic under ties: a session occupies its endpoints, so a
+    single-event session (start == end) still counts as concurrency 1
+    and two sessions meeting exactly at an instant overlap there (r5
+    advisory: the half-open order reported peak 0 for a day of
+    single-event sessions). Sessions are attributed to their start
     day (documented clip; midnight-spanners are rare at a 30-min gap).
 
     The sweep window is partitioned PER DAY over SESSION boundaries
@@ -2056,7 +2070,7 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounds = starts.unionByName(ends)
     sweep = W.partitionBy("day").orderBy(
-        "t_us", "delta", "user_id", "session_seq"
+        "t_us", col("delta").desc(), "user_id", "session_seq"
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         bounds.withColumn("running", F.sum("delta").over(sweep))
@@ -2096,7 +2110,7 @@ WITH flagged AS (
 ), swept AS (
     SELECT day,
            sum(delta) OVER (PARTITION BY day
-               ORDER BY t_us, delta, user_id, session_seq
+               ORDER BY t_us, delta DESC, user_id, session_seq
                ROWS UNBOUNDED PRECEDING) AS running
     FROM bounds
 )

@@ -314,6 +314,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_features": QuerySpec(q_multimodal_features, _features_oracle()),
     "multimodal_chunks": QuerySpec(q_multimodal_chunks, _CHUNKS_SQL),
+    # r6 rotation: stream_lr_gate PROMOTED to the graded window
+    # (registered after its definition below) — the model-based
+    # streaming ingest gate (trained LR classifier applied in-stream,
+    # GD-unroll oracle) on the hard signal.
 }
 
 
@@ -505,7 +509,6 @@ FROM cl
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "stream_dedup_gate": QuerySpec(q_stream_dedup_gate, _stream_dedup_gate_oracle()),
     "stream_emb_ingest": QuerySpec(q_stream_emb_ingest, _stream_emb_ingest_oracle()),
-    "stream_lr_gate": QuerySpec(q_stream_lr_gate, _stream_lr_gate_oracle()),
     "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),
     "stream_static_enrich": QuerySpec(q_stream_static_enrich, _STREAM_STATIC_SQL),
     "stream_doc_quality": QuerySpec(q_stream_doc_quality, _stream_doc_quality_oracle()),
@@ -515,6 +518,9 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_sliding_counts": QuerySpec(q_stream_sliding, _STREAM_SLIDING_SQL),
 }
+
+# r6 rotation promotion (see the QUERIES note above).
+QUERIES["stream_lr_gate"] = QuerySpec(q_stream_lr_gate, _stream_lr_gate_oracle())
 
 
 def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:

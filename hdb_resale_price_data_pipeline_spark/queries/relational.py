@@ -1009,7 +1009,10 @@ QUERIES: dict[str, QuerySpec] = {
     "segment_set_ops": QuerySpec(q_segment_set_ops, _SEGMENT_SET_OPS_SQL),
     "pricing_summary": QuerySpec(q_pricing_summary, _PRICING_SUMMARY_SQL),
     "avg_revenue_by_region_year": QuerySpec(q_avg_revenue_by_region_year, _AVG_REVENUE_SQL),
-    "region_nation_revenue": QuerySpec(q_region_nation_revenue, _REGION_NATION_REVENUE_SQL),
+    # r6 rotation: region_nation_revenue demoted to LOCAL_QUERIES (the
+    # J1–J8 broadcast dim-join family stays anchored by
+    # avg_revenue_by_region_year and dim_distinct_then_join) in favor of
+    # the iterative-graph family (emb_pagerank) on the hard signal.
     "shipping_priority_top10": QuerySpec(q_shipping_priority, _SHIPPING_PRIORITY_SQL),
     "conform_types": QuerySpec(q_conform_types, _CONFORM_TYPES_SQL),
     "priority_case_map": QuerySpec(q_priority_case_map, _PRIORITY_CASE_SQL),
@@ -1078,6 +1081,10 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 # with the driver: each is subsumed by a merged entry above or is a
 # near-duplicate of a graded demo.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    # r6 rotation demotion (see QUERIES note):
+    "region_nation_revenue": QuerySpec(
+        q_region_nation_revenue, _REGION_NATION_REVENUE_SQL
+    ),
     "orders_window_frames": QuerySpec(q_orders_window_frames, _ORDERS_WINDOW_FRAMES_SQL),
     "active_customers_semi": QuerySpec(q_active_customers_semi, _ACTIVE_SEMI_SQL),
     "customers_without_orders": QuerySpec(

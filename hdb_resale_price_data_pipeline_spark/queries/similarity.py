@@ -2127,7 +2127,10 @@ FROM {prev}
 """
 
 
-LOCAL_QUERIES["emb_pagerank"] = QuerySpec(q_emb_pagerank, _pagerank_oracle())
+# r6 rotation: PROMOTED to the graded window — the iterative-graph
+# family (checkpointed 2-shuffle power iteration, full unrolled oracle)
+# on the hard signal.
+QUERIES["emb_pagerank"] = QuerySpec(q_emb_pagerank, _pagerank_oracle())
 
 
 # --- random projection (JL) dimensionality reduction ------------------------

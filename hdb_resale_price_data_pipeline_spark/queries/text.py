@@ -1670,6 +1670,9 @@ def _bm25_oracle() -> str:
 # r5 promotions into the graded window (defined only here, after their
 # oracles exist; see the rotation note on QUERIES above).
 QUERIES["text_bpe_learn"] = QuerySpec(q_text_bpe_learn, _bpe_learn_oracle())
+QUERIES["text_wordpiece_learn"] = QuerySpec(
+    q_text_wordpiece_learn, _wordpiece_learn_oracle()
+)
 QUERIES["text_quality_classifier"] = QuerySpec(
     q_text_quality_classifier, _lr_query_oracle()
 )
@@ -1692,9 +1695,10 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
         q_text_bpe_encode_ids, _bpe_encode_ids_oracle()
     ),
     "text_lm_perplexity": QuerySpec(q_text_lm_perplexity, _lm_perplexity_oracle()),
-    "text_wordpiece_learn": QuerySpec(
-        q_text_wordpiece_learn, _wordpiece_learn_oracle()
-    ),
+    # r6 rotation: text_wordpiece_learn PROMOTED to the graded window
+    # (registered after its definition) — the tokenizer trio's
+    # likelihood-scored trainer on the hard signal, now that the
+    # graded-schema contract makes its output scalar.
     "text_html_extract": QuerySpec(q_text_html_extract, _html_extract_oracle()),
     "text_bm25_topk": QuerySpec(q_text_bm25_topk, _bm25_oracle()),
     "text_dsir_weights": QuerySpec(q_text_dsir_weights, _dsir_oracle()),
@@ -1736,13 +1740,19 @@ def _unigram_model(spark: SparkSession, sf_dir: str):
         # SQL unroll is static in MAX_WORD_LEN (one DP layer per
         # position); the Python decoder is length-agnostic. One tiny
         # agg over the vocab-sized frame, paid once per (session,
-        # corpus) with the training itself.
-        max_len = model[1].agg(F.max(F.length("word"))).first()[0] or 0
-        if max_len > MAX_WORD_LEN:
-            raise ValueError(
-                f"corpus has a {max_len}-char word; raise "
-                f"unigram.MAX_WORD_LEN (adds one oracle CTE layer per char)"
-            )
+        # corpus) with the training itself. On failure, release the
+        # persisted words frame training built — the model never enters
+        # the cache, so nothing else would ever unpersist it.
+        try:
+            max_len = model[1].agg(F.max(F.length("word"))).first()[0] or 0
+            if max_len > MAX_WORD_LEN:
+                raise ValueError(
+                    f"corpus has a {max_len}-char word; raise "
+                    f"unigram.MAX_WORD_LEN (adds one oracle CTE layer per char)"
+                )
+        except BaseException:
+            model[1].unpersist()
+            raise
         model = _BPE_MERGE_CACHE.put(key, model)
     return model
 

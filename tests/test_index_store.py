@@ -9,6 +9,7 @@ import shutil
 from conftest import SMOKE_SF_DIR
 
 from hdb_resale_price_data_pipeline_spark.operators.index_store import (
+    index_data_dir,
     load_ann_index,
     partition_prune_check,
     probed_lists_scan,
@@ -157,7 +158,7 @@ def test_append_extends_only_touched_lists_and_serves_union(spark):
     shutil.rmtree(store, ignore_errors=True)
     coarse, pq_cbs, encoded = _built_index(spark)
     save_ann_index(store, coarse, pq_cbs, encoded)
-    n0 = spark.read.parquet(f"{store}/inverted_lists").count()
+    n0 = spark.read.parquet(f"{index_data_dir(store)}/inverted_lists").count()
 
     l_coarse, l_pq, _ = load_ann_index(spark, store)
     # the "new batch": 5 existing vectors with shifted ids, re-assigned
@@ -173,7 +174,9 @@ def test_append_extends_only_touched_lists_and_serves_union(spark):
     def files_of(cid):
         return sorted(
             (p, os.path.getmtime(p), os.path.getsize(p))
-            for p in glob.glob(f"{store}/inverted_lists/ivf_cid={cid}/*.parquet")
+            for p in glob.glob(
+                f"{index_data_dir(store)}/inverted_lists/ivf_cid={cid}/*.parquet"
+            )
         )
 
     before = {c: files_of(c) for c in untouched}
@@ -225,7 +228,9 @@ def test_streamed_appends_compact_without_changing_serving(spark):
         )
 
     def n_files():
-        return len(glob.glob(f"{store}/inverted_lists/ivf_cid=*/*.parquet"))
+        return len(
+            glob.glob(f"{index_data_dir(store)}/inverted_lists/ivf_cid=*/*.parquet")
+        )
 
     _, _, before_df = load_ann_index(spark, store)
     before_rows = sorted(r.vec_id for r in before_df.select("vec_id").collect())
@@ -238,6 +243,42 @@ def test_streamed_appends_compact_without_changing_serving(spark):
     _, _, after_df = load_ann_index(spark, store)
     after_rows = sorted(r.vec_id for r in after_df.select("vec_id").collect())
     assert after_rows == before_rows
+
+
+def test_resave_is_atomic_for_concurrent_readers(spark):
+    """r5 advisory: a re-save must never overwrite files a concurrent
+    reader may be scanning. Each save lands in a fresh versioned dir and
+    the manifest flips LAST; the previous version survives one more save
+    (grace window), then is garbage-collected."""
+    import json
+    import os
+    import shutil
+
+    store = "/tmp/ann_index_store_resave"
+    shutil.rmtree(store, ignore_errors=True)
+    coarse, pq_cbs, encoded = _built_index(spark)
+
+    save_ann_index(store, coarse, pq_cbs, encoded)
+    assert index_data_dir(store) == f"{store}/v1"
+    # a reader resolves the v1 layout before the re-save
+    _, _, reader_frame = load_ann_index(spark, store)
+    v1_rows = sorted(r.vec_id for r in reader_frame.select("vec_id").collect())
+
+    save_ann_index(store, coarse, pq_cbs, encoded)  # re-save → v2
+    with open(f"{store}/manifest.json") as fh:
+        assert json.load(fh)["data_dir"] == "v2"
+    assert os.path.isdir(f"{store}/v1"), "grace window: previous version kept"
+    # the pre-flip reader still scans v1's untouched files
+    again = sorted(r.vec_id for r in reader_frame.select("vec_id").collect())
+    assert again == v1_rows
+    # new loads resolve v2 and serve the same content
+    _, _, fresh = load_ann_index(spark, store)
+    assert sorted(r.vec_id for r in fresh.select("vec_id").collect()) == v1_rows
+
+    save_ann_index(store, coarse, pq_cbs, encoded)  # third save → v3, GC v1
+    assert index_data_dir(store) == f"{store}/v3"
+    assert not os.path.exists(f"{store}/v1"), "v1 garbage-collected"
+    assert os.path.isdir(f"{store}/v2")
 
 
 def test_store_path_keys_on_dataset_identity(spark, monkeypatch, tmp_path):
