@@ -185,6 +185,63 @@ def append_ann_index(path: str, encoded_new: DataFrame) -> None:
     )
 
 
+def append_ann_index_idempotent(
+    path: str, encoded_new: DataFrame, batch_id: int
+) -> int:
+    """EXACTLY-ONCE append for a streaming ``foreachBatch`` sink: a
+    micro-batch REPLAYED after a crash converges to the same file set
+    instead of duplicating rows (plain parquet ``append`` is
+    at-least-once — the r6 exactly-once note for the index path,
+    mirroring what ``load_day_partitioned`` gives the warehouse path
+    via partition overwrite).
+
+    Two-phase publish keyed by the checkpoint's stable ``batch_id``:
+
+    1. the batch lands in a staging dir (``_ingest/batch={id}``,
+       mode=overwrite — a replay restarts the stage cleanly);
+    2. each staged file moves into its inverted list under a
+       DETERMINISTIC ``b{id}-``-prefixed name, after first deleting any
+       files with that prefix left by a previous partial publish.
+
+    Either phase can crash at any point and the replay converges:
+    stage overwrite discards a half-written stage, and the
+    delete-then-move publish makes the per-list file set a pure
+    function of (batch_id, batch contents). Local-FS rename here; on
+    HDFS the same two phases use ``FileSystem.rename``, on object
+    stores a manifest commit (the pattern Delta/Iceberg formalize).
+    Returns the number of files published."""
+    root = index_data_dir(path)
+    lists_dir = f"{root}/inverted_lists"
+    stage = f"{root}/_ingest/batch={int(batch_id)}"
+    encoded_new.write.mode("overwrite").partitionBy("ivf_cid").parquet(stage)
+    prefix = f"b{int(batch_id)}-"
+    # phase-2 cleanup: remove any partial publish of this batch
+    if os.path.isdir(lists_dir):
+        for cid_dir in os.listdir(lists_dir):
+            full = os.path.join(lists_dir, cid_dir)
+            if not (cid_dir.startswith("ivf_cid=") and os.path.isdir(full)):
+                continue
+            for f in os.listdir(full):
+                if f.startswith(prefix):
+                    os.remove(os.path.join(full, f))
+    published = 0
+    for cid_dir in sorted(os.listdir(stage)):
+        src_dir = os.path.join(stage, cid_dir)
+        if not (cid_dir.startswith("ivf_cid=") and os.path.isdir(src_dir)):
+            continue
+        dst_dir = os.path.join(lists_dir, cid_dir)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in sorted(os.listdir(src_dir)):
+            if f.startswith("_") or f.startswith("."):
+                continue
+            os.replace(
+                os.path.join(src_dir, f), os.path.join(dst_dir, prefix + f)
+            )
+            published += 1
+    shutil.rmtree(f"{root}/_ingest/batch={int(batch_id)}", ignore_errors=True)
+    return published
+
+
 def compact_ann_index(
     spark: SparkSession,
     path: str,
@@ -198,7 +255,15 @@ def compact_ann_index(
     (partition-selective, crash-safe staged copy — the
     ``sources/compaction.compact_partitions_inplace`` machinery on the
     ``ivf_cid`` layout); untouched lists stay byte-identical for
-    concurrent readers, and served results are unchanged."""
+    concurrent readers, and served results are unchanged.
+
+    Ordering contract with the idempotent streaming append: compact
+    only while ingest is quiesced (between ``availableNow`` runs). A
+    compaction folds ``b{id}-`` batch files into plain compacted files,
+    so a batch replay AFTER compaction would find nothing to delete and
+    re-add its rows — the checkpoint guarantees replays only happen for
+    batches whose commit never landed, which cannot be true of a batch
+    already folded by maintenance run at a quiesced point."""
     from ..sources.compaction import compact_partitions_inplace
 
     return compact_partitions_inplace(

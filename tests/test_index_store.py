@@ -245,6 +245,91 @@ def test_streamed_appends_compact_without_changing_serving(spark):
     assert after_rows == before_rows
 
 
+def test_stream_ingest_lifecycle_exactly_once_and_compacted_serving(spark):
+    """r6 stretch: the full streaming lifecycle against the PERSISTED
+    index — stream in via the foreachBatch sink (exactly-once two-phase
+    publish), simulate a crash-replay of a batch (file set converges,
+    no duplicate rows), compact, cold-serve: top-k is bit-identical to
+    the pre-compaction serve."""
+    import glob
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.operators.index_store import (
+        append_ann_index_idempotent,
+        compact_ann_index,
+    )
+    from hdb_resale_price_data_pipeline_spark.operators.ivf import (
+        assign_to_codebook,
+    )
+    from hdb_resale_price_data_pipeline_spark.operators.pq import pq_encode
+    from hdb_resale_price_data_pipeline_spark.queries.similarity import _probe_ids
+    from hdb_resale_price_data_pipeline_spark.streaming.embeddings import (
+        embeddings_stream,
+        stream_append_to_ann_index,
+    )
+
+    store = "/tmp/ann_index_store_stream_lc"
+    shutil.rmtree(store, ignore_errors=True)
+    coarse, pq_cbs, encoded = _built_index(spark)
+    save_ann_index(store, coarse, pq_cbs, encoded)
+    n0 = spark.read.parquet(f"{index_data_dir(store)}/inverted_lists").count()
+
+    # stream the corpus back in with shifted ids — multiple micro-batches
+    vecs = embeddings_stream(spark, SMOKE_SF_DIR).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    q = stream_append_to_ann_index(
+        vecs, store, coarse, pq_cbs, f"/tmp/ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    q.awaitTermination()
+    _, _, served = load_ann_index(spark, store)
+    n_stream = served.count()
+    assert n_stream == 2 * n0, "every streamed vector appended exactly once"
+
+    # crash-replay simulation: re-publish one batch id already published
+    src = spark.read.parquet(f"{SMOKE_SF_DIR}/embeddings.parquet").limit(7)
+    replayed = pq_encode(
+        assign_to_codebook(
+            src.withColumn("vec_id", F.col("vec_id") + 2_000_000),
+            "embedding",
+            coarse,
+        ),
+        "embedding",
+        pq_cbs,
+    )
+    append_ann_index_idempotent(store, replayed, 777)
+    append_ann_index_idempotent(store, replayed, 777)  # replay converges
+    _, _, after_replay = load_ann_index(spark, store)
+    assert after_replay.count() == n_stream + 7
+
+    # serve BEFORE compaction, over the fragmented lists
+    q_vec = [
+        float(v)
+        for v in encoded.filter("vec_id = 0").select("embedding").first().embedding
+    ]
+    probe = _probe_ids(coarse, q_vec, 2)
+    before = _serve(spark, coarse, pq_cbs, after_replay, q_vec, probe)
+
+    files_before = len(
+        glob.glob(f"{index_data_dir(store)}/inverted_lists/ivf_cid=*/*.parquet")
+    )
+    stats = compact_ann_index(spark, store, max_files_per_list=2)
+    assert stats["rewritten"] > 0
+    assert (
+        len(glob.glob(f"{index_data_dir(store)}/inverted_lists/ivf_cid=*/*.parquet"))
+        < files_before
+    )
+
+    # cold-serve over the compacted layout: bit-identical top-k
+    spark.catalog.clearCache()
+    _, _, cold = load_ann_index(spark, store)
+    after = _serve(spark, coarse, pq_cbs, cold, q_vec, probe)
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
 def test_resave_is_atomic_for_concurrent_readers(spark):
     """r5 advisory: a re-save must never overwrite files a concurrent
     reader may be scanning. Each save lands in a fresh versioned dir and
