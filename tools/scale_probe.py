@@ -685,9 +685,45 @@ def probe_layout(spark) -> None:
         print(f"{name}: skippable row groups — {fracs}; 2-D scan {time.perf_counter() - t0:.2f}s")
 
 
+def probe_pipeline(spark) -> None:
+    """The flagship end-to-end DAG (bench.run_pipeline_e2e: CSV/JSON
+    parse → 3 transforms → merge dedup → two day-partitioned loads) at
+    sf0.1-equivalent vs sf1-equivalent raw volume (20k+2×10k →
+    200k+2×100k raw rows) — the r5 verdict's remaining unprobed
+    composite. Same protocol as probe_tpch: warmup, 2 cold runs per
+    cell, min, log-log slope over the 10× step. The warehouse dir is
+    cleared between runs so each run pays the full partitioned load."""
+    import math
+    import shutil
+
+    from bench import run_pipeline_e2e
+
+    for name in ("warm",):  # one warmup at the small scale
+        run_pipeline_e2e(spark, 0.1)
+    t: dict[str, float] = {}
+    for label, sf in (("1x", 0.1), ("10x", 1.0)):
+        runs = []
+        for _ in range(2):
+            shutil.rmtree("/tmp/bench_warehouse", ignore_errors=True)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = run_pipeline_e2e(spark, sf)
+            runs.append(time.perf_counter() - t0)
+        t[label] = min(runs)
+        print(f"# pipeline_run_all sf={sf}: {t[label]:.2f}s ({n:,} rows loaded)")
+    slope = math.log(t["10x"] / t["1x"]) / math.log(10)
+    print("\n| query | t@sf0.1 | t@sf1 | slope |")
+    print("|---|---|---|---|")
+    print(f"| pipeline_run_all | {t['1x']:.2f}s | {t['10x']:.2f}s | {slope:.2f} |")
+
+
 def main() -> None:
     spark = get_spark_session(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--pipeline" in sys.argv:
+        probe_pipeline(spark)
+        spark.stop()
+        return
     if "--skew" in sys.argv:
         probe_skew(spark)
         spark.stop()
