@@ -1,0 +1,501 @@
+"""Entity-resolution / record-linkage query suite.
+
+The reference's merge stage dedups by EXACT natural key
+(merge_dedup.py:14-29); this family extends the same identity problem
+to fuzzy matching at corpus scale — the canonical ER pipeline:
+
+    blocking → pairwise verification → clustering → survivorship
+
+over the testdata ``part`` catalog (64 distinct two-token names across
+2000 records — an adjective × noun grid with realistic near-miss
+structure) and the ``customer`` roster (sequential-serial names, the
+classic "IDs differing by one digit" linkage shape).
+
+Every query carries a full DuckDB value oracle: levenshtein is exact
+in both engines, Jaro-Winkler was verified bit-identical to DuckDB's
+built-in before shipping (operators/linkage.py), similarity scores are
+quantized onto the repo's 1e-4 integer grid, and clustering is
+mirrored by the same recursive-CTE reachability pattern the dedup
+family uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..operators.components import connected_components
+from ..operators.linkage import (
+    SIM_GRID,
+    blocked_candidates,
+    edit_similarity_q,
+    edit_similarity_q_duck,
+    jaro_winkler_q,
+    jaro_winkler_q_duck,
+    snm_candidates,
+)
+from .base import QuerySpec, t
+
+# Verification thresholds, tuned on sf0.01 (see BENCH_history.md):
+# lev ≤ 3 admits cross-noun variants within an adjective ("blue rod" /
+# "blue bolt"); lev ≤ 2 is the tight band that yields 8 clean 4-variant
+# clusters; SNM lev ≤ 1 links serials differing by one digit.
+PART_MATCH_MAX_LEV = 3
+PART_CLUSTER_MAX_LEV = 2
+SNM_WINDOW = 3
+SNM_MAX_LEV = 1
+JW_MIN_Q = 0.90
+
+# Blocked SNM block key: the serial prefix covering all but the last
+# two digits ("Customer#" is 9 chars, serials are 9-digit zero-padded,
+# so chars 10..16 bucket serials into runs of ≤100). A SHORTER prefix
+# is degenerate on zero-padded serials — substr(10,3) is the constant
+# "000" for every row below serial 1e6, i.e. ONE block and zero
+# parallelism; this key's block count grows with the occupied serial
+# range, which is what makes the window scale.
+_CUST_BLOCK_START = 10  # 1-indexed: "Customer#" is 9 chars
+_CUST_BLOCK_LEN = 7
+
+
+def _part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part-name mention table with a stable integer id
+    (min partkey per name) — the ER node universe. Vocabulary-sized by
+    construction: |distinct names| << |records| at any scale."""
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("nid"))
+    )
+
+
+_PART_NAMES_SQL = "SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name"
+
+
+def _part_block_exprs() -> list:
+    """Two blocking passes: first token (adjective) and second token
+    (noun). Single-pass recall is structurally incomplete (a pass only
+    sees pairs sharing ITS key); the union is measured complete on this
+    grid — er_blocking_recall reports exactly that."""
+    return [
+        F.split_part(col("p_name"), F.lit(" "), F.lit(1)),
+        F.split_part(col("p_name"), F.lit(" "), F.lit(2)),
+    ]
+
+
+# --- blocked fuzzy match (pairs) -------------------------------------------
+
+def q_er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass equality-blocked candidate pairs over distinct part
+    names, verified with JVM-side levenshtein ≤ 3, scored on the 1e-4
+    edit-similarity grid. The blocked analog of the reference's exact
+    merge-dedup key join."""
+    names = _part_names(spark, sf_dir)
+    cands = blocked_candidates(names, "nid", "p_name", _part_block_exprs())
+    lev = F.levenshtein(col("cmp_a"), col("cmp_b"))
+    return (
+        cands.withColumn("lev", lev)
+        .filter(col("lev") <= PART_MATCH_MAX_LEV)
+        .select(
+            col("cmp_a").alias("name_a"),
+            col("cmp_b").alias("name_b"),
+            col("lev"),
+            edit_similarity_q(col("cmp_a"), col("cmp_b")).alias("sim_q"),
+        )
+    )
+
+
+_BLOCKED_MATCH_SQL = f"""
+WITH names AS ({_PART_NAMES_SQL}),
+k1 AS (SELECT nid, p_name, split_part(p_name, ' ', 1) AS bk FROM names),
+k2 AS (SELECT nid, p_name, split_part(p_name, ' ', 2) AS bk FROM names),
+cand AS (
+    SELECT a.nid AS id_a, a.p_name AS cmp_a, b.nid AS id_b, b.p_name AS cmp_b
+    FROM k1 a JOIN k1 b ON a.bk = b.bk AND a.nid < b.nid
+    UNION
+    SELECT a.nid, a.p_name, b.nid, b.p_name
+    FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.nid < b.nid
+)
+SELECT cmp_a AS name_a, cmp_b AS name_b,
+       levenshtein(cmp_a, cmp_b) AS lev,
+       {edit_similarity_q_duck('cmp_a', 'cmp_b')} AS sim_q
+FROM cand
+WHERE levenshtein(cmp_a, cmp_b) <= {PART_MATCH_MAX_LEV}
+"""
+
+
+# --- blocking-strategy recall evaluation ------------------------------------
+
+def q_er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of each blocking strategy against exhaustive truth over
+    the DISTINCT-name table. The truth pass is all-pairs — bounded by
+    the vocabulary (64 names here; distinct entity mentions, not
+    records, at any scale) and broadcast on one side, the same
+    vocab-sized-collect discipline as the BPE merge table. Measures
+    the multi-pass case for blocking: token-1 alone finds 16/96 true
+    pairs, token-2 alone 80/96, the union all 96."""
+    names = _part_names(spark, sf_dir)
+    a, b = names.alias("a"), names.alias("b")
+    lev_ab = F.levenshtein(col("a.p_name"), col("b.p_name"))
+    truth = (
+        a.join(F.broadcast(b), col("a.nid") < col("b.nid"))
+        .filter(lev_ab <= PART_MATCH_MAX_LEV)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+
+    k1, k2 = _part_block_exprs()
+    strategies = {
+        "token1": [k1],
+        "token2": [k2],
+        "two_pass_union": [k1, k2],
+    }
+    lev = F.levenshtein(col("cmp_a"), col("cmp_b"))
+    per_strategy = []
+    for sname, exprs in strategies.items():
+        cands = blocked_candidates(names, "nid", "p_name", exprs)
+        per_strategy.append(
+            cands.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(
+                    (lev <= PART_MATCH_MAX_LEV).cast("long")
+                ).alias("n_found"),
+            ).select(F.lit(sname).alias("strategy"), "n_candidates", "n_found")
+        )
+    out = per_strategy[0]
+    for p in per_strategy[1:]:
+        out = out.unionByName(p)
+    # 1-row truth aggregate crossJoin — repo-sanctioned broadcast shape.
+    return out.crossJoin(truth).select(
+        "strategy",
+        "n_candidates",
+        "n_found",
+        "n_true",
+        (F.floor(col("n_found") / col("n_true") * SIM_GRID + F.lit(0.5)) / SIM_GRID).alias(
+            "recall_q"
+        ),
+    )
+
+
+_BLOCKING_RECALL_SQL = f"""
+WITH names AS ({_PART_NAMES_SQL}),
+truth AS (
+    SELECT count(*) AS n_true FROM names a JOIN names b ON a.nid < b.nid
+    WHERE levenshtein(a.p_name, b.p_name) <= {PART_MATCH_MAX_LEV}
+),
+k1 AS (SELECT nid, p_name, split_part(p_name, ' ', 1) AS bk FROM names),
+k2 AS (SELECT nid, p_name, split_part(p_name, ' ', 2) AS bk FROM names),
+c1 AS (
+    SELECT a.p_name AS cmp_a, b.p_name AS cmp_b
+    FROM k1 a JOIN k1 b ON a.bk = b.bk AND a.nid < b.nid
+),
+c2 AS (
+    SELECT a.p_name AS cmp_a, b.p_name AS cmp_b
+    FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.nid < b.nid
+),
+cu AS (SELECT * FROM c1 UNION SELECT * FROM c2),
+per AS (
+    SELECT 'token1' AS strategy, count(*) AS n_candidates,
+           count(*) FILTER (WHERE levenshtein(cmp_a, cmp_b) <= {PART_MATCH_MAX_LEV}) AS n_found
+    FROM c1
+    UNION ALL
+    SELECT 'token2', count(*),
+           count(*) FILTER (WHERE levenshtein(cmp_a, cmp_b) <= {PART_MATCH_MAX_LEV})
+    FROM c2
+    UNION ALL
+    SELECT 'two_pass_union', count(*),
+           count(*) FILTER (WHERE levenshtein(cmp_a, cmp_b) <= {PART_MATCH_MAX_LEV})
+    FROM cu
+)
+SELECT strategy, n_candidates, n_found, n_true,
+       floor(n_found::DOUBLE / n_true * {SIM_GRID} + 0.5) / {SIM_GRID} AS recall_q
+FROM per CROSS JOIN truth
+"""
+
+
+# --- blocked sorted-neighborhood linkage ------------------------------------
+
+def _snm_window_sql(k: int) -> str:
+    spec = "PARTITION BY bk ORDER BY c_name, c_custkey"
+    return (
+        f"SELECT c_custkey AS id_a, c_name AS cmp_a, "
+        f"lead(c_custkey, {k}) OVER ({spec}) AS id_b, "
+        f"lead(c_name, {k}) OVER ({spec}) AS cmp_b FROM keyed"
+    )
+
+
+def q_er_snm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood linkage on the customer roster:
+    block by serial prefix, sort by name within block, pair each record
+    with its next 3 neighbors, verify levenshtein ≤ 1 (one-digit serial
+    variants). One hash exchange + in-block sort; candidates ≤ 3·n."""
+    cust = t(spark, sf_dir, "customer")
+    cands = snm_candidates(
+        cust,
+        "c_custkey",
+        "c_name",
+        F.substring(col("c_name"), _CUST_BLOCK_START, _CUST_BLOCK_LEN),
+        window=SNM_WINDOW,
+    )
+    return (
+        cands.filter(F.levenshtein(col("cmp_a"), col("cmp_b")) <= SNM_MAX_LEV)
+        .select(
+            col("id_a"),
+            col("id_b"),
+            edit_similarity_q(col("cmp_a"), col("cmp_b")).alias("sim_q"),
+        )
+    )
+
+
+_SNM_SQL = f"""
+WITH keyed AS (
+    SELECT c_custkey, c_name,
+           substr(c_name, {_CUST_BLOCK_START}, {_CUST_BLOCK_LEN}) AS bk
+    FROM customer
+),
+nb AS (
+    {_snm_window_sql(1)}
+    UNION ALL
+    {_snm_window_sql(2)}
+    UNION ALL
+    {_snm_window_sql(3)}
+)
+SELECT id_a, id_b, {edit_similarity_q_duck('cmp_a', 'cmp_b')} AS sim_q
+FROM nb
+WHERE id_b IS NOT NULL AND levenshtein(cmp_a, cmp_b) <= {SNM_MAX_LEV}
+"""
+
+
+# --- Jaro-Winkler top-match (the Arrow-UDF path) ----------------------------
+
+def q_er_jw_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best Jaro-Winkler match per record among its SNM candidates —
+    the Arrow-vectorized scorer over blocked candidates, top-1 by
+    (quantized score DESC, id ASC) so the ranking is tie-stable across
+    engines, kept at jw_q ≥ 0.90."""
+    cust = t(spark, sf_dir, "customer")
+    cands = snm_candidates(
+        cust,
+        "c_custkey",
+        "c_name",
+        F.substring(col("c_name"), _CUST_BLOCK_START, _CUST_BLOCK_LEN),
+        window=SNM_WINDOW,
+    )
+    scored = cands.select(
+        "id_a",
+        "id_b",
+        jaro_winkler_q(col("cmp_a"), col("cmp_b")).alias("jw_q"),
+    )
+    w = Window.partitionBy("id_a").orderBy(col("jw_q").desc(), col("id_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((col("rk") == 1) & (col("jw_q") >= JW_MIN_Q))
+        .select("id_a", col("id_b").alias("best_id"), "jw_q")
+    )
+
+
+_JW_TOPMATCH_SQL = f"""
+WITH keyed AS (
+    SELECT c_custkey, c_name,
+           substr(c_name, {_CUST_BLOCK_START}, {_CUST_BLOCK_LEN}) AS bk
+    FROM customer
+),
+nb AS (
+    {_snm_window_sql(1)}
+    UNION ALL
+    {_snm_window_sql(2)}
+    UNION ALL
+    {_snm_window_sql(3)}
+),
+scored AS (
+    SELECT id_a, id_b, {jaro_winkler_q_duck('cmp_a', 'cmp_b')} AS jw_q
+    FROM nb WHERE id_b IS NOT NULL
+),
+ranked AS (
+    SELECT id_a, id_b, jw_q,
+           row_number() OVER (PARTITION BY id_a ORDER BY jw_q DESC, id_b) AS rk
+    FROM scored
+)
+SELECT id_a, id_b AS best_id, jw_q FROM ranked
+WHERE rk = 1 AND jw_q >= {JW_MIN_Q}
+"""
+
+
+# --- full pipeline: block → match → cluster → golden record -----------------
+
+def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ER pipeline on the part catalog: two-pass blocking,
+    levenshtein ≤ 2 verification, connected-component entity clusters
+    (operators/components.py — min-label propagation, recursive-CTE
+    oracle), then survivorship over the RECORD table: one golden record
+    per entity with canonical name (lexicographic min variant), record
+    and variant counts, modal brand (count DESC, brand ASC tiebreak)
+    and max retail price. Unmatched names are their own entity."""
+    parts = t(spark, sf_dir, "part")
+    names = _part_names(spark, sf_dir)
+    verified = (
+        blocked_candidates(names, "nid", "p_name", _part_block_exprs())
+        .filter(F.levenshtein(col("cmp_a"), col("cmp_b")) <= PART_CLUSTER_MAX_LEV)
+        .select(col("id_a"), col("id_b"))
+    )
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    entity = names.join(
+        comp, names["nid"] == comp["node"], "left"
+    ).select(
+        "p_name", F.coalesce(col("component"), col("nid")).alias("entity_id")
+    )
+    recs = parts.join(entity, "p_name")  # name-grain broadcastable dim
+    per_entity = recs.groupBy("entity_id").agg(
+        F.min("p_name").alias("canonical_name"),
+        F.countDistinct("p_name").alias("n_variants"),
+        F.count(F.lit(1)).alias("n_records"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+    brand_counts = recs.groupBy("entity_id", "p_brand").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wb = Window.partitionBy("entity_id").orderBy(col("n").desc(), col("p_brand"))
+    top_brand = (
+        brand_counts.withColumn("rk", F.row_number().over(wb))
+        .filter(col("rk") == 1)
+        .select("entity_id", col("p_brand").alias("top_brand"))
+    )
+    return per_entity.join(top_brand, "entity_id").select(
+        "entity_id",
+        "canonical_name",
+        "n_variants",
+        "n_records",
+        "top_brand",
+        "max_price",
+    )
+
+
+_GOLDEN_RECORD_SQL = f"""
+WITH RECURSIVE names AS ({_PART_NAMES_SQL}),
+k1 AS (SELECT nid, p_name, split_part(p_name, ' ', 1) AS bk FROM names),
+k2 AS (SELECT nid, p_name, split_part(p_name, ' ', 2) AS bk FROM names),
+cand AS (
+    SELECT a.nid AS id_a, a.p_name AS cmp_a, b.nid AS id_b, b.p_name AS cmp_b
+    FROM k1 a JOIN k1 b ON a.bk = b.bk AND a.nid < b.nid
+    UNION
+    SELECT a.nid, a.p_name, b.nid, b.p_name
+    FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.nid < b.nid
+),
+verified AS (
+    SELECT id_a, id_b FROM cand
+    WHERE levenshtein(cmp_a, cmp_b) <= {PART_CLUSTER_MAX_LEV}
+),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION SELECT id_b, id_a FROM verified
+),
+reach AS (
+    SELECT a, b FROM sym
+    UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+entity AS (
+    SELECT n.p_name, coalesce(c.component, n.nid) AS entity_id
+    FROM names n LEFT JOIN comp c ON n.nid = c.node
+),
+recs AS (SELECT p.*, e.entity_id FROM part p JOIN entity e ON p.p_name = e.p_name),
+per_entity AS (
+    SELECT entity_id,
+           min(p_name) AS canonical_name,
+           count(DISTINCT p_name) AS n_variants,
+           count(*) AS n_records,
+           max(p_retailprice) AS max_price
+    FROM recs GROUP BY entity_id
+),
+brand_counts AS (
+    SELECT entity_id, p_brand, count(*) AS n FROM recs GROUP BY entity_id, p_brand
+),
+top_brand AS (
+    SELECT entity_id, p_brand AS top_brand FROM (
+        SELECT entity_id, p_brand, row_number()
+               OVER (PARTITION BY entity_id ORDER BY n DESC, p_brand) AS rk
+        FROM brand_counts
+    ) WHERE rk = 1
+)
+SELECT p.entity_id, p.canonical_name, p.n_variants, p.n_records,
+       t.top_brand, p.max_price
+FROM per_entity p JOIN top_brand t ON p.entity_id = t.entity_id
+"""
+
+
+# --- streaming ER gate -------------------------------------------------------
+
+def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming identity-resolution gate (streaming/linkage.py):
+    customer records arrive as a file stream and are fuzzy-matched
+    against the known-entity directory (the c_custkey % 3 == 0 slice)
+    inside ``foreachBatch`` — blocked broadcast join + per-record
+    best-match window, routed known_exact / merge / new_entity, landed
+    exactly-once in batch_id-keyed overwrites. Deterministic per-record
+    verdicts → exact batch-twin oracle."""
+    import hashlib
+    import os
+
+    from ..streaming.linkage import customers_stream, stream_er_gate
+
+    directory = t(spark, sf_dir, "customer").filter(col("c_custkey") % 3 == 0)
+    src = os.path.abspath(f"{sf_dir}/customer.parquet")
+    st = os.stat(src)
+    key = f"{src}:{st.st_mtime_ns}:{st.st_size}:ergate"
+    root = f"/tmp/hdb_er_gate_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    query = stream_er_gate(
+        customers_stream(spark, sf_dir),
+        directory,
+        lambda c: F.substring(c, _CUST_BLOCK_START, _CUST_BLOCK_LEN),
+        out_dir=os.path.join(root, "out"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        max_lev=SNM_MAX_LEV,
+    )
+    query.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(root, "out"))
+        .select("id", "best_match_id", "best_lev", "route")
+    )
+
+
+_STREAM_ER_GATE_SQL = f"""
+WITH dir AS (
+    SELECT c_custkey AS mid, c_name AS mname,
+           substr(c_name, {_CUST_BLOCK_START}, {_CUST_BLOCK_LEN}) AS bk
+    FROM customer WHERE c_custkey % 3 = 0
+),
+arr AS (
+    SELECT c_custkey AS id, c_name AS aname,
+           substr(c_name, {_CUST_BLOCK_START}, {_CUST_BLOCK_LEN}) AS bk
+    FROM customer
+),
+joined AS (
+    SELECT a.id, d.mid, levenshtein(a.aname, d.mname) AS lev
+    FROM arr a LEFT JOIN dir d
+      ON a.bk = d.bk AND levenshtein(a.aname, d.mname) <= {SNM_MAX_LEV}
+),
+best AS (
+    SELECT id, mid, lev,
+           row_number() OVER (PARTITION BY id ORDER BY lev ASC NULLS LAST, mid ASC NULLS LAST) AS rk
+    FROM joined
+)
+SELECT id, mid AS best_match_id, lev AS best_lev,
+       CASE WHEN lev = 0 THEN 'known_exact'
+            WHEN lev IS NOT NULL THEN 'merge'
+            ELSE 'new_entity' END AS route
+FROM best WHERE rk = 1
+"""
+
+
+# ER ships local-first (the graded window is rotation-managed in
+# queries/__init__.py); tests/test_correctness.py verifies every entry
+# against its DuckDB oracle either way.
+QUERIES: dict[str, QuerySpec] = {}
+
+LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "er_blocked_match": QuerySpec(q_er_blocked_match, _BLOCKED_MATCH_SQL),
+    "er_blocking_recall": QuerySpec(q_er_blocking_recall, _BLOCKING_RECALL_SQL),
+    "er_snm_customers": QuerySpec(q_er_snm_customers, _SNM_SQL),
+    "er_jw_topmatch": QuerySpec(q_er_jw_topmatch, _JW_TOPMATCH_SQL),
+    "er_golden_record": QuerySpec(q_er_golden_record, _GOLDEN_RECORD_SQL),
+    "stream_er_gate": QuerySpec(q_stream_er_gate, _STREAM_ER_GATE_SQL),
+}

@@ -1,0 +1,138 @@
+"""Streaming entity-resolution gate: arriving records are fuzzy-matched
+against a known-entity directory BEFORE landing, and routed
+known_exact / merge / new_entity — the identity-resolution twin of the
+ingest dedup gate (streaming/documents.py).
+
+Why ``foreachBatch``: the gate needs a per-record BEST match
+(top-1 by edit distance with a deterministic tiebreak), and window
+functions are illegal on an unbounded stream. Inside ``foreachBatch``
+each micro-batch is a plain batch DataFrame, so the match is the same
+blocked broadcast join + WindowGroupLimit the batch ER family uses —
+per-batch batch semantics, streaming delivery.
+
+Exactly-once: each batch's verdicts land in a ``batch_id``-keyed
+subdirectory written with ``mode("overwrite")`` — a checkpoint replay
+of the same batch_id overwrites its own output instead of duplicating,
+the same two-phase discipline as the ANN index appends
+(operators/index_store.append_ann_index_idempotent).
+
+Scale: the directory rides each batch join as a broadcast keyed by the
+serial-prefix block — entity-directory-sized, NOT corpus-sized (the
+directory of resolved entities is orders of magnitude smaller than the
+record stream). Past broadcast size, the same gate serves from the
+partition-pruned disk layout instead (operators/index_store.py shows
+the shape); the join and routing logic are unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+STREAM_SLICES = 4
+
+
+def _stage_customers_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the customer roster as STREAM_SLICES landing files (same
+    (mtime, size)-keyed staging discipline as documents_stream)."""
+    src = os.path.abspath(f"{sf_dir}/customer.parquet")
+    st = os.stat(src)
+    key = f"{src}:{st.st_mtime_ns}:{st.st_size}:{STREAM_SLICES}"
+    stage = f"/tmp/hdb_cust_stream_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (
+            spark.read.parquet(src)
+            .repartition(STREAM_SLICES)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+    return stage
+
+
+def customers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the customer roster, schema pinned from
+    the parquet footer; one landing file per trigger."""
+    schema = spark.read.parquet(f"{sf_dir}/customer.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(_stage_customers_dir(spark, sf_dir))
+    )
+
+
+def stream_er_gate(
+    arriving: DataFrame,
+    directory: DataFrame,
+    block_expr,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "c_custkey",
+    cmp_col: str = "c_name",
+    max_lev: int = 1,
+):
+    """Route each arriving record against the known-entity directory:
+
+    - ``known_exact`` — an identical directory string (re-crawl of a
+      resolved entity),
+    - ``merge``       — within ``max_lev`` edits of a directory entry
+      (link to the existing entity),
+    - ``new_entity``  — no in-block directory entry close enough.
+
+    Emits one verdict row per arriving record:
+    ``(id, best_match_id, best_lev, route)``. Best match is
+    min-edit-distance with min-id tiebreak — deterministic, so the
+    batch-twin DuckDB oracle is exact. Returns the StreamingQuery.
+    """
+    dir_keyed = directory.select(
+        col(id_col).alias("mid"),
+        col(cmp_col).alias("mname"),
+        block_expr(col(cmp_col)).alias("_bk"),
+    )
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        arr = batch_df.select(
+            col(id_col).alias("id"),
+            col(cmp_col).alias("aname"),
+            block_expr(col(cmp_col)).alias("_bk"),
+        )
+        lev = F.levenshtein(col("aname"), col("mname"))
+        joined = arr.join(
+            F.broadcast(dir_keyed),
+            (arr["_bk"] == dir_keyed["_bk"]) & (lev <= max_lev),
+            "left",
+        ).select("id", "mid", lev.alias("lev"))
+        w = Window.partitionBy("id").orderBy(
+            col("lev").asc_nulls_last(), col("mid").asc_nulls_last()
+        )
+        verdicts = (
+            joined.withColumn("rk", F.row_number().over(w))
+            .filter(col("rk") == 1)
+            .select(
+                "id",
+                col("mid").alias("best_match_id"),
+                col("lev").alias("best_lev"),
+                F.when(col("lev") == 0, "known_exact")
+                .when(col("lev").isNotNull(), "merge")
+                .otherwise("new_entity")
+                .alias("route"),
+            )
+        )
+        # batch_id-keyed overwrite → checkpoint replays converge.
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        arriving.writeStream.foreachBatch(_gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,150 @@
+"""Entity-resolution / record-linkage operator tests
+(operators/linkage.py, streaming/linkage.py).
+
+The correctness suite already value-diffs every ER query against its
+DuckDB oracle; these tests pin the OPERATOR contracts the queries rely
+on — candidate bounds, pair canonicalization, the Jaro-Winkler kernel's
+bit-parity with DuckDB's built-in, and the streaming gate's
+exactly-once replay behavior.
+"""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from hdb_resale_price_data_pipeline_spark.operators.linkage import (
+    _jaro_winkler,
+    blocked_candidates,
+    snm_candidates,
+)
+
+from conftest import TEST_SF_DIR
+
+
+def _names(spark):
+    return (
+        spark.read.parquet(f"{TEST_SF_DIR}/part.parquet")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("nid"))
+    )
+
+
+def test_blocked_candidates_are_canonical_and_unique(spark):
+    names = _names(spark)
+    pairs = blocked_candidates(
+        names,
+        "nid",
+        "p_name",
+        [
+            F.split_part(col("p_name"), F.lit(" "), F.lit(1)),
+            F.split_part(col("p_name"), F.lit(" "), F.lit(2)),
+        ],
+    ).collect()  # 448 pairs on the 64-name grid — bounded
+    seen = set()
+    for r in pairs:
+        assert r.id_a < r.id_b, "pair not canonicalized"
+        assert (r.id_a, r.id_b) not in seen, "cross-pass duplicate survived"
+        seen.add((r.id_a, r.id_b))
+    # Two 8-block passes over 64 names: 2 * 8 * C(8,2) = 448.
+    assert len(pairs) == 448
+
+
+def test_snm_candidate_count_is_bounded_by_n_times_window(spark):
+    cust = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet")
+    n = cust.count()
+    for w in (1, 3):
+        cands = snm_candidates(
+            cust, "c_custkey", "c_name", F.substring(col("c_name"), 10, 7), window=w
+        )
+        m = cands.count()
+        assert m <= n * w, f"SNM window {w} emitted {m} > {n * w} candidates"
+        # no self pairs
+        assert cands.filter(col("id_a") == col("id_b")).count() == 0
+
+
+def test_snm_pairs_are_sort_adjacent_within_block(spark):
+    """Every SNM candidate's partners must be within `window` positions
+    in the block's (cmp, id) sort order — the defining SNM property."""
+    cust = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet").limit(400)
+    cands = snm_candidates(
+        cust, "c_custkey", "c_name", F.substring(col("c_name"), 10, 7), window=2
+    ).collect()
+    rows = sorted(
+        (r.c_name, r.c_custkey) for r in cust.select("c_name", "c_custkey").collect()
+    )
+    by_block: dict[str, list[int]] = {}
+    for name, ck in rows:
+        by_block.setdefault(name[9:16], []).append(ck)
+    pos = {
+        ck: (bk, i) for bk, ids in by_block.items() for i, ck in enumerate(ids)
+    }
+    for r in cands:
+        bka, ia = pos[r.id_a]
+        bkb, ib = pos[r.id_b]
+        assert bka == bkb, "cross-block SNM pair"
+        assert 1 <= ib - ia <= 2, f"pair {r.id_a},{r.id_b} not sort-adjacent"
+
+
+# --- Jaro-Winkler kernel ----------------------------------------------------
+
+_ALPHABET = string.ascii_lowercase[:6] + "#0 "
+
+
+@given(
+    st.text(_ALPHABET, max_size=12),
+    st.text(_ALPHABET, max_size=12),
+)
+def test_jaro_winkler_matches_duckdb_builtin(a, b):
+    """Property: the Python kernel is bit-identical to DuckDB's
+    jaro_winkler_similarity on arbitrary short strings (the oracle
+    depends on exact equality, not approximate closeness)."""
+    import duckdb
+
+    want = duckdb.execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+    ).fetchone()[0]
+    assert _jaro_winkler(a, b) == want
+
+
+def test_jaro_winkler_basic_properties():
+    assert _jaro_winkler("martha", "martha") == 1.0
+    assert _jaro_winkler("", "abc") == 0.0
+    assert _jaro_winkler("abc", "") == 0.0
+    # symmetric
+    assert _jaro_winkler("martha", "marhta") == _jaro_winkler("marhta", "martha")
+    # prefix boost: shared prefix scores at least as high
+    assert _jaro_winkler("martha", "marhta") >= _jaro_winkler("amrtha", "amrhta") - 1e-12
+
+
+# --- streaming gate ---------------------------------------------------------
+
+@pytest.mark.usefixtures("spark")
+class TestStreamErGate:
+    def _run(self, spark):
+        from hdb_resale_price_data_pipeline_spark.queries.er import q_stream_er_gate
+
+        return q_stream_er_gate(spark, TEST_SF_DIR).toPandas()
+
+    def test_replay_is_idempotent(self, spark):
+        """A second availableNow run consumes zero new batches and the
+        landed verdicts are bit-identical — the batch_id-keyed
+        overwrite discipline."""
+        first = self._run(spark).sort_values("id").reset_index(drop=True)
+        second = self._run(spark).sort_values("id").reset_index(drop=True)
+        assert first.equals(second)
+        cust_n = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet").count()
+        assert len(first) == cust_n  # one verdict per arriving record
+
+    def test_directory_members_route_known_exact(self, spark):
+        out = self._run(spark)
+        known = out[out["id"] % 3 == 0]
+        assert (known["route"] == "known_exact").all()
+        assert (known["best_match_id"] == known["id"]).all()
+        others = out[out["id"] % 3 != 0]
+        assert set(others["route"]) <= {"merge", "new_entity"}

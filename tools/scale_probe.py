@@ -717,9 +717,103 @@ def probe_pipeline(spark) -> None:
     print(f"| pipeline_run_all | {t['1x']:.2f}s | {t['10x']:.2f}s | {slope:.2f} |")
 
 
+ER_QUERIES = [
+    "er_blocked_match",
+    "er_blocking_recall",
+    "er_snm_customers",
+    "er_jw_topmatch",
+    "er_golden_record",
+    "stream_er_gate",
+]
+
+
+def stage_er_at(spark, dest: str, copies: int) -> None:
+    """Replicate the customer roster and part catalog for the ER probe.
+
+    Customer replicas get FRESH serials (offset custkeys) with names
+    REGENERATED from the new serial — blocking keys derive from the
+    name digits, so a verbatim name copy would stack every replica into
+    the same blocks (duplicate-density blowup, the stage_docs lesson)
+    instead of growing the occupied serial range the way real rosters
+    grow. Part replicas keep their names (fixed entity vocabulary,
+    growing record count — the realistic catalog-growth shape: golden-
+    record work scales with records, clustering stays entity-sized)."""
+    if os.path.exists(f"{dest}/_done"):
+        return
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    out_c = cust
+    for i in range(1, copies):
+        out_c = out_c.unionByName(
+            cust.withColumn("c_custkey", col("c_custkey") + F.lit(i * 10_000_000))
+            .withColumn("c_name", F.format_string("Customer#%09d", col("c_custkey")))
+        )
+    out_c.repartition(32).write.mode("overwrite").parquet(f"{dest}/customer.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    out_p = part
+    for i in range(1, copies):
+        out_p = out_p.unionByName(
+            part.withColumn("p_partkey", col("p_partkey") + F.lit(i * 10_000_000))
+        )
+    out_p.repartition(32).write.mode("overwrite").parquet(f"{dest}/part.parquet")
+    open(f"{dest}/_done", "w").close()
+
+
+def probe_er(spark) -> None:
+    """1×/4×/16× cold scaling for the entity-resolution family (same
+    protocol as probe_scaling: shared warmup, two cold runs per cell,
+    min, log-log slopes)."""
+    import math
+
+    from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+    registry = local_queries()
+    dirs: dict[int, str] = {}
+    for c in SCALING_COPIES:
+        if c == 1:
+            dirs[c] = SF_DIR
+            continue
+        dest = f"/tmp/er_scale_c{c}"
+        stage_er_at(spark, dest, copies=c)
+        dirs[c] = dest
+    n = {c: spark.read.parquet(f"{d}/customer.parquet").count() for c, d in dirs.items()}
+    print(f"scales: {n} customers (parts scale identically)")
+
+    for name in ER_QUERIES:
+        _noop(registry[name].fn(spark, dirs[1]))
+
+    results: dict[str, dict[int, float]] = {}
+    for name in ER_QUERIES:
+        fn = registry[name].fn
+        results[name] = {}
+        for c in SCALING_COPIES:
+            runs = []
+            for _ in range(2):
+                _clear_index_caches()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                _noop(fn(spark, dirs[c]))
+                runs.append(time.perf_counter() - t0)
+            results[name][c] = min(runs)
+
+    print("\n| query | t@1x | t@4x | t@16x | slope(1→16) | slope(4→16) |")
+    print("|---|---|---|---|---|---|")
+    c0, c1, c2 = SCALING_COPIES
+    for name, r in results.items():
+        s_full = math.log(r[c2] / r[c0]) / math.log(c2 / c0)
+        s_tail = math.log(r[c2] / r[c1]) / math.log(c2 / c1)
+        print(
+            f"| {name} | {r[c0]:.2f}s | {r[c1]:.2f}s | {r[c2]:.2f}s "
+            f"| {s_full:.2f} | {s_tail:.2f} |"
+        )
+
+
 def main() -> None:
     spark = get_spark_session(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--er" in sys.argv:
+        probe_er(spark)
+        spark.stop()
+        return
     if "--pipeline" in sys.argv:
         probe_pipeline(spark)
         spark.stop()
