@@ -486,16 +486,20 @@ FROM best WHERE rk = 1
 """
 
 
-# ER ships local-first (the graded window is rotation-managed in
-# queries/__init__.py); tests/test_correctness.py verifies every entry
-# against its DuckDB oracle either way.
-QUERIES: dict[str, QuerySpec] = {}
+# r6 session 3: er_golden_record promoted to the graded window (the
+# composed block → match → cluster → survivorship pipeline — the
+# family's strongest single evidence; events_salted_totals demoted in
+# exchange, see queries/events.py). The rest of the family ships
+# local-first; tests/test_correctness.py verifies every entry against
+# its DuckDB oracle either way.
+QUERIES: dict[str, QuerySpec] = {
+    "er_golden_record": QuerySpec(q_er_golden_record, _GOLDEN_RECORD_SQL),
+}
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "er_blocked_match": QuerySpec(q_er_blocked_match, _BLOCKED_MATCH_SQL),
     "er_blocking_recall": QuerySpec(q_er_blocking_recall, _BLOCKING_RECALL_SQL),
     "er_snm_customers": QuerySpec(q_er_snm_customers, _SNM_SQL),
     "er_jw_topmatch": QuerySpec(q_er_jw_topmatch, _JW_TOPMATCH_SQL),
-    "er_golden_record": QuerySpec(q_er_golden_record, _GOLDEN_RECORD_SQL),
     "stream_er_gate": QuerySpec(q_stream_er_gate, _STREAM_ER_GATE_SQL),
 }

@@ -368,7 +368,12 @@ QUERIES: dict[str, QuerySpec] = {
     # events_sessionize/orders_window_frames) in favor of the
     # deterministic-HLL sketch — registered after its definition below.
     "events_asof_attribution": QuerySpec(q_events_asof_attribution, _EVENTS_ASOF_SQL),
-    "events_salted_totals": QuerySpec(q_events_salted_totals, _EVENTS_SALTED_SQL),
+    # r6 session 3: events_salted_totals demoted to LOCAL_QUERIES (the
+    # salting lesson — map-side partial agg already absorbs hot keys —
+    # is recorded in tools/scale_probe.py's skew findings, and the agg
+    # family stays anchored by pricing_summary/events_hll_users) in
+    # favor of the composed entity-resolution pipeline
+    # (er_golden_record: block → match → cluster → survivorship).
     # r6 rotation: events_hourly_pivot demoted to LOCAL_QUERIES (hourly
     # aggregation stays graded via stream_hourly_tumbling; the pivot
     # shape stays local-oracled via events_daily_pivot) in favor of the
@@ -495,9 +500,12 @@ GROUP BY 1
 
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
-    # r6 rotation demotion (see QUERIES note):
+    # r6 rotation demotions (see QUERIES notes):
     "events_hourly_pivot": QuerySpec(
         q_events_hourly_pivot, _EVENTS_HOURLY_PIVOT_SQL
+    ),
+    "events_salted_totals": QuerySpec(
+        q_events_salted_totals, _EVENTS_SALTED_SQL
     ),
     "events_attribution_join": QuerySpec(
         q_events_attribution_join, _EVENTS_ATTRIBUTION_SQL
