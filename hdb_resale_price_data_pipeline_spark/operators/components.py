@@ -155,3 +155,34 @@ def dedup_clusters(
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .withColumnRenamed("component", "canonical_id")
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Incremental connected components: fold a NEW edge batch into an
+    EXISTING clustering without rematerializing historical pairs.
+
+    Existing assignments enter the graph as STAR edges (member →
+    cluster label) — connectivity-equivalent to the original pair
+    graph, but exactly ONE edge per previously-clustered node. The
+    union with the new batch's edges then runs through the standard
+    ``connected_components``; labels converge to the same min-node-id
+    components a full recompute would produce (star edges preserve
+    every old member's reachability, new edges splice batches in and
+    can legitimately merge two old clusters through a bridge record).
+
+    Scale: re-resolution cost is |clustered nodes| + |new edges| — the
+    historical CANDIDATE-PAIR volume (the expensive, quadratic-ish
+    term) is never touched again. This is the ER twin of the
+    batch-vs-corpus incremental dedup (operators/incremental.py).
+    """
+    star = labels.filter(col("node") != col("component")).select(
+        col("node").alias(src), col("component").alias(dst)
+    )
+    return connected_components(
+        star.unionByName(new_edges.select(col(src), col(dst))), src=src, dst=dst
+    )

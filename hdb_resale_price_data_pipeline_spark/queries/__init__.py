@@ -16,7 +16,17 @@ comparison sorts columns by name before value-hashing.
 from __future__ import annotations
 
 from .base import QuerySpec
-from . import dedup, er, events, extensions, relational, similarity, text, tpch_extra
+from . import (
+    dedup,
+    er,
+    events,
+    extensions,
+    privacy,
+    relational,
+    similarity,
+    text,
+    tpch_extra,
+)
 
 # Driver-graded registration order. The driver's correctness gate checks
 # the FIRST 50 entries only, so the registry is capped at 50 (near-
@@ -24,7 +34,17 @@ from . import dedup, er, events, extensions, relational, similarity, text, tpch_
 # which tests/test_correctness.py still verifies). Families are ordered
 # so that if the window ever shrinks, the most redundant entries
 # (tpch_extra) fall off first.
-_GRADED_MODULES = (relational, events, dedup, text, similarity, extensions, er, tpch_extra)
+_GRADED_MODULES = (
+    relational,
+    events,
+    dedup,
+    text,
+    similarity,
+    extensions,
+    er,
+    privacy,
+    tpch_extra,
+)
 
 # Hard cap matching the driver's correctness window: every registered
 # query must receive a CORRECTNESS entry.

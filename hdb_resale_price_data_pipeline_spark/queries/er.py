@@ -422,6 +422,102 @@ FROM per_entity p JOIN top_brand t ON p.entity_id = t.entity_id
 """
 
 
+# --- incremental resolve (batch-vs-registry) ---------------------------------
+
+# Existing-entity universe for the incremental demo: the catalog's
+# cold/old adjective families (whose cross-pairs form the seed
+# clusters); everything else arrives as the new batch — red/new names
+# splice INTO existing clusters through bridge edges, the remaining
+# adjectives mint new entities.
+_EXISTING_ADJECTIVES = ("cold", "old")
+
+
+def q_er_incremental_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity resolution: resolve a NEW batch of mentions
+    against an EXISTING clustering without recomputing historical
+    pairs. Existing clusters enter as star edges (one edge per old
+    member — operators/components.incremental_components); only the
+    batch's verified pairs are newly generated. Output: one row per
+    batch name with its resolved entity and whether the entity is
+    newly minted (no existing member) — exact against a full-recompute
+    recursive-CTE oracle, because star edges are connectivity-
+    equivalent to the original pair graph."""
+    names = _part_names(spark, sf_dir)
+    adj = F.split_part(col("p_name"), F.lit(" "), F.lit(1))
+    flagged = names.withColumn("is_ex", adj.isin(*_EXISTING_ADJECTIVES).cast("int"))
+    pairs = blocked_candidates(names, "nid", "p_name", _part_block_exprs()).filter(
+        F.levenshtein(col("cmp_a"), col("cmp_b")) <= PART_CLUSTER_MAX_LEV
+    )
+    flags = flagged.select("nid", "is_ex")
+    pf = (
+        pairs.join(flags.withColumnRenamed("nid", "id_a").withColumnRenamed("is_ex", "ex_a"), "id_a")
+        .join(flags.withColumnRenamed("nid", "id_b").withColumnRenamed("is_ex", "ex_b"), "id_b")
+    )
+    existing_pairs = pf.filter((col("ex_a") == 1) & (col("ex_b") == 1)).select("id_a", "id_b")
+    new_edges = pf.filter((col("ex_a") == 0) | (col("ex_b") == 0)).select("id_a", "id_b")
+
+    from ..operators.components import incremental_components
+
+    seed = connected_components(existing_pairs, src="id_a", dst="id_b")
+    final = incremental_components(seed, new_edges)
+    has_ex = (
+        final.join(flagged, final["node"] == flagged["nid"])
+        .groupBy("component")
+        .agg(F.max("is_ex").alias("has_ex"))
+    )
+    batch = flagged.filter(col("is_ex") == 0)
+    return (
+        batch.join(final, batch["nid"] == final["node"], "left")
+        .withColumn("entity_id", F.coalesce(col("component"), col("nid")))
+        .join(has_ex, "component", "left")
+        .select(
+            "p_name",
+            "entity_id",
+            F.when(F.coalesce(col("has_ex"), F.lit(0)) == 1, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("is_new_entity"),
+        )
+    )
+
+
+_INCREMENTAL_SQL = f"""
+WITH RECURSIVE names AS ({_PART_NAMES_SQL}),
+k1 AS (SELECT nid, p_name, split_part(p_name, ' ', 1) AS bk FROM names),
+k2 AS (SELECT nid, p_name, split_part(p_name, ' ', 2) AS bk FROM names),
+cand AS (
+    SELECT a.nid AS id_a, a.p_name AS cmp_a, b.nid AS id_b, b.p_name AS cmp_b
+    FROM k1 a JOIN k1 b ON a.bk = b.bk AND a.nid < b.nid
+    UNION
+    SELECT a.nid, a.p_name, b.nid, b.p_name
+    FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.nid < b.nid
+),
+verified AS (
+    SELECT id_a, id_b FROM cand
+    WHERE levenshtein(cmp_a, cmp_b) <= {PART_CLUSTER_MAX_LEV}
+),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION SELECT id_b, id_a FROM verified
+),
+reach AS (
+    SELECT a, b FROM sym
+    UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+entity AS (
+    SELECT n.p_name, n.nid,
+           coalesce(c.component, n.nid) AS entity_id,
+           CASE WHEN split_part(n.p_name, ' ', 1) IN {_EXISTING_ADJECTIVES} THEN 1 ELSE 0 END AS is_ex
+    FROM names n LEFT JOIN comp c ON n.nid = c.node
+),
+flags AS (SELECT entity_id, max(is_ex) AS has_ex FROM entity GROUP BY entity_id)
+SELECT e.p_name, e.entity_id,
+       CASE WHEN f.has_ex = 1 THEN 0 ELSE 1 END AS is_new_entity
+FROM entity e JOIN flags f ON e.entity_id = f.entity_id
+WHERE e.is_ex = 0
+"""
+
+
 # --- streaming ER gate -------------------------------------------------------
 
 def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,5 +597,6 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "er_blocking_recall": QuerySpec(q_er_blocking_recall, _BLOCKING_RECALL_SQL),
     "er_snm_customers": QuerySpec(q_er_snm_customers, _SNM_SQL),
     "er_jw_topmatch": QuerySpec(q_er_jw_topmatch, _JW_TOPMATCH_SQL),
+    "er_incremental_resolve": QuerySpec(q_er_incremental_resolve, _INCREMENTAL_SQL),
     "stream_er_gate": QuerySpec(q_stream_er_gate, _STREAM_ER_GATE_SQL),
 }

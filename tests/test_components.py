@@ -70,3 +70,73 @@ def test_dedup_clusters_match_union_find(spark):
     got = {r.node: r.component for r in connected_components(verified).collect()}
     assert got == _union_find(edge_list)
     assert len(edge_list) > 0  # the pipeline actually found near-dups
+
+
+class TestIncrementalComponents:
+    """incremental_components must equal a full recompute over the
+    union graph — star edges are connectivity-equivalent to the
+    original pairs."""
+
+    def _full(self, spark, edges):
+        from hdb_resale_price_data_pipeline_spark.operators.components import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        return {
+            (r.node, r.component)
+            for r in connected_components(df, "id_a", "id_b").collect()
+        }
+
+    def test_batch_merges_two_existing_clusters_via_bridge(self, spark):
+        from hdb_resale_price_data_pipeline_spark.operators.components import (
+            connected_components,
+            incremental_components,
+        )
+
+        old_edges = [(1, 2), (10, 11)]  # two seed clusters {1,2}, {10,11}
+        new_edges = [(2, 50), (50, 10), (60, 61)]  # 50 bridges both; {60,61} new
+        seed = connected_components(
+            spark.createDataFrame(old_edges, "id_a bigint, id_b bigint"),
+            "id_a",
+            "id_b",
+        )
+        inc = incremental_components(
+            seed, spark.createDataFrame(new_edges, "id_a bigint, id_b bigint")
+        )
+        got = {(r.node, r.component) for r in inc.collect()}
+        assert got == self._full(spark, old_edges + new_edges)
+        # the bridge collapsed everything reachable onto min id 1
+        assert {c for n, c in got if n in (1, 2, 10, 11, 50)} == {1}
+        assert {c for n, c in got if n in (60, 61)} == {60}
+
+    def test_seeded_resolution_matches_full_recompute_on_random_graph(self, spark):
+        import random
+
+        from hdb_resale_price_data_pipeline_spark.operators.components import (
+            connected_components,
+            incremental_components,
+        )
+
+        rng = random.Random(42)  # deterministic
+        nodes = list(range(100))
+        all_edges = [
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+            )
+            if a != b
+        ]
+        cut = len(all_edges) // 2
+        old_edges, new_edges = all_edges[:cut], all_edges[cut:]
+        seed = connected_components(
+            spark.createDataFrame(old_edges, "id_a bigint, id_b bigint"),
+            "id_a",
+            "id_b",
+        )
+        inc = incremental_components(
+            seed, spark.createDataFrame(new_edges, "id_a bigint, id_b bigint")
+        )
+        got = {(r.node, r.component) for r in inc.collect()}
+        # full recompute covers the same node set (nodes on any edge)
+        assert got == self._full(spark, all_edges)

@@ -723,7 +723,12 @@ ER_QUERIES = [
     "er_snm_customers",
     "er_jw_topmatch",
     "er_golden_record",
+    "er_incremental_resolve",
     "stream_er_gate",
+    # record-level privacy measures ride the same staged roster
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_generalize_ladder",
 ]
 
 
@@ -755,6 +760,16 @@ def stage_er_at(spark, dest: str, copies: int) -> None:
             part.withColumn("p_partkey", col("p_partkey") + F.lit(i * 10_000_000))
         )
     out_p.repartition(32).write.mode("overwrite").parquet(f"{dest}/part.parquet")
+    # orders replicate with custkeys offset IN LOCKSTEP with the roster
+    # so the l-diversity sensitive join covers every replica.
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out_o = orders
+    for i in range(1, copies):
+        out_o = out_o.unionByName(
+            orders.withColumn("o_orderkey", col("o_orderkey") + F.lit(i * 100_000_000))
+            .withColumn("o_custkey", col("o_custkey") + F.lit(i * 10_000_000))
+        )
+    out_o.repartition(32).write.mode("overwrite").parquet(f"{dest}/orders.parquet")
     open(f"{dest}/_done", "w").close()
 
 
@@ -767,6 +782,15 @@ def probe_er(spark) -> None:
     from hdb_resale_price_data_pipeline_spark.queries import local_queries
 
     registry = local_queries()
+    only = os.environ.get("SPARK_GRAFT_ER_ONLY")
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = sorted(set(wanted) - set(ER_QUERIES))
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ER_ONLY names not in ER_QUERIES: {unknown}")
+        probe_list = [q for q in ER_QUERIES if q in wanted]
+    else:
+        probe_list = ER_QUERIES
     dirs: dict[int, str] = {}
     for c in SCALING_COPIES:
         if c == 1:
@@ -776,13 +800,13 @@ def probe_er(spark) -> None:
         stage_er_at(spark, dest, copies=c)
         dirs[c] = dest
     n = {c: spark.read.parquet(f"{d}/customer.parquet").count() for c, d in dirs.items()}
-    print(f"scales: {n} customers (parts scale identically)")
+    print(f"scales: {n} customers (parts/orders scale identically)")
 
-    for name in ER_QUERIES:
+    for name in probe_list:
         _noop(registry[name].fn(spark, dirs[1]))
 
     results: dict[str, dict[int, float]] = {}
-    for name in ER_QUERIES:
+    for name in probe_list:
         fn = registry[name].fn
         results[name] = {}
         for c in SCALING_COPIES:
