@@ -337,22 +337,31 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein(col("cmp_a"), col("cmp_b")) <= PART_CLUSTER_MAX_LEV)
         .select(col("id_a"), col("id_b"))
     )
+    # The CC label table is MATCH-GRAPH-sized (≤ 2·|verified pairs| —
+    # corpus-relative tiny, the dedup-clusters argument) → broadcast it
+    # instead of the SMJ Catalyst picks for a stats-free createDataFrame.
     comp = connected_components(verified, src="id_a", dst="id_b")
     entity = names.join(
-        comp, names["nid"] == comp["node"], "left"
+        F.broadcast(comp), names["nid"] == comp["node"], "left"
     ).select(
         "p_name", F.coalesce(col("component"), col("nid")).alias("entity_id")
     )
-    recs = parts.join(entity, "p_name")  # name-grain broadcastable dim
-    per_entity = recs.groupBy("entity_id").agg(
+    # ONE pass over the record table: pre-aggregate to the
+    # (entity, name, brand) grain — everything downstream (per-entity
+    # rollup, modal brand) derives from this vocab-sized frame, where a
+    # naive formulation scans + joins the records TWICE (once per agg).
+    recs = parts.join(entity, "p_name")  # name-grain dim join
+    g1 = recs.groupBy("entity_id", "p_name", "p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("p_retailprice").alias("max_price_g"),
+    )
+    per_entity = g1.groupBy("entity_id").agg(
         F.min("p_name").alias("canonical_name"),
         F.countDistinct("p_name").alias("n_variants"),
-        F.count(F.lit(1)).alias("n_records"),
-        F.max("p_retailprice").alias("max_price"),
+        F.sum("n").alias("n_records"),
+        F.max("max_price_g").alias("max_price"),
     )
-    brand_counts = recs.groupBy("entity_id", "p_brand").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    brand_counts = g1.groupBy("entity_id", "p_brand").agg(F.sum("n").alias("n"))
     wb = Window.partitionBy("entity_id").orderBy(col("n").desc(), col("p_brand"))
     top_brand = (
         brand_counts.withColumn("rk", F.row_number().over(wb))
@@ -459,15 +468,20 @@ def q_er_incremental_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import incremental_components
 
     seed = connected_components(existing_pairs, src="id_a", dst="id_b")
+    # final is the CC label table of the (star ∪ batch-edge) graph —
+    # match-graph-sized, so it broadcasts to both the membership
+    # aggregate and the batch join (Catalyst would SMJ the stats-free
+    # createDataFrame output of the driver-path CC).
     final = incremental_components(seed, new_edges)
     has_ex = (
-        final.join(flagged, final["node"] == flagged["nid"])
+        F.broadcast(final)
+        .join(flagged, final["node"] == flagged["nid"])
         .groupBy("component")
         .agg(F.max("is_ex").alias("has_ex"))
     )
     batch = flagged.filter(col("is_ex") == 0)
     return (
-        batch.join(final, batch["nid"] == final["node"], "left")
+        batch.join(F.broadcast(final), batch["nid"] == final["node"], "left")
         .withColumn("entity_id", F.coalesce(col("component"), col("nid")))
         .join(has_ex, "component", "left")
         .select(
