@@ -136,3 +136,100 @@ def stream_er_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_er_directory(directory: DataFrame, path: str, block_expr,
+                       id_col: str = "c_custkey", cmp_col: str = "c_name") -> None:
+    """Persist the known-entity directory partitioned by its block key —
+    the disk layout IS the blocking index (the index_store discipline:
+    operators/index_store.py), so a gate batch only reads the block
+    partitions its records hash to."""
+    (
+        directory.select(
+            col(id_col).alias("mid"),
+            col(cmp_col).alias("mname"),
+            block_expr(col(cmp_col)).alias("bk"),
+        )
+        .repartition("bk")
+        .write.mode("overwrite")
+        .partitionBy("bk")
+        .parquet(path)
+    )
+
+
+def stream_er_gate_served(
+    arriving: DataFrame,
+    directory_path: str,
+    block_expr,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "c_custkey",
+    cmp_col: str = "c_name",
+    max_lev: int = 1,
+):
+    """The past-broadcast-size twin of ``stream_er_gate``: the directory
+    lives ON DISK partitioned by block key, and each micro-batch
+
+    1. collects its DISTINCT block keys (batch-bounded — one short
+       string per arriving block),
+    2. scans ONLY those directory partitions (partition pruning on the
+       layout key; the 100 TB directory never fully loads),
+    3. joins with the BATCH as the broadcast side (the batch is the
+       small relation here — the exact inversion of the broadcast-
+       directory variant),
+    4. routes exactly like the broadcast gate: per-record best match,
+       known_exact / merge / new_entity, batch_id-keyed idempotent
+       landing.
+
+    Output is bit-identical to ``stream_er_gate`` on the same inputs
+    (asserted in tests/test_linkage.py) — the serving layout is an
+    execution choice, not a semantics change.
+    """
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        arr = batch_df.select(
+            col(id_col).alias("id"),
+            col(cmp_col).alias("aname"),
+            block_expr(col(cmp_col)).alias("bk"),
+        )
+        bks = [r[0] for r in arr.select("bk").distinct().collect()]
+        dir_pruned = spark.read.parquet(directory_path).filter(col("bk").isin(bks))
+        lev = F.levenshtein(col("aname"), col("mname"))
+        cand = dir_pruned.join(
+            F.broadcast(arr),
+            (dir_pruned["bk"] == arr["bk"]) & (lev <= max_lev),
+            "inner",
+        ).select("id", "mid", lev.alias("lev"))
+        w = Window.partitionBy("id").orderBy(col("lev"), col("mid"))
+        best = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(col("rk") == 1)
+            .select("id", "mid", "lev")
+        )
+        verdicts = (
+            arr.select("id")
+            .join(best, "id", "left")
+            .select(
+                "id",
+                col("mid").alias("best_match_id"),
+                col("lev").alias("best_lev"),
+                F.when(col("lev") == 0, "known_exact")
+                .when(col("lev").isNotNull(), "merge")
+                .otherwise("new_entity")
+                .alias("route"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        arriving.writeStream.foreachBatch(_gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -148,3 +148,59 @@ class TestStreamErGate:
         assert (known["best_match_id"] == known["id"]).all()
         others = out[out["id"] % 3 != 0]
         assert set(others["route"]) <= {"merge", "new_entity"}
+
+
+def test_served_gate_is_bit_identical_to_broadcast_gate(spark, tmp_path):
+    """The disk-served directory variant (partition-pruned scan +
+    broadcast the BATCH) must land exactly the verdicts of the
+    broadcast-directory gate — the layout is an execution choice."""
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.queries.er import (
+        _CUST_BLOCK_LEN,
+        _CUST_BLOCK_START,
+        SNM_MAX_LEV,
+        q_stream_er_gate,
+    )
+    from hdb_resale_price_data_pipeline_spark.streaming.linkage import (
+        customers_stream,
+        stream_er_gate_served,
+        write_er_directory,
+    )
+
+    block = lambda c: F.substring(c, _CUST_BLOCK_START, _CUST_BLOCK_LEN)  # noqa: E731
+    directory = (
+        spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet")
+        .filter(col("c_custkey") % 3 == 0)
+    )
+    dir_path = str(tmp_path / "er_dir")
+    write_er_directory(directory, dir_path, block)
+    # layout check: one subdirectory per block key (the blocking index)
+    import os
+
+    parts = [d for d in os.listdir(dir_path) if d.startswith("bk=")]
+    assert len(parts) >= 2, "directory not partitioned by block key"
+
+    q = stream_er_gate_served(
+        customers_stream(spark, TEST_SF_DIR),
+        dir_path,
+        block,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_lev=SNM_MAX_LEV,
+    )
+    q.awaitTermination()
+    served = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .select("id", "best_match_id", "best_lev", "route")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    broadcast = (
+        q_stream_er_gate(spark, TEST_SF_DIR)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert served.equals(broadcast)
