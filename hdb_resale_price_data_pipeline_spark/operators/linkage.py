@@ -57,6 +57,8 @@ def blocked_candidates(
     not the corpus size, bounds the work. The cross-pass ``distinct``
     is one shuffle on the pair id.
     """
+    if not block_exprs:
+        raise ValueError("blocked_candidates needs at least one blocking pass")
     passes = []
     for i, bk in enumerate(block_exprs):
         keyed = records.select(

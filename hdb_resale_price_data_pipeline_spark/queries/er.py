@@ -144,15 +144,19 @@ def q_er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k1, k2 = _part_block_exprs()
+    # One candidate frame per PASS; the union strategy derives from the
+    # two single-pass frames (the first formulation re-ran both block
+    # self-joins — and their record scans — a second time for it).
+    c1 = blocked_candidates(names, "nid", "p_name", [k1])
+    c2 = blocked_candidates(names, "nid", "p_name", [k2])
     strategies = {
-        "token1": [k1],
-        "token2": [k2],
-        "two_pass_union": [k1, k2],
+        "token1": c1,
+        "token2": c2,
+        "two_pass_union": c1.unionByName(c2).distinct(),
     }
     lev = F.levenshtein(col("cmp_a"), col("cmp_b"))
     per_strategy = []
-    for sname, exprs in strategies.items():
-        cands = blocked_candidates(names, "nid", "p_name", exprs)
+    for sname, cands in strategies.items():
         per_strategy.append(
             cands.agg(
                 F.count(F.lit(1)).alias("n_candidates"),

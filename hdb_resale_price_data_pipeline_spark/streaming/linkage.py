@@ -16,22 +16,30 @@ of the same batch_id overwrites its own output instead of duplicating,
 the same two-phase discipline as the ANN index appends
 (operators/index_store.append_ann_index_idempotent).
 
-Scale: the directory rides each batch join as a broadcast keyed by the
-serial-prefix block — entity-directory-sized, NOT corpus-sized (the
-directory of resolved entities is orders of magnitude smaller than the
-record stream). Past broadcast size, the same gate serves from the
-partition-pruned disk layout instead (operators/index_store.py shows
-the shape); the join and routing logic are unchanged.
+Two serving layouts, one semantics (the verdict/landing logic is
+SHARED — ``_route_verdicts`` / ``_land_batch`` — so the gates cannot
+drift apart):
+
+- ``stream_er_gate``: the directory rides each batch join as a
+  broadcast keyed by the block prefix — entity-directory-sized, NOT
+  corpus-sized.
+- ``stream_er_gate_served``: past broadcast size, the directory lives
+  ON DISK partitioned by block key (the layout IS the blocking index);
+  each batch scans only its blocks' partitions and the BATCH becomes
+  the broadcast side. Bit-identical verdicts, asserted in
+  tests/test_linkage.py.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
+from pyspark.sql.types import StructType
 
 STREAM_SLICES = 4
 
@@ -62,6 +70,27 @@ def customers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(_stage_customers_dir(spark, sf_dir))
+    )
+
+
+def _route_verdicts(best: DataFrame) -> DataFrame:
+    """The ONE routing projection both gates share: ``best`` holds one
+    row per arriving record with nullable (mid, lev) best-match cols."""
+    return best.select(
+        "id",
+        col("mid").alias("best_match_id"),
+        col("lev").alias("best_lev"),
+        F.when(col("lev") == 0, "known_exact")
+        .when(col("lev").isNotNull(), "merge")
+        .otherwise("new_entity")
+        .alias("route"),
+    )
+
+
+def _land_batch(verdicts: DataFrame, out_dir: str, batch_id: int) -> None:
+    """batch_id-keyed overwrite → checkpoint replays converge."""
+    verdicts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
     )
 
 
@@ -111,23 +140,12 @@ def stream_er_gate(
         w = Window.partitionBy("id").orderBy(
             col("lev").asc_nulls_last(), col("mid").asc_nulls_last()
         )
-        verdicts = (
+        best = (
             joined.withColumn("rk", F.row_number().over(w))
             .filter(col("rk") == 1)
-            .select(
-                "id",
-                col("mid").alias("best_match_id"),
-                col("lev").alias("best_lev"),
-                F.when(col("lev") == 0, "known_exact")
-                .when(col("lev").isNotNull(), "merge")
-                .otherwise("new_entity")
-                .alias("route"),
-            )
+            .select("id", "mid", "lev")
         )
-        # batch_id-keyed overwrite → checkpoint replays converge.
-        verdicts.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+        _land_batch(_route_verdicts(best), out_dir, batch_id)
 
     return (
         arriving.writeStream.foreachBatch(_gate_batch)
@@ -138,23 +156,36 @@ def stream_er_gate(
     )
 
 
+_DIR_MANIFEST = "_er_directory_schema.json"
+
+
 def write_er_directory(directory: DataFrame, path: str, block_expr,
                        id_col: str = "c_custkey", cmp_col: str = "c_name") -> None:
     """Persist the known-entity directory partitioned by its block key —
     the disk layout IS the blocking index (the index_store discipline:
     operators/index_store.py), so a gate batch only reads the block
-    partitions its records hash to."""
-    (
-        directory.select(
-            col(id_col).alias("mid"),
-            col(cmp_col).alias("mname"),
-            block_expr(col(cmp_col)).alias("bk"),
-        )
-        .repartition("bk")
-        .write.mode("overwrite")
-        .partitionBy("bk")
-        .parquet(path)
+    partitions its records hash to.
+
+    A schema manifest is written beside the data and PINNED at read
+    time: without it, Spark's partition-column type inference turns
+    all-digit block keys (``bk=0000123``) into integers, silently
+    collapsing distinct variable-width string keys onto one int value —
+    the served gate would then match across block boundaries."""
+    keyed = directory.select(
+        col(id_col).alias("mid"),
+        col(cmp_col).alias("mname"),
+        block_expr(col(cmp_col)).alias("bk"),
     )
+    keyed.repartition("bk").write.mode("overwrite").partitionBy("bk").parquet(path)
+    with open(os.path.join(path, _DIR_MANIFEST), "w") as f:
+        f.write(keyed.schema.json())
+
+
+def read_er_directory(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest-pinned directory scan (partition dtype inference OFF)."""
+    with open(os.path.join(path, _DIR_MANIFEST)) as f:
+        schema = StructType.fromJson(json.load(f))
+    return spark.read.schema(schema).parquet(path)
 
 
 def stream_er_gate_served(
@@ -177,9 +208,8 @@ def stream_er_gate_served(
     3. joins with the BATCH as the broadcast side (the batch is the
        small relation here — the exact inversion of the broadcast-
        directory variant),
-    4. routes exactly like the broadcast gate: per-record best match,
-       known_exact / merge / new_entity, batch_id-keyed idempotent
-       landing.
+    4. routes through the SAME ``_route_verdicts`` / ``_land_batch``
+       helpers as the broadcast gate.
 
     Output is bit-identical to ``stream_er_gate`` on the same inputs
     (asserted in tests/test_linkage.py) — the serving layout is an
@@ -196,7 +226,9 @@ def stream_er_gate_served(
             block_expr(col(cmp_col)).alias("bk"),
         )
         bks = [r[0] for r in arr.select("bk").distinct().collect()]
-        dir_pruned = spark.read.parquet(directory_path).filter(col("bk").isin(bks))
+        dir_pruned = read_er_directory(spark, directory_path).filter(
+            col("bk").isin(bks)
+        )
         lev = F.levenshtein(col("aname"), col("mname"))
         cand = dir_pruned.join(
             F.broadcast(arr),
@@ -204,27 +236,13 @@ def stream_er_gate_served(
             "inner",
         ).select("id", "mid", lev.alias("lev"))
         w = Window.partitionBy("id").orderBy(col("lev"), col("mid"))
-        best = (
+        matched = (
             cand.withColumn("rk", F.row_number().over(w))
             .filter(col("rk") == 1)
             .select("id", "mid", "lev")
         )
-        verdicts = (
-            arr.select("id")
-            .join(best, "id", "left")
-            .select(
-                "id",
-                col("mid").alias("best_match_id"),
-                col("lev").alias("best_lev"),
-                F.when(col("lev") == 0, "known_exact")
-                .when(col("lev").isNotNull(), "merge")
-                .otherwise("new_entity")
-                .alias("route"),
-            )
-        )
-        verdicts.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+        best = arr.select("id").join(matched, "id", "left")
+        _land_batch(_route_verdicts(best), out_dir, batch_id)
 
     return (
         arriving.writeStream.foreachBatch(_gate_batch)

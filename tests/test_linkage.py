@@ -153,54 +153,59 @@ class TestStreamErGate:
 def test_served_gate_is_bit_identical_to_broadcast_gate(spark, tmp_path):
     """The disk-served directory variant (partition-pruned scan +
     broadcast the BATCH) must land exactly the verdicts of the
-    broadcast-directory gate — the layout is an execution choice."""
+    broadcast-directory gate — the layout is an execution choice.
+
+    Uses a SPARSE directory (serials < 300 only) so every route is
+    genuinely exercised: arriving serials ≥ 300 share no block with any
+    directory entry and MUST come out new_entity — a gate that drops
+    unmatched records would fail here, not pass vacuously."""
+    import os
+
     from pyspark.sql import functions as F
 
     from hdb_resale_price_data_pipeline_spark.queries.er import (
         _CUST_BLOCK_LEN,
         _CUST_BLOCK_START,
         SNM_MAX_LEV,
-        q_stream_er_gate,
     )
     from hdb_resale_price_data_pipeline_spark.streaming.linkage import (
         customers_stream,
+        stream_er_gate,
         stream_er_gate_served,
         write_er_directory,
     )
 
     block = lambda c: F.substring(c, _CUST_BLOCK_START, _CUST_BLOCK_LEN)  # noqa: E731
-    directory = (
-        spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet")
-        .filter(col("c_custkey") % 3 == 0)
+    directory = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet").filter(
+        (col("c_custkey") % 3 == 0) & (col("c_custkey") < 300)
     )
     dir_path = str(tmp_path / "er_dir")
     write_er_directory(directory, dir_path, block)
     # layout check: one subdirectory per block key (the blocking index)
-    import os
-
     parts = [d for d in os.listdir(dir_path) if d.startswith("bk=")]
     assert len(parts) >= 2, "directory not partitioned by block key"
 
-    q = stream_er_gate_served(
-        customers_stream(spark, TEST_SF_DIR),
-        dir_path,
-        block,
-        out_dir=str(tmp_path / "out"),
-        checkpoint_dir=str(tmp_path / "ckpt"),
-        max_lev=SNM_MAX_LEV,
-    )
-    q.awaitTermination()
-    served = (
-        spark.read.parquet(str(tmp_path / "out"))
-        .select("id", "best_match_id", "best_lev", "route")
-        .toPandas()
-        .sort_values("id")
-        .reset_index(drop=True)
-    )
-    broadcast = (
-        q_stream_er_gate(spark, TEST_SF_DIR)
-        .toPandas()
-        .sort_values("id")
-        .reset_index(drop=True)
-    )
+    def run(gate_fn, directory_arg, sub):
+        q = gate_fn(
+            customers_stream(spark, TEST_SF_DIR),
+            directory_arg,
+            block,
+            out_dir=str(tmp_path / sub / "out"),
+            checkpoint_dir=str(tmp_path / sub / "ckpt"),
+            max_lev=SNM_MAX_LEV,
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(str(tmp_path / sub / "out"))
+            .select("id", "best_match_id", "best_lev", "route")
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+
+    served = run(stream_er_gate_served, dir_path, "served")
+    broadcast = run(stream_er_gate, directory, "bcast")
     assert served.equals(broadcast)
+    # all three routes genuinely present
+    assert set(served["route"]) == {"known_exact", "merge", "new_entity"}
+    assert (served[served["id"] >= 300]["route"] == "new_entity").all()

@@ -174,7 +174,8 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_salted_agg_two_small_shuffles(spark):
-    plan = _plan(REGISTRY["events_salted_totals"].fn(spark, TEST_SF_DIR))
+    # demoted to LOCAL in the r6 rotation (er_golden_record promoted)
+    plan = _plan(LOCAL_REGISTRY["events_salted_totals"].fn(spark, TEST_SF_DIR))
     assert _shuffles(plan) == 2  # salted partial + final reduce
     assert "partial_sum" in plan
 
