@@ -134,7 +134,12 @@ def q_er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized-collect discipline as the BPE merge table. Measures
     the multi-pass case for blocking: token-1 alone finds 16/96 true
     pairs, token-2 alone 80/96, the union all 96."""
-    names = _part_names(spark, sf_dir)
+    # localCheckpoint the shared frames: plain DataFrame reuse does NOT
+    # dedupe plan subtrees (the truth pass + three strategies
+    # re-expanded the name aggregation and both block self-joins — 10
+    # parquet scans, measured), while the checkpoint materializes each
+    # vocab-bounded frame once and every consumer reads the same RDD.
+    names = _part_names(spark, sf_dir).localCheckpoint(eager=False)
     a, b = names.alias("a"), names.alias("b")
     lev_ab = F.levenshtein(col("a.p_name"), col("b.p_name"))
     truth = (
@@ -144,11 +149,8 @@ def q_er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k1, k2 = _part_block_exprs()
-    # One candidate frame per PASS; the union strategy derives from the
-    # two single-pass frames (the first formulation re-ran both block
-    # self-joins — and their record scans — a second time for it).
-    c1 = blocked_candidates(names, "nid", "p_name", [k1])
-    c2 = blocked_candidates(names, "nid", "p_name", [k2])
+    c1 = blocked_candidates(names, "nid", "p_name", [k1]).localCheckpoint(eager=False)
+    c2 = blocked_candidates(names, "nid", "p_name", [k2]).localCheckpoint(eager=False)
     strategies = {
         "token1": c1,
         "token2": c2,
