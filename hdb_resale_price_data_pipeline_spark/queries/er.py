@@ -437,6 +437,108 @@ FROM per_entity p JOIN top_brand t ON p.entity_id = t.entity_id
 """
 
 
+# --- clustering evaluation (pairwise precision / recall / F1) ----------------
+
+# The evaluated matcher: single-pass noun blocking with a LOOSER edit
+# budget than truth — it both over-merges (in-block lev-4 pairs truth
+# rejects → precision loss) and under-links (cross-noun truth pairs its
+# single pass never sees → recall loss). Truth = the measured-complete
+# two-pass blocking at the production threshold.
+PRED_MAX_LEV = 4
+
+
+def q_er_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise clustering metrics of an ER configuration against
+    truth: predicted and truth entity clusterings are built
+    independently (blocked verify → connected components), expanded to
+    co-entity PAIR sets (vocab-bounded self-joins on the cluster
+    label), and compared — TP / precision / recall / F1 on the 1e-4
+    grid, with F1 computed EXACTLY as 2·tp/(n_pred+n_true) (the
+    algebraic identity avoids chained float division). The evaluation
+    harness every production matcher change runs before shipping."""
+    names = _part_names(spark, sf_dir).localCheckpoint(eager=False)
+    k1, k2 = _part_block_exprs()
+    pred_edges = blocked_candidates(names, "nid", "p_name", [k2]).filter(
+        F.levenshtein(col("cmp_a"), col("cmp_b")) <= PRED_MAX_LEV
+    )
+    truth_edges = blocked_candidates(names, "nid", "p_name", [k1, k2]).filter(
+        F.levenshtein(col("cmp_a"), col("cmp_b")) <= PART_MATCH_MAX_LEV
+    )
+
+    def co_pairs(edges: DataFrame) -> DataFrame:
+        cc = connected_components(edges, src="id_a", dst="id_b")
+        x, y = cc.alias("x"), cc.alias("y")
+        return x.join(
+            F.broadcast(y),
+            (col("x.component") == col("y.component"))
+            & (col("x.node") < col("y.node")),
+        ).select(col("x.node").alias("a"), col("y.node").alias("b"))
+
+    pred = co_pairs(pred_edges)
+    truth = co_pairs(truth_edges)
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred_pairs"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    tp = pred.join(truth, ["a", "b"]).agg(F.count(F.lit(1)).alias("tp"))
+    g = float(SIM_GRID)
+    out = n_pred.crossJoin(n_true).crossJoin(tp)
+    q = lambda c: F.floor(c * g + F.lit(0.5)) / g  # noqa: E731
+    return out.select(
+        "n_pred_pairs",
+        "n_true_pairs",
+        "tp",
+        q(col("tp") / col("n_pred_pairs")).alias("precision_q"),
+        q(col("tp") / col("n_true_pairs")).alias("recall_q"),
+        q(F.lit(2) * col("tp") / (col("n_pred_pairs") + col("n_true_pairs"))).alias(
+            "f1_q"
+        ),
+    )
+
+
+_CLUSTER_METRICS_SQL = f"""
+WITH RECURSIVE names AS ({_PART_NAMES_SQL}),
+k1 AS (SELECT nid, p_name, split_part(p_name, ' ', 1) AS bk FROM names),
+k2 AS (SELECT nid, p_name, split_part(p_name, ' ', 2) AS bk FROM names),
+pe AS (
+    SELECT a.nid AS a, b.nid AS b FROM k2 a JOIN k2 b
+    ON a.bk = b.bk AND a.nid < b.nid
+    WHERE levenshtein(a.p_name, b.p_name) <= {PRED_MAX_LEV}
+),
+te AS (
+    SELECT a.nid AS a, b.nid AS b FROM k1 a JOIN k1 b
+    ON a.bk = b.bk AND a.nid < b.nid
+    WHERE levenshtein(a.p_name, b.p_name) <= {PART_MATCH_MAX_LEV}
+    UNION
+    SELECT a.nid, b.nid FROM k2 a JOIN k2 b
+    ON a.bk = b.bk AND a.nid < b.nid
+    WHERE levenshtein(a.p_name, b.p_name) <= {PART_MATCH_MAX_LEV}
+),
+ps AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+pr AS (SELECT a, b FROM ps UNION SELECT r.a, s.b FROM pr r JOIN ps s ON r.b = s.a),
+pc AS (SELECT a AS node, least(a, min(b)) AS comp FROM pr GROUP BY a),
+ts AS (SELECT a, b FROM te UNION SELECT b, a FROM te),
+tr AS (SELECT a, b FROM ts UNION SELECT r.a, s.b FROM tr r JOIN ts s ON r.b = s.a),
+tc AS (SELECT a AS node, least(a, min(b)) AS comp FROM tr GROUP BY a),
+pp AS (
+    SELECT x.node AS a, y.node AS b FROM pc x JOIN pc y
+    ON x.comp = y.comp AND x.node < y.node
+),
+tt AS (
+    SELECT x.node AS a, y.node AS b FROM tc x JOIN tc y
+    ON x.comp = y.comp AND x.node < y.node
+),
+m AS (
+    SELECT (SELECT count(*) FROM pp) AS n_pred_pairs,
+           (SELECT count(*) FROM tt) AS n_true_pairs,
+           (SELECT count(*) FROM pp JOIN tt USING (a, b)) AS tp
+)
+SELECT n_pred_pairs, n_true_pairs, tp,
+       floor(tp::DOUBLE / n_pred_pairs * {SIM_GRID} + 0.5) / {SIM_GRID} AS precision_q,
+       floor(tp::DOUBLE / n_true_pairs * {SIM_GRID} + 0.5) / {SIM_GRID} AS recall_q,
+       floor(2 * tp::DOUBLE / (n_pred_pairs + n_true_pairs) * {SIM_GRID} + 0.5) / {SIM_GRID} AS f1_q
+FROM m
+"""
+
+
 # --- incremental resolve (batch-vs-registry) ---------------------------------
 
 # Existing-entity universe for the incremental demo: the catalog's
@@ -618,5 +720,6 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "er_snm_customers": QuerySpec(q_er_snm_customers, _SNM_SQL),
     "er_jw_topmatch": QuerySpec(q_er_jw_topmatch, _JW_TOPMATCH_SQL),
     "er_incremental_resolve": QuerySpec(q_er_incremental_resolve, _INCREMENTAL_SQL),
+    "er_cluster_metrics": QuerySpec(q_er_cluster_metrics, _CLUSTER_METRICS_SQL),
     "stream_er_gate": QuerySpec(q_stream_er_gate, _STREAM_ER_GATE_SQL),
 }

@@ -3019,3 +3019,73 @@ FROM exact_nn x LEFT JOIN ranked r USING (qid, true_nn)
 
 
 LOCAL_QUERIES["emb_ann_mrr"] = QuerySpec(q_emb_ann_mrr, _ann_mrr_oracle())
+
+
+# --- greedy k-center coreset (diversity selection) ---------------------------
+
+KCENTER_K = 5
+KCENTER_GRID = 1_000_000
+
+
+def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (operators/coreset.py): the k
+    maximally-diverse exemplars by max-min FULL L2² distance — a
+    k-bounded driver loop of shuffle-free Arrow passes, argmax with
+    vec_id tiebreak on raw doubles that are bit-identical to the
+    oracle's sequential folds. Emits (step, vec_id, sel_d_q) — the
+    selection order and the max-min radius at each step (the coverage
+    guarantee curve); seed distance is NULL."""
+    import math
+
+    from ..operators.coreset import greedy_kcenter
+
+    emb = t(spark, sf_dir, "embeddings")
+    sel = greedy_kcenter(emb, "embedding", "vec_id", KCENTER_K)
+    rows = [
+        (
+            step,
+            vid,
+            None if d is None else math.floor(d * KCENTER_GRID + 0.5) / KCENTER_GRID,
+        )
+        for step, vid, d in sel
+    ]
+    return spark.createDataFrame(rows, "step int, vec_id bigint, sel_d_q double")
+
+
+def _kcenter_oracle() -> str:
+    from ..operators.coreset import duck_full_dist
+
+    cte = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "s1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
+        (
+            "m1 AS (SELECT e.vec_id, e.embedding, "
+            f"{duck_full_dist('s1.embedding', 'e.embedding')} AS d FROM e, s1)"
+        ),
+    ]
+    for i in range(2, KCENTER_K + 1):
+        cte.append(
+            f"s{i} AS (SELECT vec_id, embedding, d FROM m{i - 1} "
+            "ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if i < KCENTER_K:
+            cte.append(
+                f"m{i} AS (SELECT m.vec_id, m.embedding, least(m.d, "
+                f"{duck_full_dist(f's{i}.embedding', 'm.embedding')}) AS d "
+                f"FROM m{i - 1} m, s{i})"
+            )
+    selects = [
+        "SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS sel_d_q FROM s1"
+    ] + [
+        (
+            f"SELECT {i}, vec_id, "
+            f"floor(d * {KCENTER_GRID} + 0.5) / {KCENTER_GRID} FROM s{i}"
+        )
+        for i in range(2, KCENTER_K + 1)
+    ]
+    return "WITH " + ",\n".join(cte) + "\n" + "\nUNION ALL ".join(selects)
+
+
+LOCAL_QUERIES["emb_kcenter_coreset"] = QuerySpec(
+    q_emb_kcenter_coreset, _kcenter_oracle()
+)

@@ -338,6 +338,9 @@ SCALING_QUERIES = [
     # kNN-graph pair term are the scale-sensitive parts
     "emb_cluster_sample",
     "emb_mmr_diverse",
+    # r6: greedy k-center coreset — a k-bounded driver loop of Arrow
+    # passes; the probe shows each pass is map-linear
+    "emb_kcenter_coreset",
     "emb_knn_graph",
     # r5: unigram trainer — EM passes are vocab-sized Arrow maps; the
     # corpus reaches it only through the one word-frequency pass
@@ -724,6 +727,7 @@ ER_QUERIES = [
     "er_jw_topmatch",
     "er_golden_record",
     "er_incremental_resolve",
+    "er_cluster_metrics",
     "stream_er_gate",
     # record-level privacy measures ride the same staged roster
     "privacy_k_anonymity",
