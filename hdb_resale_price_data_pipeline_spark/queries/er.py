@@ -710,6 +710,49 @@ FROM best WHERE rk = 1
 # exchange, see queries/events.py). The rest of the family ships
 # local-first; tests/test_correctness.py verifies every entry against
 # its DuckDB oracle either way.
+def q_stream_er_gate_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The past-broadcast-size serving layout of the streaming ER gate
+    (streaming/linkage.stream_er_gate_served): the directory persists
+    partitioned by block key (layout = blocking index, schema pinned by
+    manifest) and each micro-batch scans only its blocks' partitions,
+    broadcasting the BATCH. Same oracle as stream_er_gate — the layouts
+    are bit-identical by construction (also asserted pairwise in
+    tests/test_linkage.py)."""
+    import hashlib
+    import os
+
+    from ..streaming.linkage import (
+        customers_stream,
+        stream_er_gate_served,
+        write_er_directory,
+    )
+
+    block = lambda c: F.substring(c, _CUST_BLOCK_START, _CUST_BLOCK_LEN)  # noqa: E731
+    src = os.path.abspath(f"{sf_dir}/customer.parquet")
+    st = os.stat(src)
+    key = f"{src}:{st.st_mtime_ns}:{st.st_size}:ergate_served"
+    root = f"/tmp/hdb_er_gate_srv_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    dir_path = os.path.join(root, "directory")
+    if not os.path.exists(os.path.join(dir_path, "_SUCCESS")):
+        write_er_directory(
+            t(spark, sf_dir, "customer").filter(col("c_custkey") % 3 == 0),
+            dir_path,
+            block,
+        )
+    query = stream_er_gate_served(
+        customers_stream(spark, sf_dir),
+        dir_path,
+        block,
+        out_dir=os.path.join(root, "out"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        max_lev=SNM_MAX_LEV,
+    )
+    query.awaitTermination()
+    return spark.read.parquet(os.path.join(root, "out")).select(
+        "id", "best_match_id", "best_lev", "route"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "er_golden_record": QuerySpec(q_er_golden_record, _GOLDEN_RECORD_SQL),
 }
@@ -722,4 +765,5 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "er_incremental_resolve": QuerySpec(q_er_incremental_resolve, _INCREMENTAL_SQL),
     "er_cluster_metrics": QuerySpec(q_er_cluster_metrics, _CLUSTER_METRICS_SQL),
     "stream_er_gate": QuerySpec(q_stream_er_gate, _STREAM_ER_GATE_SQL),
+    "stream_er_gate_served": QuerySpec(q_stream_er_gate_served, _STREAM_ER_GATE_SQL),
 }

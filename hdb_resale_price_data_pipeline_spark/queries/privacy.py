@@ -173,6 +173,101 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness: how far each quasi-identifier group's SENSITIVE
+    distribution sits from the global one. For a categorical sensitive
+    attribute with uniform ground distance the earth-mover distance is
+    half the L1 distance between the distributions — exact integer
+    arithmetic until one final division, quantized on the shared grid.
+    Complements l-diversity: a group can be diverse yet still skewed
+    enough to leak (t above threshold)."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    )
+    grp = joined.groupBy("c_nationkey", "c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = grp.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").alias("n_grp")
+    )
+    glob = joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("g"))
+    n_all = joined.agg(F.count(F.lit(1)).alias("n_all"))
+    # |p_group - p_global| summed over categories present globally: a
+    # left join from the GLOBAL category list keeps zero-count group
+    # cells in the sum (their |0 - p_global| term). The numerator
+    # |n·n_all − g·n_grp| stays EXACT-INTEGER so the sum is order-free
+    # (a float-term sum could last-ulp-diverge between engines'
+    # aggregation orders); ONE final double division, then the grid.
+    keys = totals.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(n_all))
+    cells = keys.join(
+        grp,
+        ["c_nationkey", "c_mktsegment", "o_orderpriority"],
+        "left",
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_grp",
+        "n_all",
+        F.abs(
+            F.coalesce(col("n"), F.lit(0)) * col("n_all") - col("g") * col("n_grp")
+        ).alias("l1_num"),
+    )
+    grid = 10_000
+    return (
+        cells.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("l1_num").alias("l1"),
+            F.first("n_grp").alias("n_grp"),
+            F.first("n_all").alias("n_all"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            (
+                F.floor(
+                    col("l1") / (F.lit(2.0) * col("n_grp") * col("n_all")) * grid
+                    + F.lit(0.5)
+                )
+                / grid
+            ).alias("t_emd_q"),
+        )
+    )
+
+
+_T_CLOSENESS_SQL = """
+WITH joined AS (
+    SELECT c_nationkey, c_mktsegment, o_orderpriority
+    FROM orders JOIN customer ON o_custkey = c_custkey
+),
+grp AS (
+    SELECT c_nationkey, c_mktsegment, o_orderpriority, count(*) AS n
+    FROM joined GROUP BY 1, 2, 3
+),
+totals AS (
+    SELECT c_nationkey, c_mktsegment, sum(n)::BIGINT AS n_grp
+    FROM grp GROUP BY 1, 2
+),
+gdist AS (SELECT o_orderpriority, count(*) AS g FROM joined GROUP BY 1),
+n_all AS (SELECT count(*) AS n_all FROM joined),
+cells AS (
+    SELECT t.c_nationkey, t.c_mktsegment, t.n_grp, a.n_all,
+           abs(coalesce(gr.n, 0)::BIGINT * a.n_all - gl.g::BIGINT * t.n_grp) AS l1_num
+    FROM totals t CROSS JOIN gdist gl CROSS JOIN n_all a
+    LEFT JOIN grp gr
+      ON gr.c_nationkey = t.c_nationkey
+     AND gr.c_mktsegment = t.c_mktsegment
+     AND gr.o_orderpriority = gl.o_orderpriority
+)
+SELECT c_nationkey, c_mktsegment,
+       floor(sum(l1_num)::DOUBLE / (2.0 * any_value(n_grp) * any_value(n_all)) * 10000 + 0.5) / 10000 AS t_emd_q
+FROM cells GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {}
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
@@ -181,4 +276,5 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "privacy_generalize_ladder": QuerySpec(
         q_privacy_generalize_ladder, _LADDER_SQL
     ),
+    "privacy_t_closeness": QuerySpec(q_privacy_t_closeness, _T_CLOSENESS_SQL),
 }

@@ -729,10 +729,12 @@ ER_QUERIES = [
     "er_incremental_resolve",
     "er_cluster_metrics",
     "stream_er_gate",
+    "stream_er_gate_served",
     # record-level privacy measures ride the same staged roster
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_generalize_ladder",
+    "privacy_t_closeness",
 ]
 
 
