@@ -539,6 +539,70 @@ FROM m
 """
 
 
+# --- human-review queue (active-learning pair selection) ---------------------
+
+REVIEW_QUEUE_K = 25
+REVIEW_THRESHOLD_Q = 0.93  # the gate's accept boundary on the jw grid
+
+
+def q_er_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The human-in-the-loop queue: of all blocked candidate pairs, the
+    K whose match score sits CLOSEST to the decision boundary — the
+    pairs where a label buys the most information (uncertainty
+    sampling). Scores are the quantized Jaro-Winkler, distance to the
+    boundary ranks ascending with (id_a, id_b) tiebreaks; one global
+    top-k (TakeOrderedAndProject — no full sort)."""
+    cust = t(spark, sf_dir, "customer")
+    cands = snm_candidates(
+        cust,
+        "c_custkey",
+        "c_name",
+        F.substring(col("c_name"), _CUST_BLOCK_START, _CUST_BLOCK_LEN),
+        window=SNM_WINDOW,
+    )
+    scored = cands.select(
+        "id_a",
+        "id_b",
+        jaro_winkler_q(col("cmp_a"), col("cmp_b")).alias("jw_q"),
+    )
+    # floor(+0.5) grid, not round(): Spark HALF_UP vs DuckDB's rounding
+    # split on exact .5 ties (the operators/dedup.py jaccard_expr note)
+    margin = F.abs(col("jw_q") - F.lit(REVIEW_THRESHOLD_Q))
+    return (
+        scored.withColumn(
+            "margin_q", F.floor(margin * SIM_GRID + F.lit(0.5)) / SIM_GRID
+        )
+        .orderBy(col("margin_q"), col("id_a"), col("id_b"))
+        .limit(REVIEW_QUEUE_K)
+        .select("id_a", "id_b", "jw_q", "margin_q")
+    )
+
+
+_REVIEW_QUEUE_SQL = f"""
+WITH keyed AS (
+    SELECT c_custkey, c_name,
+           substr(c_name, {_CUST_BLOCK_START}, {_CUST_BLOCK_LEN}) AS bk
+    FROM customer
+),
+nb AS (
+    {_snm_window_sql(1)}
+    UNION ALL
+    {_snm_window_sql(2)}
+    UNION ALL
+    {_snm_window_sql(3)}
+),
+scored AS (
+    SELECT id_a, id_b, {jaro_winkler_q_duck('cmp_a', 'cmp_b')} AS jw_q
+    FROM nb WHERE id_b IS NOT NULL
+)
+SELECT id_a, id_b, jw_q,
+       floor(abs(jw_q - {REVIEW_THRESHOLD_Q}) * {SIM_GRID} + 0.5) / {SIM_GRID} AS margin_q
+FROM scored
+ORDER BY margin_q, id_a, id_b
+LIMIT {REVIEW_QUEUE_K}
+"""
+
+
 # --- incremental resolve (batch-vs-registry) ---------------------------------
 
 # Existing-entity universe for the incremental demo: the catalog's
@@ -764,6 +828,7 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "er_jw_topmatch": QuerySpec(q_er_jw_topmatch, _JW_TOPMATCH_SQL),
     "er_incremental_resolve": QuerySpec(q_er_incremental_resolve, _INCREMENTAL_SQL),
     "er_cluster_metrics": QuerySpec(q_er_cluster_metrics, _CLUSTER_METRICS_SQL),
+    "er_review_queue": QuerySpec(q_er_review_queue, _REVIEW_QUEUE_SQL),
     "stream_er_gate": QuerySpec(q_stream_er_gate, _STREAM_ER_GATE_SQL),
     "stream_er_gate_served": QuerySpec(q_stream_er_gate_served, _STREAM_ER_GATE_SQL),
 }

@@ -728,6 +728,7 @@ ER_QUERIES = [
     "er_golden_record",
     "er_incremental_resolve",
     "er_cluster_metrics",
+    "er_review_queue",
     "stream_er_gate",
     "stream_er_gate_served",
     # record-level privacy measures ride the same staged roster
