@@ -539,6 +539,152 @@ FROM m
 """
 
 
+# --- Fellegi-Sunter probabilistic linkage ------------------------------------
+
+# m-probabilities (P(field agrees | true match)) are declared priors;
+# u-probabilities (chance agreement) are ESTIMATED FROM THE DATA as the
+# birthday rate Σ c·(c−1) / N·(N−1) per field — the standard FS setup
+# (Fellegi & Sunter 1969). Score = Π over fields of m/u (agree) or
+# (1−m)/(1−u) (disagree): a fixed-order product of doubles, so the two
+# engines compute bit-identical scores from the same integer aggregates.
+FS_M = (0.9, 0.9, 0.95)  # token1, token2, lev≤1
+FS_MATCH = 10.0  # score ≥ → match
+FS_POSSIBLE = 0.03  # score ≥ → possible (clerical review)
+FS_GRID = 1000
+
+
+def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage over the blocked candidates: three
+    comparison fields (first token, second token, edit-distance ≤ 1),
+    data-estimated u-probabilities, declared m-priors, and the classic
+    match / possible / nonmatch decision bands. All randomness-free:
+    u estimates are exact-integer ratios, the score is a fixed-order
+    3-factor product, bands compare on the quantized grid."""
+    names = _part_names(spark, sf_dir).localCheckpoint(eager=False)
+    tok1 = F.split_part(col("p_name"), F.lit(" "), F.lit(1))
+    tok2 = F.split_part(col("p_name"), F.lit(" "), F.lit(2))
+    n_names = names.agg(F.count(F.lit(1)).alias("nn"))
+    ag1 = (
+        names.groupBy(tok1.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(col("c") * (col("c") - 1)).alias("ag1"))
+    )
+    ag2 = (
+        names.groupBy(tok2.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(col("c") * (col("c") - 1)).alias("ag2"))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    ag3 = (
+        a.join(F.broadcast(b), col("a.nid") < col("b.nid"))
+        .filter(F.levenshtein(col("a.p_name"), col("b.p_name")) <= 1)
+        .agg((F.count(F.lit(1)) * 2).alias("ag3"))
+    )
+    u_row = (
+        n_names.crossJoin(ag1)
+        .crossJoin(ag2)
+        .crossJoin(ag3)
+        .select(
+            (col("ag1").cast("double") / (col("nn") * (col("nn") - 1))).alias("u1"),
+            (col("ag2").cast("double") / (col("nn") * (col("nn") - 1))).alias("u2"),
+            (col("ag3").cast("double") / (col("nn") * (col("nn") - 1))).alias("u3"),
+        )
+    )
+    cands = blocked_candidates(names, "nid", "p_name", _part_block_exprs())
+    m1, m2, m3 = FS_M
+    agree1 = F.split_part(col("cmp_a"), F.lit(" "), F.lit(1)) == F.split_part(
+        col("cmp_b"), F.lit(" "), F.lit(1)
+    )
+    agree2 = F.split_part(col("cmp_a"), F.lit(" "), F.lit(2)) == F.split_part(
+        col("cmp_b"), F.lit(" "), F.lit(2)
+    )
+    agree3 = F.levenshtein(col("cmp_a"), col("cmp_b")) <= 1
+    f1 = F.when(agree1, F.lit(m1) / col("u1")).otherwise(
+        F.lit(1.0 - m1) / (F.lit(1.0) - col("u1"))
+    )
+    f2 = F.when(agree2, F.lit(m2) / col("u2")).otherwise(
+        F.lit(1.0 - m2) / (F.lit(1.0) - col("u2"))
+    )
+    f3 = F.when(agree3, F.lit(m3) / col("u3")).otherwise(
+        F.lit(1.0 - m3) / (F.lit(1.0) - col("u3"))
+    )
+    score_q = F.floor(f1 * f2 * f3 * FS_GRID + F.lit(0.5)) / FS_GRID
+    return (
+        cands.crossJoin(F.broadcast(u_row))
+        .select(
+            col("cmp_a").alias("name_a"),
+            col("cmp_b").alias("name_b"),
+            agree1.cast("int").alias("a_tok1"),
+            agree2.cast("int").alias("a_tok2"),
+            agree3.cast("int").alias("a_lev1"),
+            score_q.alias("score_q"),
+        )
+        .withColumn(
+            "band",
+            F.when(col("score_q") >= FS_MATCH, "match")
+            .when(col("score_q") >= FS_POSSIBLE, "possible")
+            .otherwise("nonmatch"),
+        )
+    )
+
+
+_FS_SQL = f"""
+WITH names AS ({_PART_NAMES_SQL}),
+nn AS (SELECT count(*) AS nn FROM names),
+ag1 AS (
+    SELECT sum(c * (c - 1)) AS ag1 FROM (
+        SELECT split_part(p_name, ' ', 1) AS v, count(*) AS c
+        FROM names GROUP BY 1)
+),
+ag2 AS (
+    SELECT sum(c * (c - 1)) AS ag2 FROM (
+        SELECT split_part(p_name, ' ', 2) AS v, count(*) AS c
+        FROM names GROUP BY 1)
+),
+ag3 AS (
+    SELECT count(*) * 2 AS ag3 FROM names a JOIN names b ON a.nid < b.nid
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+),
+u AS (
+    SELECT ag1::DOUBLE / (nn * (nn - 1)) AS u1,
+           ag2::DOUBLE / (nn * (nn - 1)) AS u2,
+           ag3::DOUBLE / (nn * (nn - 1)) AS u3
+    FROM nn CROSS JOIN ag1 CROSS JOIN ag2 CROSS JOIN ag3
+),
+k1 AS (SELECT nid, p_name, split_part(p_name, ' ', 1) AS bk FROM names),
+k2 AS (SELECT nid, p_name, split_part(p_name, ' ', 2) AS bk FROM names),
+cand AS (
+    SELECT a.nid AS id_a, a.p_name AS cmp_a, b.nid AS id_b, b.p_name AS cmp_b
+    FROM k1 a JOIN k1 b ON a.bk = b.bk AND a.nid < b.nid
+    UNION
+    SELECT a.nid, a.p_name, b.nid, b.p_name
+    FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.nid < b.nid
+),
+scored AS (
+    SELECT cmp_a AS name_a, cmp_b AS name_b,
+           CASE WHEN split_part(cmp_a, ' ', 1) = split_part(cmp_b, ' ', 1)
+                THEN 1 ELSE 0 END AS a_tok1,
+           CASE WHEN split_part(cmp_a, ' ', 2) = split_part(cmp_b, ' ', 2)
+                THEN 1 ELSE 0 END AS a_tok2,
+           CASE WHEN levenshtein(cmp_a, cmp_b) <= 1 THEN 1 ELSE 0 END AS a_lev1,
+           floor(
+               (CASE WHEN split_part(cmp_a, ' ', 1) = split_part(cmp_b, ' ', 1)
+                     THEN {FS_M[0]} / u1 ELSE {1.0 - FS_M[0]} / (1.0 - u1) END)
+             * (CASE WHEN split_part(cmp_a, ' ', 2) = split_part(cmp_b, ' ', 2)
+                     THEN {FS_M[1]} / u2 ELSE {1.0 - FS_M[1]} / (1.0 - u2) END)
+             * (CASE WHEN levenshtein(cmp_a, cmp_b) <= 1
+                     THEN {FS_M[2]} / u3 ELSE {1.0 - FS_M[2]} / (1.0 - u3) END)
+             * {FS_GRID} + 0.5) / {FS_GRID} AS score_q
+    FROM cand CROSS JOIN u
+)
+SELECT name_a, name_b, a_tok1, a_tok2, a_lev1, score_q,
+       CASE WHEN score_q >= {FS_MATCH} THEN 'match'
+            WHEN score_q >= {FS_POSSIBLE} THEN 'possible'
+            ELSE 'nonmatch' END AS band
+FROM scored
+"""
+
+
 # --- human-review queue (active-learning pair selection) ---------------------
 
 REVIEW_QUEUE_K = 25
@@ -829,6 +975,7 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "er_incremental_resolve": QuerySpec(q_er_incremental_resolve, _INCREMENTAL_SQL),
     "er_cluster_metrics": QuerySpec(q_er_cluster_metrics, _CLUSTER_METRICS_SQL),
     "er_review_queue": QuerySpec(q_er_review_queue, _REVIEW_QUEUE_SQL),
+    "er_fellegi_sunter": QuerySpec(q_er_fellegi_sunter, _FS_SQL),
     "stream_er_gate": QuerySpec(q_stream_er_gate, _STREAM_ER_GATE_SQL),
     "stream_er_gate_served": QuerySpec(q_stream_er_gate_served, _STREAM_ER_GATE_SQL),
 }

@@ -729,6 +729,7 @@ ER_QUERIES = [
     "er_incremental_resolve",
     "er_cluster_metrics",
     "er_review_queue",
+    "er_fellegi_sunter",
     "stream_er_gate",
     "stream_er_gate_served",
     # record-level privacy measures ride the same staged roster
