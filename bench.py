@@ -31,7 +31,7 @@ from hdb_resale_price_data_pipeline_spark.session import get_spark_session
 # untimed entry. Deliberate exclusions go in BENCH_SKIP with a reason.
 from hdb_resale_price_data_pipeline_spark.queries import all_queries
 
-# name -> reason. Empty today: all 201 registered queries time fine.
+# name -> reason. Empty today: all 217 registered queries time fine.
 BENCH_SKIP: dict[str, str] = {}
 
 
@@ -44,6 +44,23 @@ BENCH_QUERIES = list(_GRADED) + sorted(
 # of REPEATS timed runs after one warm run so round-over-round
 # regressions are detectable above the noise floor.
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+# The protocol (BENCH_history.md) requires a SOLO run — concurrent load
+# on the shared 32 cores inflates every number ~1.25–2× uniformly (the
+# r6 driver run read 199.6s vs 157.4s solo). Detect it IN the harness
+# instead of leaving it to the historian: sample the 1-minute load
+# average before the suite starts (before this process has generated
+# any load of its own) and stamp a load_warning when the box wasn't
+# quiet. Threshold: a handful of stray worker threads is noise; a
+# concurrent Spark/pytest job shows up as load ≫ this.
+LOAD_QUIET_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_QUIET", "4.0"))
+
+
+def _load_sample() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return -1.0
 
 # Raw rows for the end-to-end pipeline run, per unit of sf: at sf0.1,
 # 20k historical CSV rows + 10k listings per scraper source.
@@ -87,6 +104,7 @@ def run_pipeline_e2e(spark, sf: float) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_before = _load_sample()  # BEFORE the JVM spins up any load
     spark = get_spark_session(app_name="hdb-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -139,6 +157,10 @@ def main() -> None:
     timed("pipeline_run_all", lambda: run_pipeline_e2e(spark, sf))
 
     total = round(sum(timings.values()), 3)
+    load_after = _load_sample()
+    # load_before is the clean signal (the suite itself drives the box
+    # afterwards); load_after is recorded for forensics only.
+    load_warning = load_before > LOAD_QUIET_THRESHOLD
     detail = {
         "metric": "bench_suite_wall_clock",
         "value": total,
@@ -146,6 +168,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "repeats": REPEATS,
+        "load_avg_before": load_before,
+        "load_avg_after": load_after,
+        "load_warning": load_warning,
     }
     # Per-query failures are recorded in the JSON (not an exit code):
     # the artifact must stay parseable and rc=0 even on a partial run.
@@ -180,9 +205,17 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(errors),
         "detail": os.path.basename(detail_path),
+        "load_avg_before": load_before,
+        "load_warning": load_warning,
     }
     if errors:
         out["partial"] = True
+    if load_warning:
+        print(
+            f"# WARNING: box not quiet at start (load {load_before} > "
+            f"{LOAD_QUIET_THRESHOLD}); totals inflated vs solo protocol",
+            file=sys.stderr,
+        )
     print(json.dumps(out))
     spark.stop()
 

@@ -179,10 +179,27 @@ def incremental_components(
     historical CANDIDATE-PAIR volume (the expensive, quadratic-ish
     term) is never touched again. This is the ER twin of the
     batch-vs-corpus incremental dedup (operators/incremental.py).
+
+    Singletons (r6 ADVICE): ``connected_components`` itself never emits
+    a node without an edge, but a ``labels`` input may carry true
+    singletons (node == component, no co-member) from an external
+    registry. The star-edge filter would drop them, so any self-labeled
+    node that ends up on NO edge is unioned back verbatim — the output
+    covers every labeled node plus every node touched by a new edge.
     """
+    labels = labels.select("node", "component").localCheckpoint(eager=False)
     star = labels.filter(col("node") != col("component")).select(
         col("node").alias(src), col("component").alias(dst)
     )
-    return connected_components(
+    resolved = connected_components(
         star.unionByName(new_edges.select(col(src), col(dst))), src=src, dst=dst
     )
+    # match-graph-sized anti-join side (the same broadcast discipline as
+    # the golden-record survivorship's CC label table) — the singleton
+    # check never shuffles the labels input.
+    singletons = (
+        labels.filter(col("node") == col("component"))
+        .join(F.broadcast(resolved.select("node")), "node", "left_anti")
+        .select("node", "component")
+    )
+    return resolved.unionByName(singletons)

@@ -27,10 +27,15 @@ reader that resolved the manifest before the flip keeps scanning the
 old version's files, which are never modified; a crash mid-save leaves
 an orphaned half-written ``v{N+1}`` that the next save simply
 overwrites (the manifest still points at ``v{N}``). After the flip the
-saver garbage-collects all versions except the new one and its
-immediate predecessor — the one-version grace window for readers that
-loaded just before the flip (same discipline as
-``compact_partitions_inplace``'s staged copy).
+saver garbage-collects superseded versions under TWO guards: the new
+version's immediate predecessor is always kept (readers that resolved
+the manifest just before the flip), and any OLDER version is deleted
+only once it has been superseded for at least ``gc_grace_seconds``
+(default ``ANN_GC_GRACE_SECONDS``) — a ``_superseded`` timestamp is
+stamped into a version the first save that orphans it, so a
+long-running lazy reader two saves behind keeps its files for the
+grace window. Readers that may scan longer than the grace window must
+re-resolve the manifest (``load_ann_index``) before each action.
 """
 
 from __future__ import annotations
@@ -39,11 +44,16 @@ import json
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col
 
 INDEX_FORMAT_VERSION = 1
+
+# How long a superseded version survives after it stops being the
+# manifest's predecessor (see module docstring's GC contract).
+ANN_GC_GRACE_SECONDS = 900.0
 
 _VDIR_RE = re.compile(r"^v(\d+)$")
 
@@ -72,6 +82,7 @@ def save_ann_index(
     coarse: list[tuple[int, list[float]]],
     pq_codebooks: list[list[list[float]]] | None,
     encoded: DataFrame,
+    gc_grace_seconds: float = ANN_GC_GRACE_SECONDS,
 ) -> None:
     """Persist a trained (IVF or IVF-PQ) index under ``path``.
 
@@ -119,11 +130,34 @@ def save_ann_index(
         json.dump(manifest, fh)
     os.replace(tmp, f"{path}/manifest.json")
     # GC: keep the new version + its immediate predecessor (grace window
-    # for readers that resolved the old manifest just before the flip).
+    # for readers that resolved the old manifest just before the flip);
+    # anything older is stamped with a `_superseded` timestamp on the
+    # first save that orphans it and deleted only once that stamp is
+    # older than gc_grace_seconds — a reader two saves behind (the r6
+    # ADVICE long-running-lazy-DataFrame case) keeps its files for the
+    # grace window. Readers slower than the window must re-resolve the
+    # manifest between actions.
+    now = time.time()
     keep = {vdir, f"v{prev_n}"}
     for entry in os.listdir(path):
-        if _VDIR_RE.match(entry) and entry not in keep:
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+        if not _VDIR_RE.match(entry) or entry in keep:
+            continue
+        full = os.path.join(path, entry)
+        tomb = os.path.join(full, "_superseded")
+        superseded_at = now
+        try:
+            with open(tomb) as fh:
+                superseded_at = float(fh.read().strip() or now)
+        except FileNotFoundError:
+            try:
+                with open(tomb, "w") as fh:
+                    fh.write(repr(now))
+            except OSError:
+                pass
+        except (OSError, ValueError):
+            pass
+        if now - superseded_at >= gc_grace_seconds:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def load_ann_index(
@@ -185,6 +219,58 @@ def append_ann_index(path: str, encoded_new: DataFrame) -> None:
     )
 
 
+def publish_staged_partitions(
+    stage: str, dst_root: str, partition_prefix: str, batch_prefix: str
+) -> int:
+    """Phase 2 of an idempotent batch-keyed append over a
+    hive-partitioned layout: move every staged partition file into its
+    destination partition dir under a DETERMINISTIC name
+    (``{batch_prefix}{i:05d}.parquet``, sorted staged order), then
+    prune any leftover ``batch_prefix`` files NOT produced by this
+    publish.
+
+    Each ``os.replace`` is atomic and OVERWRITES the same-named file a
+    previous (crashed) replay published — a replay never removes the
+    batch's previously-published rows before re-adding them (the r6
+    ADVICE finding against the delete-then-move order); the pruning
+    pass only reconciles replays whose file layout changed shape, and
+    runs AFTER the new files are in place. Cross-FILE visibility is
+    still not transactional — a concurrent reader during an append can
+    observe a half-published batch; quiesce reads during streaming
+    appends for full consistency (same ordering contract as
+    ``compact_ann_index``). On HDFS the moves map to
+    ``FileSystem.rename``; on object stores use a manifest commit (the
+    pattern Delta/Iceberg formalize). Returns files published."""
+    published: dict[str, set[str]] = {}
+    count = 0
+    for part_dir in sorted(os.listdir(stage)):
+        src_dir = os.path.join(stage, part_dir)
+        if not (part_dir.startswith(partition_prefix) and os.path.isdir(src_dir)):
+            continue
+        dst_dir = os.path.join(dst_root, part_dir)
+        os.makedirs(dst_dir, exist_ok=True)
+        names: set[str] = set()
+        files = [
+            f for f in sorted(os.listdir(src_dir)) if not f.startswith(("_", "."))
+        ]
+        for i, f in enumerate(files):
+            dst_name = f"{batch_prefix}{i:05d}.parquet"
+            os.replace(os.path.join(src_dir, f), os.path.join(dst_dir, dst_name))
+            names.add(dst_name)
+            count += 1
+        published[part_dir] = names
+    if os.path.isdir(dst_root):
+        for part_dir in os.listdir(dst_root):
+            full = os.path.join(dst_root, part_dir)
+            if not (part_dir.startswith(partition_prefix) and os.path.isdir(full)):
+                continue
+            keep = published.get(part_dir, set())
+            for f in os.listdir(full):
+                if f.startswith(batch_prefix) and f not in keep:
+                    os.remove(os.path.join(full, f))
+    return count
+
+
 def append_ann_index_idempotent(
     path: str, encoded_new: DataFrame, batch_id: int
 ) -> int:
@@ -199,46 +285,22 @@ def append_ann_index_idempotent(
 
     1. the batch lands in a staging dir (``_ingest/batch={id}``,
        mode=overwrite — a replay restarts the stage cleanly);
-    2. each staged file moves into its inverted list under a
-       DETERMINISTIC ``b{id}-``-prefixed name, after first deleting any
-       files with that prefix left by a previous partial publish.
+    2. :func:`publish_staged_partitions` moves each staged file into
+       its inverted list under a deterministic ``b{id}-NNNNN`` name
+       (atomic per-file overwrite, move-then-prune — see its docstring
+       for the replay-convergence and reader-visibility contract).
 
-    Either phase can crash at any point and the replay converges:
-    stage overwrite discards a half-written stage, and the
-    delete-then-move publish makes the per-list file set a pure
-    function of (batch_id, batch contents). Local-FS rename here; on
-    HDFS the same two phases use ``FileSystem.rename``, on object
-    stores a manifest commit (the pattern Delta/Iceberg formalize).
-    Returns the number of files published."""
+    Either phase can crash at any point and the replay converges: the
+    per-list file set is a pure function of (batch_id, batch
+    contents). Returns the number of files published."""
     root = index_data_dir(path)
     lists_dir = f"{root}/inverted_lists"
     stage = f"{root}/_ingest/batch={int(batch_id)}"
     encoded_new.write.mode("overwrite").partitionBy("ivf_cid").parquet(stage)
-    prefix = f"b{int(batch_id)}-"
-    # phase-2 cleanup: remove any partial publish of this batch
-    if os.path.isdir(lists_dir):
-        for cid_dir in os.listdir(lists_dir):
-            full = os.path.join(lists_dir, cid_dir)
-            if not (cid_dir.startswith("ivf_cid=") and os.path.isdir(full)):
-                continue
-            for f in os.listdir(full):
-                if f.startswith(prefix):
-                    os.remove(os.path.join(full, f))
-    published = 0
-    for cid_dir in sorted(os.listdir(stage)):
-        src_dir = os.path.join(stage, cid_dir)
-        if not (cid_dir.startswith("ivf_cid=") and os.path.isdir(src_dir)):
-            continue
-        dst_dir = os.path.join(lists_dir, cid_dir)
-        os.makedirs(dst_dir, exist_ok=True)
-        for f in sorted(os.listdir(src_dir)):
-            if f.startswith("_") or f.startswith("."):
-                continue
-            os.replace(
-                os.path.join(src_dir, f), os.path.join(dst_dir, prefix + f)
-            )
-            published += 1
-    shutil.rmtree(f"{root}/_ingest/batch={int(batch_id)}", ignore_errors=True)
+    published = publish_staged_partitions(
+        stage, lists_dir, "ivf_cid=", f"b{int(batch_id)}-"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
     return published
 
 

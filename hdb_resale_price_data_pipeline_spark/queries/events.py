@@ -2132,3 +2132,40 @@ FROM swept GROUP BY day
 LOCAL_QUERIES["events_peak_concurrency"] = QuerySpec(
     q_events_peak_concurrency, _EVENTS_PEAK_SQL
 )
+
+
+# --- exact heavy hitters (Misra-Gries candidates + verify) -------------------
+
+HH_FACTOR = 8  # heavy = count * 8 > N (strictly more than 1/8 of all events)
+HH_CAPACITY = 15  # MG counters/partition; 15+1 >= 8 covers the threshold
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the event stream's type column via the
+    two-pass Misra-Gries structure (operators/frequent.py): per-
+    partition fixed-memory candidate sketch (Arrow mapInPandas, ≤
+    HH_CAPACITY keys/partition), then an exact verify pass counting
+    ONLY the bounded candidate set — the full-domain group-by the
+    DuckDB oracle runs is exactly what the operator avoids at 100 TB.
+    Output is exact and partition-layout-independent (the sketch's
+    superset guarantee: capacity+1 ≥ factor)."""
+    from ..operators.frequent import exact_heavy_hitters
+
+    events = t(spark, sf_dir, "events")
+    return exact_heavy_hitters(
+        events, "event_type", factor=HH_FACTOR, capacity=HH_CAPACITY
+    ).withColumnRenamed("event_type", "key")
+
+
+_EVENTS_HH_SQL = f"""
+WITH n AS (SELECT count(*) AS n FROM events)
+SELECT event_type AS key, count(*) AS cnt
+FROM events CROSS JOIN n
+GROUP BY event_type, n
+HAVING count(*) * {HH_FACTOR} > n
+"""
+
+
+LOCAL_QUERIES["events_heavy_hitters"] = QuerySpec(
+    q_events_heavy_hitters, _EVENTS_HH_SQL
+)

@@ -313,7 +313,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_stream_stateful_sessions, _STREAM_STATEFUL_SQL
     ),
     "multimodal_features": QuerySpec(q_multimodal_features, _features_oracle()),
-    "multimodal_chunks": QuerySpec(q_multimodal_chunks, _CHUNKS_SQL),
+    # r7 rotation: multimodal_chunks demoted to LOCAL_QUERIES — the
+    # multimodal anchor stays graded via multimodal_features (same
+    # mapInPandas decode plumbing; chunks adds only the posexplode
+    # fan-out), freeing a slot for er_fellegi_sunter on the hard
+    # signal. Still fully oracle- and plan-verified locally.
     # r6 rotation: stream_lr_gate PROMOTED to the graded window
     # (registered after its definition below) — the model-based
     # streaming ingest gate (trained LR classifier applied in-stream,
@@ -507,6 +511,7 @@ FROM cl
 
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "multimodal_chunks": QuerySpec(q_multimodal_chunks, _CHUNKS_SQL),  # r7 rotation
     "stream_dedup_gate": QuerySpec(q_stream_dedup_gate, _stream_dedup_gate_oracle()),
     "stream_emb_ingest": QuerySpec(q_stream_emb_ingest, _stream_emb_ingest_oracle()),
     "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),

@@ -268,7 +268,13 @@ FROM cells GROUP BY 1, 2
 """
 
 
-QUERIES: dict[str, QuerySpec] = {}
+# r7 rotation: privacy_t_closeness PROMOTED to the graded window (the
+# judge's r6 ask — the family's hardest measure: exact-integer L1
+# numerators with one final division, cross-engine bit-stable);
+# emb_ivf_topk demoted in exchange (queries/similarity.py).
+QUERIES: dict[str, QuerySpec] = {
+    "privacy_t_closeness": QuerySpec(q_privacy_t_closeness, _T_CLOSENESS_SQL),
+}
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "privacy_k_anonymity": QuerySpec(q_privacy_k_anonymity, _K_ANON_SQL),
@@ -276,5 +282,4 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "privacy_generalize_ladder": QuerySpec(
         q_privacy_generalize_ladder, _LADDER_SQL
     ),
-    "privacy_t_closeness": QuerySpec(q_privacy_t_closeness, _T_CLOSENESS_SQL),
 }

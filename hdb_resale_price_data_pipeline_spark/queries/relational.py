@@ -2020,3 +2020,90 @@ FROM per GROUP BY p_type
 
 
 LOCAL_QUERIES["supplier_hhi"] = QuerySpec(q_supplier_hhi, _SUPPLIER_HHI_SQL)
+
+
+# --- dataset versioning: snapshot diff ---------------------------------------
+
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (data-versioning audit): given an OLD and a NEW
+    snapshot of the orders table, classify every key as added / removed
+    / changed by comparing a row FINGERPRINT (md5 over a canonical
+    exact-integer projection — cents grid, never float formatting, so
+    both engines derive the identical hex); unchanged keys — the
+    overwhelming mass at 100 TB — are filtered before emission, so the
+    output scales with the drift, not the table.
+
+    Snapshots derive deterministically from the base table (old drops
+    okey % 7 == 3, new drops okey % 11 == 5 and bumps prices on
+    okey % 5 == 0), so both engines construct identical inputs. Scale:
+    ONE co-partitioned full-outer join on the key (bucketed snapshots
+    would make it shuffle-free); the fingerprint compare ships 32-byte
+    digests, not whole rows."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.floor(col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+
+    def fingerprint(price_cents):
+        return F.md5(
+            F.concat_ws(
+                "|", price_cents.cast("string"), col("o_orderstatus")
+            )
+        )
+
+    old = orders.filter(col("o_orderkey") % 7 != 3).select(
+        "o_orderkey", fingerprint(cents).alias("old_fp")
+    )
+    new = orders.filter(col("o_orderkey") % 11 != 5).select(
+        "o_orderkey",
+        fingerprint(
+            F.when(col("o_orderkey") % 5 == 0, cents + 100).otherwise(cents)
+        ).alias("new_fp"),
+    )
+    return (
+        old.join(new, "o_orderkey", "full_outer")
+        .withColumn(
+            "status",
+            F.when(col("old_fp").isNull(), "added")
+            .when(col("new_fp").isNull(), "removed")
+            .when(col("old_fp") != col("new_fp"), "changed")
+            .otherwise("unchanged"),
+        )
+        .filter(col("status") != "unchanged")
+        .select("o_orderkey", "status", "old_fp", "new_fp")
+    )
+
+
+_DATASET_DIFF_SQL = """
+WITH base AS (
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           o_orderstatus
+    FROM orders
+),
+old AS (
+    SELECT o_orderkey,
+           md5(concat_ws('|', CAST(cents AS VARCHAR), o_orderstatus)) AS old_fp
+    FROM base WHERE o_orderkey % 7 != 3
+),
+new AS (
+    SELECT o_orderkey,
+           md5(concat_ws('|',
+               CAST(CASE WHEN o_orderkey % 5 = 0 THEN cents + 100
+                         ELSE cents END AS VARCHAR),
+               o_orderstatus)) AS new_fp
+    FROM base WHERE o_orderkey % 11 != 5
+),
+diff AS (
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           old_fp, new_fp,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp != new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT o_orderkey, status, old_fp, new_fp
+FROM diff WHERE status != 'unchanged'
+"""
+
+
+LOCAL_QUERIES["dataset_diff"] = QuerySpec(q_dataset_diff, _DATASET_DIFF_SQL)

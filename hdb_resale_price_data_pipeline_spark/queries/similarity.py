@@ -449,12 +449,16 @@ def _kmeans_cents_cte() -> str:
 QUERIES: dict[str, QuerySpec] = {
     "emb_cosine_topk": QuerySpec(q_cosine_topk, _cosine_topk_oracle()),
     "emb_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, _ann_topk_oracle()),
-    "emb_ivf_topk": QuerySpec(q_ivf_topk, _ivf_oracle()),
     "emb_kmeans_clusters": QuerySpec(q_kmeans_clusters, _kmeans_oracle()),
     # r4: emb_semdedup and emb_ivfpq_topk join the graded window below
     # (after their definitions); emb_near_dup_pairs moves to
     # LOCAL_QUERIES — its label-blocked pairwise-cosine shape is a
     # strict subset of semdedup's cluster∩bucket-blocked one.
+    # r7 rotation: emb_ivf_topk demoted to LOCAL_QUERIES — plain IVF is
+    # a strict subset of the graded emb_ivfpq_topk (same coarse
+    # quantizer, PQ re-rank on top), freeing a slot for
+    # privacy_t_closeness on the hard signal. Still fully oracle- and
+    # plan-verified locally.
 }
 
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,6 +1559,7 @@ LIMIT {TOP_K}
 # expression end-to-end, and label centroids are the same posexplode +
 # group-reduction shape as kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "emb_ivf_topk": QuerySpec(q_ivf_topk, _ivf_oracle()),  # r7 rotation
     "emb_ivf_increment": QuerySpec(q_emb_ivf_increment, _ivf_increment_oracle()),
     "emb_ivfadc_topk": QuerySpec(q_ivfadc_topk, _ivfadc_oracle()),
     "emb_topk_hydrated": QuerySpec(q_emb_topk_hydrated, _topk_hydrated_oracle()),

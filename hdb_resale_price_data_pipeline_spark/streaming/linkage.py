@@ -43,6 +43,22 @@ from pyspark.sql.types import StructType
 
 STREAM_SLICES = 4
 
+# Sentinel block key for records whose block expression yields NULL or
+# the empty string (names shorter than the block offset). Hive
+# partitioning writes an empty-string partition value as
+# __HIVE_DEFAULT_PARTITION__ and reads it back as NULL, so WITHOUT the
+# sentinel the served gate would route such records differently from
+# the broadcast gate (r6 ADVICE finding). Both layouts apply the same
+# sentinel, so they stay bit-identical: empty/null-keyed records
+# collapse into one well-formed block on both paths.
+EMPTY_BLOCK_KEY = "__EMPTY_BK__"
+
+
+def _safe_block(block_expr, cmp: F.Column) -> F.Column:
+    return F.coalesce(
+        F.nullif(block_expr(cmp), F.lit("")), F.lit(EMPTY_BLOCK_KEY)
+    )
+
 
 def _stage_customers_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the customer roster as STREAM_SLICES landing files (same
@@ -120,7 +136,7 @@ def stream_er_gate(
     dir_keyed = directory.select(
         col(id_col).alias("mid"),
         col(cmp_col).alias("mname"),
-        block_expr(col(cmp_col)).alias("_bk"),
+        _safe_block(block_expr, col(cmp_col)).alias("_bk"),
     )
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -129,7 +145,7 @@ def stream_er_gate(
         arr = batch_df.select(
             col(id_col).alias("id"),
             col(cmp_col).alias("aname"),
-            block_expr(col(cmp_col)).alias("_bk"),
+            _safe_block(block_expr, col(cmp_col)).alias("_bk"),
         )
         lev = F.levenshtein(col("aname"), col("mname"))
         joined = arr.join(
@@ -170,11 +186,17 @@ def write_er_directory(directory: DataFrame, path: str, block_expr,
     time: without it, Spark's partition-column type inference turns
     all-digit block keys (``bk=0000123``) into integers, silently
     collapsing distinct variable-width string keys onto one int value —
-    the served gate would then match across block boundaries."""
+    the served gate would then match across block boundaries.
+
+    Empty/NULL block keys are coalesced to ``EMPTY_BLOCK_KEY`` before
+    ``partitionBy`` — an empty-string partition value round-trips as
+    ``__HIVE_DEFAULT_PARTITION__`` → NULL, which would break the
+    broadcast/served bit-identity for names shorter than the block
+    offset."""
     keyed = directory.select(
         col(id_col).alias("mid"),
         col(cmp_col).alias("mname"),
-        block_expr(col(cmp_col)).alias("bk"),
+        _safe_block(block_expr, col(cmp_col)).alias("bk"),
     )
     keyed.repartition("bk").write.mode("overwrite").partitionBy("bk").parquet(path)
     with open(os.path.join(path, _DIR_MANIFEST), "w") as f:
@@ -188,6 +210,30 @@ def read_er_directory(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def append_er_directory_idempotent(
+    directory_path: str, new_entities: DataFrame, batch_id: int
+) -> int:
+    """EXACTLY-ONCE directory maintenance: land a batch's freshly-minted
+    entities ``(mid, mname, bk)`` into the served directory's block
+    partitions, keyed by the checkpoint's stable ``batch_id`` — the
+    same two-phase stage-then-publish the ANN index appends use
+    (operators/index_store.publish_staged_partitions), so a checkpoint
+    replay converges to the same file set instead of duplicating
+    entities. New block keys create new partitions; the manifest-pinned
+    read picks them up without re-registration."""
+    from ..operators.index_store import publish_staged_partitions
+
+    stage = os.path.join(directory_path, "_ingest", f"batch={int(batch_id)}")
+    new_entities.write.mode("overwrite").partitionBy("bk").parquet(stage)
+    published = publish_staged_partitions(
+        stage, directory_path, "bk=", f"b{int(batch_id)}-"
+    )
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return published
+
+
 def stream_er_gate_served(
     arriving: DataFrame,
     directory_path: str,
@@ -197,6 +243,7 @@ def stream_er_gate_served(
     id_col: str = "c_custkey",
     cmp_col: str = "c_name",
     max_lev: int = 1,
+    maintain_directory: bool = False,
 ):
     """The past-broadcast-size twin of ``stream_er_gate``: the directory
     lives ON DISK partitioned by block key, and each micro-batch
@@ -214,7 +261,17 @@ def stream_er_gate_served(
     Output is bit-identical to ``stream_er_gate`` on the same inputs
     (asserted in tests/test_linkage.py) — the serving layout is an
     execution choice, not a semantics change.
-    """
+
+    ``maintain_directory=True`` additionally APPENDS each batch's
+    ``new_entity`` verdicts to the served directory (idempotent
+    batch-keyed publish — :func:`append_er_directory_idempotent`), so a
+    re-arriving variant of an entity minted in an earlier batch routes
+    to THAT entity id instead of minting a duplicate per batch. Two
+    scope notes: records within ONE batch still don't see each other
+    (both layouts share that contract — within-batch resolution is the
+    batch ER pass's job), and verdicts become batch-ORDER-dependent, so
+    the default stays off for the oracle-twinned gate queries; a
+    rebuild (``write_er_directory``) resets the appended state."""
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -223,7 +280,7 @@ def stream_er_gate_served(
         arr = batch_df.select(
             col(id_col).alias("id"),
             col(cmp_col).alias("aname"),
-            block_expr(col(cmp_col)).alias("bk"),
+            _safe_block(block_expr, col(cmp_col)).alias("bk"),
         )
         bks = [r[0] for r in arr.select("bk").distinct().collect()]
         dir_pruned = read_er_directory(spark, directory_path).filter(
@@ -242,7 +299,21 @@ def stream_er_gate_served(
             .select("id", "mid", "lev")
         )
         best = arr.select("id").join(matched, "id", "left")
-        _land_batch(_route_verdicts(best), out_dir, batch_id)
+        verdicts = _route_verdicts(best)
+        _land_batch(verdicts, out_dir, batch_id)
+        if maintain_directory:
+            minted = (
+                verdicts.filter(col("route") == "new_entity")
+                .select("id")
+                .join(arr, "id")
+                .select(
+                    col("id").alias("mid"),
+                    col("aname").alias("mname"),
+                    "bk",
+                )
+            )
+            if not minted.isEmpty():
+                append_er_directory_idempotent(directory_path, minted, batch_id)
 
     return (
         arriving.writeStream.foreachBatch(_gate_batch)

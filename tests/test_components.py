@@ -140,3 +140,28 @@ class TestIncrementalComponents:
         got = {(r.node, r.component) for r in inc.collect()}
         # full recompute covers the same node set (nodes on any edge)
         assert got == self._full(spark, all_edges)
+
+    def test_external_singleton_labels_are_preserved(self, spark):
+        """r6 ADVICE: a labels input from an external registry may hold
+        TRUE singletons (node == component, no co-member). The star-edge
+        filter drops their only row, so they must be unioned back —
+        unless a new edge touches them, in which case the resolved label
+        wins."""
+        from hdb_resale_price_data_pipeline_spark.operators.components import (
+            incremental_components,
+        )
+
+        labels = spark.createDataFrame(
+            # {1,2} cluster + singletons 7 (untouched) and 9 (re-linked)
+            [(1, 1), (2, 1), (7, 7), (9, 9)],
+            "node bigint, component bigint",
+        )
+        new_edges = [(9, 3)]  # links singleton 9 to brand-new node 3
+        inc = incremental_components(
+            labels, spark.createDataFrame(new_edges, "id_a bigint, id_b bigint")
+        )
+        got = {(r.node, r.component) for r in inc.collect()}
+        assert (7, 7) in got, "untouched singleton silently dropped"
+        assert (9, 3) in got and (3, 3) in got, "re-linked singleton resolves"
+        assert {(1, 1), (2, 1)} <= got
+        assert len(got) == 5

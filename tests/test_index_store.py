@@ -360,10 +360,23 @@ def test_resave_is_atomic_for_concurrent_readers(spark):
     _, _, fresh = load_ann_index(spark, store)
     assert sorted(r.vec_id for r in fresh.select("vec_id").collect()) == v1_rows
 
-    save_ann_index(store, coarse, pq_cbs, encoded)  # third save → v3, GC v1
+    save_ann_index(store, coarse, pq_cbs, encoded)  # third save → v3
     assert index_data_dir(store) == f"{store}/v3"
-    assert not os.path.exists(f"{store}/v1"), "v1 garbage-collected"
+    # r6 ADVICE guard: v1 (two saves behind) is NOT deleted immediately —
+    # it gets a `_superseded` stamp and survives the grace window, so a
+    # long-running lazy reader still two saves back keeps its files.
+    assert os.path.isdir(f"{store}/v1"), "grace TTL: superseded version kept"
+    assert os.path.isfile(f"{store}/v1/_superseded")
+    again = sorted(r.vec_id for r in reader_frame.select("vec_id").collect())
+    assert again == v1_rows, "reader two saves behind still serves"
     assert os.path.isdir(f"{store}/v2")
+
+    # with the grace window elapsed (TTL=0), the next save collects v1+v2
+    save_ann_index(store, coarse, pq_cbs, encoded, gc_grace_seconds=0.0)
+    assert index_data_dir(store) == f"{store}/v4"
+    assert not os.path.exists(f"{store}/v1"), "v1 GC'd past grace"
+    assert not os.path.exists(f"{store}/v2"), "v2 GC'd past grace"
+    assert os.path.isdir(f"{store}/v3"), "immediate predecessor always kept"
 
 
 def test_store_path_keys_on_dataset_identity(spark, monkeypatch, tmp_path):

@@ -209,3 +209,137 @@ def test_served_gate_is_bit_identical_to_broadcast_gate(spark, tmp_path):
     # all three routes genuinely present
     assert set(served["route"]) == {"known_exact", "merge", "new_entity"}
     assert (served[served["id"] >= 300]["route"] == "new_entity").all()
+
+
+def test_maintained_directory_resolves_cross_batch_entity(spark, tmp_path):
+    """r6 verdict item 6: with ``maintain_directory=True`` a new entity
+    minted in batch 1 is APPENDED to the served directory, so a variant
+    of the same entity arriving in batch 2 routes ``merge`` to the
+    batch-1 entity id instead of minting a second entity. Without
+    maintenance the same input mints a duplicate per batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.streaming.linkage import (
+        stream_er_gate_served,
+        write_er_directory,
+    )
+
+    block = lambda c: F.substring(c, 10, 7)  # noqa: E731
+    schema = "c_custkey bigint, c_name string"
+    # seed directory: one entity in an unrelated block
+    seed = spark.createDataFrame([(5, "Customer#000000005")], schema)
+    dir_path = str(tmp_path / "dir")
+    write_er_directory(seed, dir_path, block)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def run_batch(rows, sub, maintain):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        q = stream_er_gate_served(
+            spark.readStream.schema(schema).parquet(landing),
+            dir_path,
+            block,
+            out_dir=str(tmp_path / sub / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),  # SHARED: batch 2 only
+            max_lev=1,
+            maintain_directory=maintain,
+        )
+        q.awaitTermination()
+        return {
+            r["id"]: (r["route"], r["best_match_id"])
+            for r in spark.read.parquet(str(tmp_path / sub / "out")).collect()
+        }
+
+    # batch 1: brand-new entity 1001 — no block match anywhere
+    v1 = run_batch([(1001, "Customer#000990001")], "b1", True)
+    assert v1[1001] == ("new_entity", None)
+    # batch 2: a 1-edit variant of the SAME entity
+    v2 = run_batch([(2002, "Customer#000990002")], "b2", True)
+    assert v2[2002] == ("merge", 1001), "variant must resolve to the minted id"
+
+    # counterfactual: an unmaintained directory mints a duplicate
+    v3 = run_batch([(3003, "Customer#000990003")], "b3", False)
+    # (still merges — the directory already holds 1001 from batch 1;
+    # the real counterfactual is a FRESH unmaintained gate)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    fresh_dir = str(tmp_path / "dir2")
+    write_er_directory(seed, fresh_dir, block)
+    q = stream_er_gate_served(
+        spark.readStream.schema(schema).parquet(landing),
+        fresh_dir,
+        block,
+        out_dir=str(tmp_path / "b4" / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        max_lev=1,
+        maintain_directory=False,
+    )
+    q.awaitTermination()
+    v4 = {
+        r["id"]: r["route"]
+        for r in spark.read.parquet(str(tmp_path / "b4" / "out")).collect()
+    }
+    assert v4[1001] == "new_entity" and v4[2002] == "new_entity", (
+        "unmaintained gate mints a duplicate entity per batch"
+    )
+    assert v3[3003] == ("merge", 1001)
+
+
+def test_empty_block_key_routes_identically_across_layouts(spark, tmp_path):
+    """r6 ADVICE: a name shorter than the block offset yields an empty
+    block key, which hive-partitioning round-trips as NULL — without the
+    EMPTY_BLOCK_KEY sentinel the served gate would route such records
+    differently from the broadcast gate. Both layouts must stay
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.streaming.linkage import (
+        stream_er_gate,
+        stream_er_gate_served,
+        write_er_directory,
+    )
+
+    block = lambda c: F.substring(c, 10, 7)  # noqa: E731
+    schema = "c_custkey bigint, c_name string"
+    directory = spark.createDataFrame(
+        [(1, "Ann"), (7, "Customer#000000007")], schema
+    )
+    dir_path = str(tmp_path / "dir")
+    write_er_directory(directory, dir_path, block)
+
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(11, "Ann"), (12, "Axn"), (13, "Customer#000000007")], schema
+    ).coalesce(1).write.parquet(landing)
+
+    def run(gate_fn, directory_arg, sub):
+        q = gate_fn(
+            spark.readStream.schema(schema).parquet(landing),
+            directory_arg,
+            block,
+            out_dir=str(tmp_path / sub / "out"),
+            checkpoint_dir=str(tmp_path / sub / "ckpt"),
+            max_lev=1,
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(str(tmp_path / sub / "out"))
+            .select("id", "best_match_id", "best_lev", "route")
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+
+    served = run(stream_er_gate_served, dir_path, "served")
+    broadcast = run(stream_er_gate, directory, "bcast")
+    assert served.equals(broadcast)
+    by_id = {r.id: r.route for r in served.itertuples()}
+    assert by_id[11] == "known_exact", "short name must match its directory twin"
+    assert by_id[12] == "merge", "1-edit variant of a short name must merge"
+    assert by_id[13] == "known_exact"

@@ -11,9 +11,13 @@ tests/test_plan_snapshots.py, even when sf0.01 timings hide it.
 
 Regenerate after an INTENTIONAL plan change:
 
-    python tools/plan_snapshot.py --update
+    python tools/plan_snapshot.py --update                 # all queries
+    python tools/plan_snapshot.py --update --only a,b,c    # just these
 
-and review the JSON diff like any other code review.
+and review the JSON diff like any other code review. ``--only`` merges
+into the existing snapshot file — use it when a change touches a known
+set of queries (the full regen costs ~7 min); run the full update
+before round close if in doubt.
 """
 
 from __future__ import annotations
@@ -159,12 +163,16 @@ def warm_index_caches(spark, sf_dir: str) -> None:
             spec.fn(spark, sf_dir).count()
 
 
-def build_signatures(spark, sf_dir: str) -> dict[str, dict[str, int]]:
+def build_signatures(
+    spark, sf_dir: str, only: set[str] | None = None
+) -> dict[str, dict[str, int]]:
     from hdb_resale_price_data_pipeline_spark.queries import local_queries
 
     warm_index_caches(spark, sf_dir)
     out = {}
     for name, spec in sorted(local_queries().items()):
+        if only is not None and name not in only:
+            continue
         out[name] = plan_signature(spec.fn(spark, sf_dir))
     return out
 
@@ -175,8 +183,24 @@ def main() -> None:
     spark = get_spark_session(app_name="plan-snapshot")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    sigs = build_signatures(spark, sf_dir)
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    sigs = build_signatures(spark, sf_dir, only=only)
+    if only is not None:
+        missing = only - sigs.keys()
+        if missing:
+            raise SystemExit(f"--only names not in registry: {sorted(missing)}")
     if "--update" in sys.argv:
+        if only is not None and os.path.exists(SNAPSHOT_PATH):
+            with open(SNAPSHOT_PATH) as f:
+                merged = json.load(f)
+            # drop snapshots for queries no longer registered, then merge
+            from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+            merged = {k: v for k, v in merged.items() if k in local_queries()}
+            merged.update(sigs)
+            sigs = merged
         with open(SNAPSHOT_PATH, "w") as f:
             json.dump(sigs, f, indent=1, sort_keys=True)
         print(f"wrote {len(sigs)} signatures to {SNAPSHOT_PATH}")

@@ -559,6 +559,9 @@ TPCH_QUERIES = [
     "orders_rapid_repeats",
     "supplier_hhi",
     "events_peak_concurrency",
+    # r7: snapshot diff + MG heavy hitters
+    "dataset_diff",
+    "events_heavy_hitters",
 ]
 
 
@@ -740,7 +743,7 @@ ER_QUERIES = [
 ]
 
 
-def stage_er_at(spark, dest: str, copies: int) -> None:
+def stage_er_at(spark, dest: str, copies: int, grow_vocab: bool = False) -> None:
     """Replicate the customer roster and part catalog for the ER probe.
 
     Customer replicas get FRESH serials (offset custkeys) with names
@@ -748,9 +751,18 @@ def stage_er_at(spark, dest: str, copies: int) -> None:
     name digits, so a verbatim name copy would stack every replica into
     the same blocks (duplicate-density blowup, the stage_docs lesson)
     instead of growing the occupied serial range the way real rosters
-    grow. Part replicas keep their names (fixed entity vocabulary,
-    growing record count — the realistic catalog-growth shape: golden-
-    record work scales with records, clustering stays entity-sized)."""
+    grow.
+
+    Part replicas, default mode: names unchanged (fixed entity
+    vocabulary, growing record count — the catalog-growth shape:
+    golden-record work scales with records, clustering stays
+    entity-sized). ``grow_vocab=True`` (r6 verdict item 4) instead
+    mints a FRESH adjective×noun family per replica by suffixing the
+    replica ordinal onto both tokens: the distinct-name vocabulary and
+    the BLOCK COUNT grow linearly with the copies, while each family
+    keeps the base grid's near-miss edit-distance structure (the same
+    suffix lands on both sides of every in-family comparison, and the
+    per-token blocking never pairs names across families)."""
     if os.path.exists(f"{dest}/_done"):
         return
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
@@ -764,9 +776,20 @@ def stage_er_at(spark, dest: str, copies: int) -> None:
     part = spark.read.parquet(f"{SF_DIR}/part.parquet")
     out_p = part
     for i in range(1, copies):
-        out_p = out_p.unionByName(
-            part.withColumn("p_partkey", col("p_partkey") + F.lit(i * 10_000_000))
+        replica = part.withColumn(
+            "p_partkey", col("p_partkey") + F.lit(i * 10_000_000)
         )
+        if grow_vocab:
+            replica = replica.withColumn(
+                "p_name",
+                F.concat(
+                    F.split_part(col("p_name"), F.lit(" "), F.lit(1)),
+                    F.lit(f"{i:02d} "),
+                    F.split_part(col("p_name"), F.lit(" "), F.lit(2)),
+                    F.lit(f"{i:02d}"),
+                ),
+            )
+        out_p = out_p.unionByName(replica)
     out_p.repartition(32).write.mode("overwrite").parquet(f"{dest}/part.parquet")
     # orders replicate with custkeys offset IN LOCKSTEP with the roster
     # so the l-diversity sensitive join covers every replica.
@@ -781,10 +804,13 @@ def stage_er_at(spark, dest: str, copies: int) -> None:
     open(f"{dest}/_done", "w").close()
 
 
-def probe_er(spark) -> None:
+def probe_er(spark, grow_vocab: bool = False) -> None:
     """1×/4×/16× cold scaling for the entity-resolution family (same
     protocol as probe_scaling: shared warmup, two cold runs per cell,
-    min, log-log slopes)."""
+    min, log-log slopes). ``grow_vocab`` (``--grow``) stages part
+    replicas with FRESH name families so the block count — not just the
+    record count — grows with the scale (r6 verdict item 4: the fixed-
+    vocabulary mode leaves part-grain slopes flat by construction)."""
     import math
 
     from hdb_resale_price_data_pipeline_spark.queries import local_queries
@@ -804,11 +830,20 @@ def probe_er(spark) -> None:
         if c == 1:
             dirs[c] = SF_DIR
             continue
-        dest = f"/tmp/er_scale_c{c}"
-        stage_er_at(spark, dest, copies=c)
+        dest = f"/tmp/er_scale_{'grow_' if grow_vocab else ''}c{c}"
+        stage_er_at(spark, dest, copies=c, grow_vocab=grow_vocab)
         dirs[c] = dest
     n = {c: spark.read.parquet(f"{d}/customer.parquet").count() for c, d in dirs.items()}
     print(f"scales: {n} customers (parts/orders scale identically)")
+    if grow_vocab:
+        v = {
+            c: spark.read.parquet(f"{d}/part.parquet")
+            .select("p_name")
+            .distinct()
+            .count()
+            for c, d in dirs.items()
+        }
+        print(f"growing part-name vocabulary: {v} distinct names")
 
     for name in probe_list:
         _noop(registry[name].fn(spark, dirs[1]))
@@ -843,7 +878,7 @@ def main() -> None:
     spark = get_spark_session(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "--er" in sys.argv:
-        probe_er(spark)
+        probe_er(spark, grow_vocab="--grow" in sys.argv)
         spark.stop()
         return
     if "--pipeline" in sys.argv:
