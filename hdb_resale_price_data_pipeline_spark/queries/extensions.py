@@ -713,3 +713,73 @@ FROM groups
 LOCAL_QUERIES["multimodal_exact_dups"] = QuerySpec(
     q_multimodal_exact_dups, _MULTIMODAL_DUPS_SQL
 )
+
+
+# --- streaming CDC apply ------------------------------------------------------
+
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-data-capture apply (streaming/cdc.py): a
+    deterministic upsert/delete changelog derived from orders arrives
+    as ordered micro-batches and folds into a bucket-partitioned state
+    table — partition-pruned read + dynamic-partition-overwrite rewrite
+    of ONLY the touched buckets, last-write-wins by sequence number
+    (which also makes checkpoint replay idempotent). The final state is
+    a pure function of the log, so the DuckDB oracle is the batch
+    last-change-per-key query over the same synthesized log."""
+    import hashlib
+    import os
+
+    from ..streaming.cdc import (
+        CDC_BUCKETS,
+        CDC_SLICES,
+        changelog_stream,
+        read_cdc_state,
+        stream_cdc_apply,
+    )
+
+    src = os.path.abspath(f"{sf_dir}/orders.parquet")
+    st = os.stat(src)
+    key = (
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:cdcapply"
+        f":{CDC_SLICES}:{CDC_BUCKETS}"
+    )
+    root = f"/tmp/hdb_cdc_apply_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    query = stream_cdc_apply(
+        changelog_stream(spark, sf_dir),
+        state_dir=os.path.join(root, "state"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    query.awaitTermination()
+    return read_cdc_state(spark, os.path.join(root, "state")).select(
+        "o_orderkey", "price_cents", "last_seq"
+    )
+
+
+_STREAM_CDC_SQL = """
+WITH base AS (
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+changes AS (
+    SELECT o_orderkey, 1 AS seq, 'upsert' AS op, cents AS price_cents FROM base
+    UNION ALL
+    SELECT o_orderkey, 2, 'upsert', cents + 100 FROM base WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey, 2, 'delete', NULL FROM base WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT o_orderkey, 2, 'upsert', cents + 100 FROM base WHERE o_orderkey % 4 = 3
+    UNION ALL
+    SELECT o_orderkey, 3, 'upsert', cents + 200 FROM base WHERE o_orderkey % 4 = 3
+),
+last AS (
+    SELECT o_orderkey, op, price_cents, seq,
+           row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op) AS rn
+    FROM changes
+)
+SELECT o_orderkey, price_cents, seq AS last_seq
+FROM last WHERE rn = 1 AND op = 'upsert'
+"""
+
+
+LOCAL_QUERIES["stream_cdc_apply"] = QuerySpec(q_stream_cdc_apply, _STREAM_CDC_SQL)

@@ -448,7 +448,6 @@ def _kmeans_cents_cte() -> str:
 
 QUERIES: dict[str, QuerySpec] = {
     "emb_cosine_topk": QuerySpec(q_cosine_topk, _cosine_topk_oracle()),
-    "emb_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, _ann_topk_oracle()),
     "emb_kmeans_clusters": QuerySpec(q_kmeans_clusters, _kmeans_oracle()),
     # r4: emb_semdedup and emb_ivfpq_topk join the graded window below
     # (after their definitions); emb_near_dup_pairs moves to
@@ -459,6 +458,12 @@ QUERIES: dict[str, QuerySpec] = {
     # quantizer, PQ re-rank on top), freeing a slot for
     # privacy_t_closeness on the hard signal. Still fully oracle- and
     # plan-verified locally.
+    # r7 rotation (r6 verdict stretch item 8): emb_kcenter_coreset
+    # PROMOTED (registered after its definition below) — the one
+    # trained-loop family (greedy k-center) the driver had never
+    # graded; emb_ann_lsh_topk demoted in exchange (the graded ANN
+    # scale path stays emb_ivfpq_topk, and random-hyperplane bucketing
+    # remains graded inside emb_semdedup's cluster∩bucket blocking).
 }
 
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,11 +1560,13 @@ LIMIT {TOP_K}
 """
 
 
-# Not driver-registered: emb_ann_lsh_topk exercises the same bucketing
-# expression end-to-end, and label centroids are the same posexplode +
-# group-reduction shape as kmeans; oracle-verified locally.
+# Not driver-registered: emb_semdedup's cluster∩bucket blocking
+# exercises the random-hyperplane bucketing expression end-to-end, and
+# label centroids are the same posexplode + group-reduction shape as
+# kmeans; oracle-verified locally.
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "emb_ivf_topk": QuerySpec(q_ivf_topk, _ivf_oracle()),  # r7 rotation
+    "emb_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, _ann_topk_oracle()),  # r7
     "emb_ivf_increment": QuerySpec(q_emb_ivf_increment, _ivf_increment_oracle()),
     "emb_ivfadc_topk": QuerySpec(q_ivfadc_topk, _ivfadc_oracle()),
     "emb_topk_hydrated": QuerySpec(q_emb_topk_hydrated, _topk_hydrated_oracle()),
@@ -3091,6 +3098,6 @@ def _kcenter_oracle() -> str:
     return "WITH " + ",\n".join(cte) + "\n" + "\nUNION ALL ".join(selects)
 
 
-LOCAL_QUERIES["emb_kcenter_coreset"] = QuerySpec(
+QUERIES["emb_kcenter_coreset"] = QuerySpec(  # r7 rotation: graded
     q_emb_kcenter_coreset, _kcenter_oracle()
 )

@@ -559,9 +559,11 @@ TPCH_QUERIES = [
     "orders_rapid_repeats",
     "supplier_hhi",
     "events_peak_concurrency",
-    # r7: snapshot diff + MG heavy hitters
+    # r7: snapshot diff + MG heavy hitters + CDC apply (stream rows
+    # measure steady-state replay, the stream_er_gate precedent)
     "dataset_diff",
     "events_heavy_hitters",
+    "stream_cdc_apply",
 ]
 
 
