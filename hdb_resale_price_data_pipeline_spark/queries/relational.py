@@ -2107,3 +2107,115 @@ FROM diff WHERE status != 'unchanged'
 
 
 LOCAL_QUERIES["dataset_diff"] = QuerySpec(q_dataset_diff, _DATASET_DIFF_SQL)
+
+
+def q_dataset_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitor: per-dimension total-variation distance
+    between the OLD and NEW snapshot distributions (the same snapshot
+    construction as ``dataset_diff`` — diff tells you WHICH rows moved,
+    this tells you whether the DISTRIBUTION moved). TV = ½ Σ |p_old −
+    p_new| is computed with the t-closeness exact-integer discipline:
+    the numerator Σ |n_old·N_new − n_new·N_old| is exact BIGINT
+    arithmetic, there is ONE final division onto the 1e-6 grid, so both
+    engines produce bit-identical scores (no logarithms — a PSI/KL
+    monitor would hinge on libm ulp agreement). Two dimensions ride one
+    scan each: the order-priority categorical and a fixed-width price
+    band. Scale: two grouped counts per dimension (bucket-grain working
+    set) + a bucket-grain join; the snapshots never co-shuffle."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.floor(col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = orders.select(
+        "o_orderkey",
+        col("o_orderpriority").alias("dim_priority"),
+        F.least(F.floor(cents / 500_000), F.lit(9))
+        .cast("string")
+        .alias("dim_price_band"),
+    )
+    old = base.filter(col("o_orderkey") % 7 != 3)
+    new = base.filter(col("o_orderkey") % 11 != 5)
+
+    # totals via a broadcast 1-row aggregate (window-free: an OVER ()
+    # global window would single-partition the cells for no reason)
+    def tv(dim_col: str, dim_name: str) -> DataFrame:
+        co = old.groupBy(col(dim_col).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_old")
+        )
+        cn = new.groupBy(col(dim_col).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_new")
+        )
+        cells = co.join(cn, "bucket", "full_outer").select(
+            F.coalesce(col("n_old"), F.lit(0)).alias("n_old"),
+            F.coalesce(col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        totals = cells.agg(
+            F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+        )
+        return (
+            cells.crossJoin(F.broadcast(totals))
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                (
+                    F.floor(
+                        F.sum(
+                            F.abs(
+                                col("n_old") * col("t_new")
+                                - col("n_new") * col("t_old")
+                            )
+                        ).cast("double")
+                        / (2.0 * F.min("t_old") * F.min("t_new"))
+                        * 1_000_000
+                        + F.lit(0.5)
+                    )
+                    / 1_000_000
+                ).alias("tv_q"),
+            )
+            .select(F.lit(dim_name).alias("dim"), "n_buckets", "tv_q")
+        )
+
+    return tv("dim_priority", "priority").unionByName(
+        tv("dim_price_band", "price_band")
+    )
+
+
+_DATASET_DRIFT_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_orderpriority AS dim_priority,
+           CAST(least(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            / 500000), 9) AS VARCHAR) AS dim_price_band
+    FROM orders
+),
+old AS (SELECT * FROM base WHERE o_orderkey % 7 != 3),
+new AS (SELECT * FROM base WHERE o_orderkey % 11 != 5),
+tv AS (
+    SELECT dim, count(*) AS n_buckets,
+           floor(CAST(sum(abs(n_old * t_new - n_new * t_old)) AS DOUBLE)
+                 / (2.0 * any_value(t_old) * any_value(t_new))
+                 * 1000000 + 0.5) / 1000000 AS tv_q
+    FROM (
+        SELECT 'priority' AS dim,
+               coalesce(o.n, 0) AS n_old, coalesce(n.n, 0) AS n_new,
+               sum(coalesce(o.n, 0)) OVER () AS t_old,
+               sum(coalesce(n.n, 0)) OVER () AS t_new
+        FROM (SELECT dim_priority AS b, count(*) AS n FROM old GROUP BY 1) o
+        FULL OUTER JOIN
+             (SELECT dim_priority AS b, count(*) AS n FROM new GROUP BY 1) n
+        USING (b)
+        UNION ALL
+        SELECT 'price_band',
+               coalesce(o.n, 0), coalesce(n.n, 0),
+               sum(coalesce(o.n, 0)) OVER (),
+               sum(coalesce(n.n, 0)) OVER ()
+        FROM (SELECT dim_price_band AS b, count(*) AS n FROM old GROUP BY 1) o
+        FULL OUTER JOIN
+             (SELECT dim_price_band AS b, count(*) AS n FROM new GROUP BY 1) n
+        USING (b)
+    ) cells
+    GROUP BY dim
+)
+SELECT dim, n_buckets, tv_q FROM tv
+"""
+
+
+LOCAL_QUERIES["dataset_drift_tv"] = QuerySpec(
+    q_dataset_drift_tv, _DATASET_DRIFT_SQL
+)

@@ -564,6 +564,7 @@ TPCH_QUERIES = [
     "dataset_diff",
     "events_heavy_hitters",
     "stream_cdc_apply",
+    "dataset_drift_tv",
 ]
 
 
