@@ -10,6 +10,7 @@ import os
 import shutil
 
 from pyspark.sql import functions as F
+from pyspark.sql.functions import col
 
 from hdb_resale_price_data_pipeline_spark.streaming.cdc import (
     read_cdc_state,
@@ -19,10 +20,11 @@ from hdb_resale_price_data_pipeline_spark.streaming.cdc import (
 SCHEMA = "o_orderkey bigint, seq int, op string, price_cents bigint"
 
 
-def _run_wave(spark, rows, landing, root, tag):
-    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(
-        landing
-    )
+def _run_wave(spark, rows, landing, root, tag, df=None):
+    wave = df if df is not None else spark.createDataFrame(rows, SCHEMA)
+    wave.select("o_orderkey", "seq", "op", "price_cents").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
     q = stream_cdc_apply(
         spark.readStream.schema(SCHEMA).parquet(landing),
         state_dir=os.path.join(root, "state"),
@@ -111,3 +113,73 @@ def test_replay_converges_by_sequence_lww(spark, tmp_path):
     )
     q.awaitTermination()
     assert _state(spark, root) == final
+
+
+def test_diff_changelog_roundtrip_reproduces_new_snapshot(spark, tmp_path):
+    """The versioning family's consistency contract: loading the OLD
+    snapshot, then applying the CHANGELOG DERIVED FROM dataset_diff's
+    added/changed→upsert, removed→delete classification, must converge
+    the state table to exactly the NEW snapshot — diff ∘ apply =
+    snapshot replace, at per-bucket copy-on-write cost instead of a
+    full rewrite."""
+    import os
+
+    from conftest import TEST_SF_DIR
+
+    root = str(tmp_path)
+    landing = os.path.join(root, "landing")
+    orders = spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet").select(
+        "o_orderkey",
+        F.floor(col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    k = col("o_orderkey")
+    old = orders.filter(k % 7 != 3)
+    new = orders.filter(k % 11 != 5).withColumn(
+        "cents", F.when(k % 5 == 0, col("cents") + 100).otherwise(col("cents"))
+    )
+
+    # wave 1: the old snapshot as seq-1 upserts
+    _run_wave(
+        spark,
+        None,
+        landing,
+        root,
+        "w1",
+        df=old.select(
+            "o_orderkey",
+            F.lit(1).alias("seq"),
+            F.lit("upsert").alias("op"),
+            col("cents").alias("price_cents"),
+        ),
+    )
+    # wave 2: the diff as a changelog — added/changed upsert, removed delete
+    o = old.select("o_orderkey", col("cents").alias("old_c"))
+    n = new.select("o_orderkey", col("cents").alias("new_c"))
+    diff = o.join(n, "o_orderkey", "full_outer")
+    changelog2 = (
+        diff.filter(col("new_c").isNull())
+        .select(
+            "o_orderkey",
+            F.lit(2).alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("bigint").alias("price_cents"),
+        )
+        .unionByName(
+            diff.filter(
+                col("new_c").isNotNull()
+                & (col("old_c").isNull() | (col("old_c") != col("new_c")))
+            ).select(
+                "o_orderkey",
+                F.lit(2).alias("seq"),
+                F.lit("upsert").alias("op"),
+                col("new_c").alias("price_cents"),
+            )
+        )
+    )
+    _run_wave(spark, None, landing, root, "w2", df=changelog2)
+
+    got = {k_: v for k_, (v, _) in _state(spark, root).items()}
+    want = {r.o_orderkey: r.cents for r in new.collect()}
+    assert got == want, "diff ∘ apply must equal the new snapshot"
