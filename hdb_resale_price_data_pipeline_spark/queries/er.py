@@ -45,6 +45,12 @@ PART_MATCH_MAX_LEV = 3
 PART_CLUSTER_MAX_LEV = 2
 SNM_WINDOW = 3
 SNM_MAX_LEV = 1
+# Bounded deterministic evaluation/estimation sample over the distinct-
+# name table: the FS_U_SAMPLE names with smallest md5(p_name) — a
+# salted-hash pick both engines order identically. Used by the FS u3
+# estimate and the blocking-recall truth (≤ FS_U_SAMPLE² pair work at
+# any corpus size; covers the whole 64-name vocabulary at test scale).
+FS_U_SAMPLE = 64
 JW_MIN_Q = 0.90
 
 # Blocked SNM block key: the serial prefix covering all but the last
@@ -127,19 +133,27 @@ WHERE levenshtein(cmp_a, cmp_b) <= {PART_MATCH_MAX_LEV}
 # --- blocking-strategy recall evaluation ------------------------------------
 
 def q_er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of each blocking strategy against exhaustive truth over
-    the DISTINCT-name table. The truth pass is all-pairs — bounded by
-    the vocabulary (64 names here; distinct entity mentions, not
-    records, at any scale) and broadcast on one side, the same
-    vocab-sized-collect discipline as the BPE merge table. Measures
-    the multi-pass case for blocking: token-1 alone finds 16/96 true
-    pairs, token-2 alone 80/96, the union all 96."""
+    """Recall of each blocking strategy against exhaustive truth over a
+    BOUNDED DETERMINISTIC EVALUATION SAMPLE of the distinct-name table
+    (the FS_U_SAMPLE names with smallest md5 — the same salted-hash
+    pick the Fellegi-Sunter u3 estimate uses, since r7): the truth for
+    a recall measurement is by definition all-pairs, so bounding the
+    EVALUATION population — standard ER evaluation practice — is what
+    keeps the measurement non-quadratic at corpus scale. At test scale
+    the sample covers the whole 64-name vocabulary, so the classic
+    multi-pass story is measured exactly: token-1 alone finds 16/96
+    true pairs, token-2 alone 80/96, the union all 96."""
     # localCheckpoint the shared frames: plain DataFrame reuse does NOT
     # dedupe plan subtrees (the truth pass + three strategies
     # re-expanded the name aggregation and both block self-joins — 10
     # parquet scans, measured), while the checkpoint materializes each
     # vocab-bounded frame once and every consumer reads the same RDD.
-    names = _part_names(spark, sf_dir).localCheckpoint(eager=False)
+    names = (
+        _part_names(spark, sf_dir)
+        .orderBy(F.md5(col("p_name")), col("nid"))
+        .limit(FS_U_SAMPLE)
+        .localCheckpoint(eager=False)
+    )
     a, b = names.alias("a"), names.alias("b")
     lev_ab = F.levenshtein(col("a.p_name"), col("b.p_name"))
     truth = (
@@ -183,7 +197,10 @@ def q_er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLOCKING_RECALL_SQL = f"""
-WITH names AS ({_PART_NAMES_SQL}),
+WITH allnames AS ({_PART_NAMES_SQL}),
+names AS (
+    SELECT nid, p_name FROM allnames ORDER BY md5(p_name), nid LIMIT {FS_U_SAMPLE}
+),
 truth AS (
     SELECT count(*) AS n_true FROM names a JOIN names b ON a.nid < b.nid
     WHERE levenshtein(a.p_name, b.p_name) <= {PART_MATCH_MAX_LEV}
@@ -562,7 +579,6 @@ FS_M = (0.9, 0.9, 0.95)  # token1, token2, lev≤1
 FS_MATCH = 10.0  # score ≥ → match
 FS_POSSIBLE = 0.03  # score ≥ → possible (clerical review)
 FS_GRID = 1000
-FS_U_SAMPLE = 64  # names in the deterministic u3 sample (≤ 64² pairs)
 
 
 def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
