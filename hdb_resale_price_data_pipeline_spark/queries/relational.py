@@ -2219,3 +2219,64 @@ SELECT dim, n_buckets, tv_q FROM tv
 LOCAL_QUERIES["dataset_drift_tv"] = QuerySpec(
     q_dataset_drift_tv, _DATASET_DRIFT_SQL
 )
+
+
+# --- ANALYZE-style column statistics profile ---------------------------------
+
+_STATS_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics collection (the input a cost-based optimizer's
+    ANALYZE gathers): per column — row count, null count, distinct
+    count, lexicographic min/max (values canonicalized to strings so
+    one schema carries every column type). ONE scan computes every
+    column's stats via a single wide aggregate (count/min/max are
+    map-side partials; the count(DISTINCT) set expands via a single
+    Expand + two-level aggregate — Spark's multi-distinct plan). At
+    100 TB the distinct counts would switch to approx_count_distinct
+    (HLL, one pass, mergeable) — kept exact here so the DuckDB oracle
+    value-matches bit-for-bit; the sketch path is already exercised by
+    events_hll_users."""
+    orders = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _STATS_COLS:
+        s = col(c).cast("string")
+        aggs += [
+            F.count(s).alias(f"{c}__nn"),
+            F.countDistinct(col(c)).alias(f"{c}__ndv"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    outs = [
+        wide.select(
+            F.lit(c).alias("column"),
+            col("n_rows"),
+            (col("n_rows") - col(f"{c}__nn")).alias("n_null"),
+            col(f"{c}__ndv").alias("ndv"),
+            col(f"{c}__min").alias("min_s"),
+            col(f"{c}__max").alias("max_s"),
+        )
+        for c in _STATS_COLS
+    ]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+_TABLE_STATS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS ndv,
+       min(CAST({c} AS VARCHAR)) AS min_s,
+       max(CAST({c} AS VARCHAR)) AS max_s
+FROM orders"""
+    for c in _STATS_COLS
+)
+
+
+LOCAL_QUERIES["table_stats_profile"] = QuerySpec(
+    q_table_stats_profile, _TABLE_STATS_SQL
+)

@@ -565,6 +565,7 @@ TPCH_QUERIES = [
     "events_heavy_hitters",
     "stream_cdc_apply",
     "dataset_drift_tv",
+    "table_stats_profile",
 ]
 
 
