@@ -59,7 +59,7 @@ LOAD_QUIET_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_QUIET", "4.0"))
 def _load_sample() -> float:
     try:
         return round(os.getloadavg()[0], 2)
-    except OSError:  # platform without getloadavg
+    except (OSError, AttributeError):  # unsupported OR absent (Windows)
         return -1.0
 
 # Raw rows for the end-to-end pipeline run, per unit of sf: at sf0.1,

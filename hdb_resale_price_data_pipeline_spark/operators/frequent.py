@@ -87,7 +87,14 @@ def exact_heavy_hitters(
 ) -> DataFrame:
     """Exact keys with ``count * factor > N`` via the two-pass
     MG-candidates + verify structure (module docstring). Returns
-    ``(key_col, cnt)``."""
+    ``(key_col, cnt)``.
+
+    NULL keys are handled out-of-band (r7 review finding): pandas
+    ``value_counts`` drops NaN so NULL can never become an MG
+    candidate, and the verify equi-join can't match NULL either —
+    but a ``GROUP BY`` oracle emits a NULL group. The null count is
+    exact from the same 1-row total aggregate (no extra pass) and a
+    NULL row is unioned in iff it clears the threshold."""
     if capacity is None:
         capacity = 2 * factor - 1
     if capacity + 1 < factor:
@@ -96,14 +103,22 @@ def exact_heavy_hitters(
             f"need capacity + 1 >= factor"
         )
     cands = misra_gries_candidates(df, key_col, capacity).distinct()
-    total = df.agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count(key_col)).alias("n_null"),
+    )
     counts = (
         df.join(F.broadcast(cands), key_col)
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return (
+    hot = (
         counts.crossJoin(F.broadcast(total))
         .filter(col("cnt") * factor > col("n"))
         .select(key_col, "cnt")
     )
+    null_hot = total.filter(col("n_null") * factor > col("n")).select(
+        F.lit(None).cast(df.schema[key_col].dataType).alias(key_col),
+        col("n_null").alias("cnt"),
+    )
+    return hot.unionByName(null_hot)

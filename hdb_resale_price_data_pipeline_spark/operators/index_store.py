@@ -144,18 +144,21 @@ def save_ann_index(
             continue
         full = os.path.join(path, entry)
         tomb = os.path.join(full, "_superseded")
-        superseded_at = now
+        superseded_at = None
         try:
             with open(tomb) as fh:
-                superseded_at = float(fh.read().strip() or now)
-        except FileNotFoundError:
+                superseded_at = float(fh.read().strip())
+        except (OSError, ValueError):
+            # missing OR corrupt/unreadable tomb: (re)stamp it with now
+            # — a corrupt stamp must restart the grace clock, never
+            # freeze it (an unrestamped bad tomb would make the version
+            # immortal, the r7 review finding).
+            superseded_at = now
             try:
                 with open(tomb, "w") as fh:
                     fh.write(repr(now))
             except OSError:
                 pass
-        except (OSError, ValueError):
-            pass
         if now - superseded_at >= gc_grace_seconds:
             shutil.rmtree(full, ignore_errors=True)
 
@@ -269,6 +272,31 @@ def publish_staged_partitions(
                 if f.startswith(batch_prefix) and f not in keep:
                     os.remove(os.path.join(full, f))
     return count
+
+
+def prune_batch_partition_files(
+    dst_root: str, partition_prefix: str, batch_prefix: str
+) -> int:
+    """Remove every ``batch_prefix`` file from a hive-partitioned
+    layout — the REPLAY-RESET half of a read-then-publish batch step: a
+    consumer that READS the layout before publishing its batch (the
+    served ER gate) must first erase its own batch's previous partial
+    publish, or the replay reads its own output and computes different
+    results than the clean run did (r7 review finding). Publish-only
+    appenders (``append_ann_index_idempotent``) don't need this — their
+    deterministic-name overwrite converges without it."""
+    removed = 0
+    if not os.path.isdir(dst_root):
+        return removed
+    for part_dir in os.listdir(dst_root):
+        full = os.path.join(dst_root, part_dir)
+        if not (part_dir.startswith(partition_prefix) and os.path.isdir(full)):
+            continue
+        for f in os.listdir(full):
+            if f.startswith(batch_prefix):
+                os.remove(os.path.join(full, f))
+                removed += 1
+    return removed
 
 
 def append_ann_index_idempotent(

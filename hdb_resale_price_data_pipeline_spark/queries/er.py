@@ -64,6 +64,14 @@ _CUST_BLOCK_START = 10  # 1-indexed: "Customer#" is 9 chars
 _CUST_BLOCK_LEN = 7
 
 
+def _gate_cache_suffix() -> str:
+    """EVERY parameter of the streaming ER gates, folded into their
+    /tmp cache keys — defined ONCE so the two supposedly bit-identical
+    gates can never diverge on which parameters invalidate a cached
+    checkpoint (the r6 ADVICE stale-reuse finding)."""
+    return f":lev{SNM_MAX_LEV}:b{_CUST_BLOCK_START}.{_CUST_BLOCK_LEN}:dirmod3"
+
+
 def _part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct part-name mention table with a stable integer id
     (min partkey per name) — the ER node universe. Vocabulary-sized by
@@ -606,7 +614,14 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # u3 sample: TakeOrderedAndProject (no full sort), then all pairs
     # WITHIN the fixed-size sample only — a bounded broadcast self-join.
-    samp = names.orderBy(F.md5(col("p_name")), col("nid")).limit(FS_U_SAMPLE)
+    # localCheckpoint: samp feeds THREE consumers (both self-join sides
+    # + the sample-size aggregate); plain reuse re-runs the top-k per
+    # consumer (the shared-frame lesson).
+    samp = (
+        names.orderBy(F.md5(col("p_name")), col("nid"))
+        .limit(FS_U_SAMPLE)
+        .localCheckpoint(eager=False)
+    )
     sa, sb = samp.alias("sa"), samp.alias("sb")
     ag3 = (
         sa.join(F.broadcast(sb), col("sa.nid") < col("sb.nid"))
@@ -925,10 +940,7 @@ def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directory-slice predicate) alongside the source identity — a
     # parameter change can never reuse a stale checkpoint + landed
     # verdicts (r6 ADVICE finding).
-    key = (
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:ergate"
-        f":lev{SNM_MAX_LEV}:b{_CUST_BLOCK_START}.{_CUST_BLOCK_LEN}:dirmod3"
-    )
+    key = f"{src}:{st.st_mtime_ns}:{st.st_size}:ergate" + _gate_cache_suffix()
     root = f"/tmp/hdb_er_gate_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     query = stream_er_gate(
         customers_stream(spark, sf_dir),
@@ -1001,8 +1013,7 @@ def q_stream_er_gate_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.abspath(f"{sf_dir}/customer.parquet")
     st = os.stat(src)
     key = (
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:ergate_served"
-        f":lev{SNM_MAX_LEV}:b{_CUST_BLOCK_START}.{_CUST_BLOCK_LEN}:dirmod3"
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:ergate_served" + _gate_cache_suffix()
     )
     root = f"/tmp/hdb_er_gate_srv_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     dir_path = os.path.join(root, "directory")

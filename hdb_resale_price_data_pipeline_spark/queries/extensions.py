@@ -732,6 +732,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.cdc import (
         CDC_BUCKETS,
         CDC_SLICES,
+        CDC_STATE_FORMAT,
         changelog_stream,
         read_cdc_state,
         stream_cdc_apply,
@@ -741,7 +742,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(src)
     key = (
         f"{src}:{st.st_mtime_ns}:{st.st_size}:cdcapply"
-        f":{CDC_SLICES}:{CDC_BUCKETS}"
+        f":{CDC_SLICES}:{CDC_BUCKETS}:fmt{CDC_STATE_FORMAT}"
     )
     root = f"/tmp/hdb_cdc_apply_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     query = stream_cdc_apply(

@@ -16,15 +16,22 @@ Design for 100 TB:
   discipline on a hash layout). Untouched buckets' files stay
   byte-identical; per-batch cost scales with the batch's key spread,
   never the table.
-- **Last-write-wins by sequence number, which makes replay a no-op.**
-  Every state row carries ``last_seq``; a change applies iff its seq ≥
-  the stored seq. A checkpoint replay of a half-applied batch
-  re-applies the same changes onto already-updated rows (seq equal →
-  same values) and re-deletes already-gone rows (vacuously) — the
-  merge converges without any batch-id bookkeeping because the
-  SEQUENCE makes application idempotent, the same reason the ANN/ER
-  appends key on batch_id (operators/index_store.py) where no natural
-  sequence exists.
+- **Last-write-wins by sequence number, which makes application
+  ORDER-INDEPENDENT and replay a no-op.** Every state row carries
+  ``last_seq``; a change applies iff its seq ≥ the stored seq, and
+  DELETES ARE RETAINED AS TOMBSTONES (``deleted = true``, the
+  Delta/Hudi discipline) rather than physically dropped — so a delete
+  arriving BEFORE an out-of-order earlier upsert still wins (the
+  stale upsert sees the tombstone's higher seq), and a checkpoint
+  replay of a half-applied batch re-applies the same changes onto
+  already-updated rows (seq equal → same values). Without tombstones,
+  cross-batch delivery order would matter (an early-delivered delete
+  would be a no-op on empty state and the late stale upsert would
+  resurrect the row — the r7 review finding).
+- **Tombstone GC is a compaction concern, not an apply concern:**
+  rewrite a bucket dropping tombstones whose seq every consumer has
+  passed (the ``compact_partitions_inplace`` machinery on the bucket
+  layout); the apply loop never needs to.
 - **Within-batch collapse first.** A batch may carry several changes
   for one key; only the max-seq change per key enters the merge (one
   batch-sized window), so the join is one row per (key, side).
@@ -34,7 +41,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -42,8 +48,17 @@ from pyspark.sql.functions import col
 
 CDC_BUCKETS = 8
 CDC_SLICES = 3  # one staged landing file per change wave → 3 micro-batches
+# State-table format version — folded into every /tmp cache key (the r6
+# ADVICE cache-key discipline): bumping it orphans state written by an
+# older layout instead of mis-reading it with the new pinned schema
+# (v2 added the `deleted` tombstone column; v1 state read under the v2
+# schema would yield all-NULL deleted and an empty live view).
+CDC_STATE_FORMAT = 2
 
-_STATE_COLS = ("o_orderkey", "price_cents", "last_seq")
+_STATE_SCHEMA = (
+    "o_orderkey bigint, price_cents bigint, last_seq int, "
+    "deleted boolean, bucket int"
+)
 
 
 def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,8 +103,12 @@ def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stage_changelog_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the changelog as one landing file PER CHANGE WAVE, written
     in seq order (increasing mtimes → the file stream delivers waves as
-    ordered micro-batches). (mtime, size)-keyed like every staging
-    helper, with the wave/bucket parameters folded into the key."""
+    ordered micro-batches in the common case; the APPLY is
+    order-independent by seq-LWW + tombstones, so an mtime tie on a
+    coarse-granularity filesystem cannot corrupt the final state — the
+    ordering here only makes the multi-batch demo legible).
+    (mtime, size)-keyed like every staging helper, with the
+    wave/bucket parameters folded into the key."""
     src = os.path.abspath(f"{sf_dir}/orders.parquet")
     st = os.stat(src)
     key = f"{src}:{st.st_mtime_ns}:{st.st_size}:cdc:{CDC_SLICES}:{CDC_BUCKETS}"
@@ -114,16 +133,25 @@ def changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def read_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_cdc_state(
+    spark: SparkSession, state_dir: str, include_tombstones: bool = False
+) -> DataFrame:
     """Current state table (empty-typed frame before the first batch).
-    The partition column is pinned int — all-digit values, same
-    inference hazard as the ER directory."""
-    schema = "o_orderkey bigint, price_cents bigint, last_seq int, bucket int"
+    Tombstones (retained deletes) are filtered by default — pass
+    ``include_tombstones=True`` for the raw merge state. The partition
+    column is pinned int — all-digit values, same inference hazard as
+    the ER directory."""
     if not os.path.isdir(state_dir) or not any(
         e.startswith("bucket=") for e in os.listdir(state_dir)
     ):
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(state_dir)
+        out = spark.createDataFrame([], _STATE_SCHEMA)
+    else:
+        out = spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
+    return (
+        out
+        if include_tombstones
+        else out.filter(~F.coalesce(col("deleted"), F.lit(False)))
+    )
 
 
 def stream_cdc_apply(
@@ -156,52 +184,41 @@ def stream_cdc_apply(
             )
         )
         touched = [int(r[0]) for r in latest.select("bucket").distinct().collect()]
-        state = read_cdc_state(spark, state_dir).filter(
+        state = read_cdc_state(spark, state_dir, include_tombstones=True).filter(
             col("bucket").isin(touched)  # partition-pruned scan
         )
         # full-outer merge (no broadcast: BroadcastHashJoin can't build a
         # full-outer) — both sides are batch-bounded: the batch by
-        # construction, the state by the bucket pruning above.
-        merged = (
-            state.join(latest, ["o_orderkey", "bucket"], "full_outer")
-            .withColumn(
-                "apply_change",
-                col("b_seq").isNotNull()
-                & (col("last_seq").isNull() | (col("b_seq") >= col("last_seq"))),
-            )
-            .filter(
-                # drop the row iff the winning change is a delete;
-                # a delete of a nonexistent key is a no-op by the same filter
-                ~(col("apply_change") & (col("op") == "delete"))
-            )
-            .select(
-                "o_orderkey",
-                F.when(col("apply_change"), col("b_price"))
-                .otherwise(col("price_cents"))
-                .alias("price_cents"),
-                F.when(col("apply_change"), col("b_seq"))
-                .otherwise(col("last_seq"))
-                .alias("last_seq"),
-                "bucket",
-            )
+        # construction, the state by the bucket pruning above. Every row
+        # survives the merge: a winning delete becomes/refreshes a
+        # tombstone (module docstring), so a touched bucket is never
+        # written empty — which also closes the dynamic-partition-
+        # overwrite hazard (a partition absent from the output keeps its
+        # old files) without an explicit clearing pass.
+        apply_change = col("b_seq").isNotNull() & (
+            col("last_seq").isNull() | (col("b_seq") >= col("last_seq"))
         )
-        # Dynamic partition overwrite only replaces partitions PRESENT
-        # in the output — a touched bucket whose every row was deleted
-        # is absent from `merged` and would silently keep its old files
-        # (found live: a delete predicate correlated with the bucket
-        # expression empties whole buckets). Clear those explicitly.
-        merged = merged.localCheckpoint(eager=True)  # one compute, two uses
-        present = {int(r[0]) for r in merged.select("bucket").distinct().collect()}
-        if present:
-            (
-                merged.repartition("bucket")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket")
-                .parquet(state_dir)
-            )
-        for b in set(touched) - present:
-            shutil.rmtree(os.path.join(state_dir, f"bucket={b}"), ignore_errors=True)
+        merged = state.join(latest, ["o_orderkey", "bucket"], "full_outer").select(
+            "o_orderkey",
+            F.when(apply_change & (col("op") == "delete"), F.lit(None))
+            .when(apply_change, col("b_price"))
+            .otherwise(col("price_cents"))
+            .alias("price_cents"),
+            F.when(apply_change, col("b_seq"))
+            .otherwise(col("last_seq"))
+            .alias("last_seq"),
+            F.when(apply_change, col("op") == "delete")
+            .otherwise(F.coalesce(col("deleted"), F.lit(False)))
+            .alias("deleted"),
+            "bucket",
+        )
+        (
+            merged.repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(state_dir)
+        )
 
     return (
         changelog.writeStream.foreachBatch(_apply_batch)

@@ -266,16 +266,27 @@ def stream_er_gate_served(
     ``new_entity`` verdicts to the served directory (idempotent
     batch-keyed publish — :func:`append_er_directory_idempotent`), so a
     re-arriving variant of an entity minted in an earlier batch routes
-    to THAT entity id instead of minting a duplicate per batch. Two
-    scope notes: records within ONE batch still don't see each other
-    (both layouts share that contract — within-batch resolution is the
-    batch ER pass's job), and verdicts become batch-ORDER-dependent, so
-    the default stays off for the oracle-twinned gate queries; a
-    rebuild (``write_er_directory``) resets the appended state."""
+    to THAT entity id instead of minting a duplicate per batch. Because
+    this gate READS the directory before publishing into it, each batch
+    first erases its OWN batch-prefixed files (``prune_batch_partition_
+    files``) — a checkpoint replay otherwise reads the crashed
+    attempt's minted entities, matches records against themselves, and
+    lands flipped verdicts (non-convergent replay). Two scope notes:
+    records within ONE batch still don't see each other (both layouts
+    share that contract — within-batch resolution is the batch ER
+    pass's job), and verdicts become batch-ORDER-dependent, so the
+    default stays off for the oracle-twinned gate queries; a rebuild
+    (``write_er_directory``) resets the appended state."""
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if maintain_directory:
+            from ..operators.index_store import prune_batch_partition_files
+
+            prune_batch_partition_files(
+                directory_path, "bk=", f"b{int(batch_id)}-"
+            )
         spark = batch_df.sparkSession
         arr = batch_df.select(
             col(id_col).alias("id"),

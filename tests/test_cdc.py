@@ -81,12 +81,21 @@ def test_upsert_delete_and_cow_bucket_pruning(spark, tmp_path):
     }
     assert before == after, "untouched bucket rewritten — copy-on-write broken"
 
-    # wave 3 DELETES every key of bucket 2 (key 2): dynamic partition
-    # overwrite alone would leave the stale files (the correlated-
-    # predicate bug) — the touched-but-empty bucket must be cleared.
+    # wave 3 DELETES every key of bucket 2 (key 2): the delete is
+    # retained as a TOMBSTONE (deleted=true) — the live view drops it,
+    # the raw state keeps it (so a stale earlier-seq upsert can never
+    # resurrect the key), and the bucket partition is rewritten rather
+    # than left with its stale pre-delete files (the correlated-
+    # predicate bug the first cut had).
     _run_wave(spark, [(2, 3, "delete", None)], landing, root, "w3")
     assert _state(spark, root) == {4: (100, 1), 1: (201, 2), 5: (500, 2)}
-    assert not os.path.isdir(os.path.join(root, "state", "bucket=2"))
+    raw = {
+        r.o_orderkey: (r.last_seq, r.deleted)
+        for r in read_cdc_state(
+            spark, os.path.join(root, "state"), include_tombstones=True
+        ).collect()
+    }
+    assert raw[2] == (3, True), "delete must persist as a tombstone"
 
 
 def test_replay_converges_by_sequence_lww(spark, tmp_path):
@@ -183,3 +192,26 @@ def test_diff_changelog_roundtrip_reproduces_new_snapshot(spark, tmp_path):
     got = {k_: v for k_, (v, _) in _state(spark, root).items()}
     want = {r.o_orderkey: r.cents for r in new.collect()}
     assert got == want, "diff ∘ apply must equal the new snapshot"
+
+
+def test_out_of_order_delete_is_not_resurrected(spark, tmp_path):
+    """Cross-batch ORDER independence: a seq-2 delete delivered BEFORE
+    the seq-1 upsert (mtime tie / unspecified file order) must still
+    win — the tombstone's higher seq rejects the stale upsert. Without
+    retained tombstones the early delete would be a no-op on empty
+    state and the late upsert would resurrect the key."""
+    import os
+
+    root = str(tmp_path)
+    landing = os.path.join(root, "landing")
+    _run_wave(spark, [(6, 2, "delete", None)], landing, root, "w1")
+    assert _state(spark, root) == {}
+    _run_wave(spark, [(6, 1, "upsert", 600)], landing, root, "w2")
+    assert _state(spark, root) == {}, "stale upsert resurrected a deleted key"
+    raw = {
+        r.o_orderkey: (r.last_seq, r.deleted)
+        for r in read_cdc_state(
+            spark, os.path.join(root, "state"), include_tombstones=True
+        ).collect()
+    }
+    assert raw[6] == (2, True)

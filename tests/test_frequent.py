@@ -50,3 +50,17 @@ def test_capacity_below_factor_is_rejected(spark):
     df = _skewed(spark, 2)
     with pytest.raises(ValueError, match="capacity"):
         exact_heavy_hitters(df, "k", factor=8, capacity=3)
+
+
+def test_null_keys_are_first_class(spark):
+    """r7 review finding: NULL keys never become MG candidates (pandas
+    value_counts drops NaN) and can't equi-join in the verify pass, but
+    a GROUP BY oracle emits a NULL group — the operator must too."""
+    rows = [("x",)] * 40 + [(None,)] * 50 + [(f"c{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string").repartition(5)
+    got = {
+        (r.k, r.cnt)
+        for r in exact_heavy_hitters(df, "k", factor=4, capacity=7).collect()
+    }
+    # N=100, threshold cnt*4 > 100 ⇔ cnt > 25: 'x' (40) and NULL (50)
+    assert got == {("x", 40), (None, 50)}

@@ -343,3 +343,64 @@ def test_empty_block_key_routes_identically_across_layouts(spark, tmp_path):
     assert by_id[11] == "known_exact", "short name must match its directory twin"
     assert by_id[12] == "merge", "1-edit variant of a short name must merge"
     assert by_id[13] == "known_exact"
+
+
+def test_maintained_directory_replay_converges(spark, tmp_path):
+    """r7 review finding: a checkpoint replay of a maintained batch must
+    NOT read its own previously-published minted entities (it would
+    match records against themselves and land flipped verdicts). The
+    gate prunes its own batch-prefixed files before reading, so the
+    replay reproduces the clean run bit-for-bit."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.streaming.linkage import (
+        stream_er_gate_served,
+        write_er_directory,
+    )
+
+    block = lambda c: F.substring(c, 10, 7)  # noqa: E731
+    schema = "c_custkey bigint, c_name string"
+    seed = spark.createDataFrame([(5, "Customer#000000005")], schema)
+    dir_path = str(tmp_path / "dir")
+    write_er_directory(seed, dir_path, block)
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame([(1001, "Customer#000990001")], schema).coalesce(
+        1
+    ).write.parquet(landing)
+
+    def run(sub, ckpt):
+        q = stream_er_gate_served(
+            spark.readStream.schema(schema).parquet(landing),
+            dir_path,
+            block,
+            out_dir=str(tmp_path / sub / "out"),
+            checkpoint_dir=str(tmp_path / ckpt),
+            max_lev=1,
+            maintain_directory=True,
+        )
+        q.awaitTermination()
+        return {
+            r["id"]: (r["route"], r["best_match_id"])
+            for r in spark.read.parquet(str(tmp_path / sub / "out")).collect()
+        }
+
+    first = run("r1", "ckpt1")
+    assert first[1001] == ("new_entity", None)
+    # simulate a replay of the same batch_id: wipe the checkpoint so the
+    # stream re-delivers the file as batch 0 — the directory already
+    # holds the crashed attempt's published entity
+    shutil.rmtree(str(tmp_path / "ckpt1"))
+    second = run("r2", "ckpt2")
+    assert second == first, "replay must not read its own minted entities"
+    # and the directory converged to exactly one minted entry for 1001
+    minted = [
+        r["mid"]
+        for r in spark.read.schema("mid bigint, mname string").parquet(
+            dir_path
+        ).collect()
+        if r["mid"] == 1001
+    ]
+    assert minted == [1001], f"directory holds {len(minted)} copies of 1001"

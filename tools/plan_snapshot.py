@@ -185,12 +185,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     only: set[str] | None = None
     if "--only" in sys.argv:
-        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-    sigs = build_signatures(spark, sf_dir, only=only)
-    if only is not None:
-        missing = only - sigs.keys()
+        idx = sys.argv.index("--only") + 1
+        if idx >= len(sys.argv) or sys.argv[idx].startswith("-"):
+            raise SystemExit("--only requires a comma-separated name list")
+        only = set(sys.argv[idx].split(","))
+        # fail fast BEFORE the multi-minute warm+build pass
+        from hdb_resale_price_data_pipeline_spark.queries import local_queries
+
+        missing = only - local_queries().keys()
         if missing:
             raise SystemExit(f"--only names not in registry: {sorted(missing)}")
+    sigs = build_signatures(spark, sf_dir, only=only)
     if "--update" in sys.argv:
         if only is not None and os.path.exists(SNAPSHOT_PATH):
             with open(SNAPSHOT_PATH) as f:
