@@ -2169,3 +2169,82 @@ HAVING count(*) * {HH_FACTOR} > n
 LOCAL_QUERIES["events_heavy_hitters"] = QuerySpec(
     q_events_heavy_hitters, _EVENTS_HH_SQL
 )
+
+
+# --- time-series densification: gap fill + forward fill -----------------------
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each user's daily activity series
+    to a contiguous calendar (one row per day between the user's first
+    and last active day) and forward-fill the last observed daily spend
+    into the gaps — the standard prep step before per-entity trend
+    models, EWMA smoothing, or as-of feature joins, where a missing day
+    must mean "carried value", not "absent row".
+
+    Daily spend is an exact cents grid (per-event floor(value·100+0.5)
+    summed per day). The calendar derives from ``sequence(min_day,
+    max_day)`` + explode — per-KEY bounded (a user's own span), never a
+    cross join against a global calendar dim, so the row blow-up is
+    Σ_user span_days, not |users|·|calendar|. Forward fill is one
+    ``last(ignorenulls)`` running window per user — a single range
+    partition per key, the same shape both engines implement natively.
+    Scale: one (user, day) grain aggregate + one explode (no shuffle —
+    explode rides the agg's partitioning) + one window shuffle on
+    user_id."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        ev.select(
+            "user_id", F.to_date(col("ts")).alias("day"), cents.alias("c")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").alias("day_cents"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.sequence(col("d0"), col("d1"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return calendar.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        col("day").cast("string").alias("day"),
+        col("day_cents").isNull().cast("int").alias("is_gap"),
+        F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+
+
+_EVENTS_GAP_FILL_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS day_cents
+    FROM events GROUP BY 1, 2
+), spans AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), calendar AS (
+    SELECT s.user_id, CAST(u.d AS DATE) AS day
+    FROM spans s, unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                         CAST(s.d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS u(d)
+)
+SELECT c.user_id, CAST(c.day AS VARCHAR) AS day,
+       CAST(d.day_cents IS NULL AS INT) AS is_gap,
+       last_value(d.day_cents IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_cents
+FROM calendar c
+LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+"""
+
+
+LOCAL_QUERIES["events_gap_fill"] = QuerySpec(
+    q_events_gap_fill, _EVENTS_GAP_FILL_SQL
+)

@@ -2280,3 +2280,234 @@ FROM orders"""
 LOCAL_QUERIES["table_stats_profile"] = QuerySpec(
     q_table_stats_profile, _TABLE_STATS_SQL
 )
+
+
+# --- bloom-filter semi-join reduction -----------------------------------------
+
+# Explicit Bloom runtime filter: m bits as 32-bit words (BIGINT-safe,
+# the events_retention_bitmap convention), k=2 independent xxhash64
+# seeds. ~20% of customers qualify, so FP rate at m=32768 / n≈300 is
+# ≈ (1 - e^(-2·300/32768))² ≈ 0.03% — the prefilter passes almost
+# exactly the matching orders.
+BLOOM_BITS = 1 << 15
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_positions(key, seed: int):
+    return F.expr(
+        f"CAST(pmod(xxhash64({seed}, {key}), {BLOOM_BITS}) AS BIGINT)"
+    )
+
+
+def bloom_prefiltered_orders(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Bloom prefilter stage of ``q_orders_bloom_semi`` (exposed for the
+    pruning tests): returns (prefiltered orders, qualifying key frame).
+    The prefilter can pass false positives but NEVER drops a true match
+    — the exact post-join in the query removes the former; the latter is
+    the property tests/test_runtime_filter.py asserts."""
+    cust = t(spark, sf_dir, "customer").filter(
+        (col("c_mktsegment") == "BUILDING") & (col("c_acctbal") > 0)
+    )
+    keys = cust.select(col("c_custkey").alias("k"))
+    positions = keys.select(
+        F.explode(
+            F.array(
+                _bloom_positions("k", 1),
+                _bloom_positions("k", 2),
+            )
+        ).alias("pos")
+    )
+    bitset = (
+        positions.select(
+            F.expr(f"CAST(pos DIV {BLOOM_WORD_BITS} AS INT)").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "mask")))
+            ).alias("bmap")
+        )
+    )
+    orders = t(spark, sf_dir, "orders")
+
+    def hit(seed: int):
+        word = F.expr(
+            f"CAST(pmod(xxhash64({seed}, o_custkey), {BLOOM_BITS})"
+            f" DIV {BLOOM_WORD_BITS} AS INT)"
+        )
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(pmod(xxhash64({seed}, o_custkey), {BLOOM_BITS})"
+            f" % {BLOOM_WORD_BITS} AS INT))"
+        )
+        return (
+            F.coalesce(F.element_at(col("bmap"), word), F.lit(0)).bitwiseAND(
+                bit
+            )
+            != 0
+        )
+
+    prefiltered = (
+        orders.crossJoin(broadcast(bitset))
+        .filter(hit(1) & hit(2))
+        .drop("bmap")
+    )
+    return prefiltered, keys
+
+
+def q_orders_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit Bloom runtime filter — the
+    classic distributed-DB technique for cutting fact-table shuffle
+    volume before a join: build a bitset over the qualifying dim keys
+    (customers in the BUILDING segment with positive balance), broadcast
+    the ~4 KB bitset, prefilter the orders scan JVM-side (two codegen
+    bit tests, no Python), THEN run the exact semi-join to remove the
+    Bloom's false positives. The output is therefore bit-identical to a
+    plain semi-join — the oracle IS the plain semi-join — while the
+    expensive join sees only ~segment-share of the fact table.
+
+    Scale: Spark's adaptive runtime filters
+    (``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled``) inject
+    this automatically per-join; the explicit operator is the portable
+    form — the bitset is a first-class 1-row frame that can be persisted
+    and re-applied at MANY scans (multi-pipeline reuse), and it keeps
+    working when the dim outgrows the broadcast threshold (the bitset
+    stays m/8 bytes regardless of dim row count; only the exact
+    post-join shuffles, over the pre-pruned fact). Bitset build is one
+    word-grain aggregate + a 1024-entry map in one row."""
+    prefiltered, keys = bloom_prefiltered_orders(spark, sf_dir)
+    # exact post-join: false positives die here; result == plain semi-join
+    exact = prefiltered.join(
+        broadcast(keys), prefiltered.o_custkey == col("k"), "left_semi"
+    )
+    cents = F.floor(col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+_ORDERS_BLOOM_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM customer c
+    WHERE c.c_custkey = o.o_custkey
+      AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 0
+)
+GROUP BY o_orderpriority
+"""
+
+
+LOCAL_QUERIES["orders_bloom_semi"] = QuerySpec(
+    q_orders_bloom_semi, _ORDERS_BLOOM_SEMI_SQL
+)
+
+
+# --- per-group closed-form OLS trend ------------------------------------------
+
+# slope classification thresholds, in quantized (1e-6 grid) cents/month
+TREND_EPS_Q = 1_000_000_000  # |slope| < 1000 cents/month → flat
+
+
+def q_customers_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend-trend detection via closed-form OLS — the
+    million-groups regression shape (per-entity trend scoring for
+    churn/growth triage) that iterative solvers can't do distributed:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over (x = absolute month
+    index, y = monthly spend in cents). Both numerator and denominator
+    are EXACT BIGINT sufficient statistics (bounded: x ≤ 24k, y-cents ≤
+    ~1e8, n ≤ ~10² months → n·Σxy ≤ ~1e16 « 2^63), accumulated in ONE
+    customer-grain aggregate; the single division lands on the 1e-6
+    grid, so both engines emit bit-identical slopes. Customers with one
+    month of history (denominator 0) classify as 'insufficient'.
+
+    Scale: two shuffles total — (custkey, month) grain then custkey
+    grain — both map-side combinable; no window, no per-group
+    iteration; output is customer-grain (the working set never exceeds
+    the entity count)."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.floor(col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    monthly = (
+        orders.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("x"),
+            cents.alias("y"),
+        )
+        .groupBy("o_custkey", "x")
+        .agg(F.sum("y").alias("y"))
+    )
+    stats = monthly.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(col("x") * col("y")).alias("sxy"),
+        F.sum(col("x") * col("x")).alias("sxx"),
+    )
+    num = col("n_months") * col("sxy") - col("sx") * col("sy")
+    den = col("n_months") * col("sxx") - col("sx") * col("sx")
+    slope_q = F.when(
+        den > 0,
+        F.floor(num.cast("double") / den.cast("double") * 1_000_000 + 0.5)
+        .cast("bigint"),
+    )
+    return stats.select(
+        "o_custkey",
+        "n_months",
+        slope_q.alias("slope_q"),
+        F.when(slope_q.isNull(), "insufficient")
+        .when(slope_q > TREND_EPS_Q, "rising")
+        .when(slope_q < -TREND_EPS_Q, "falling")
+        .otherwise("flat")
+        .alias("trend"),
+    )
+
+
+_CUSTOMERS_TREND_SQL = f"""
+WITH monthly AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders GROUP BY 1, 2
+), stats AS (
+    SELECT o_custkey, count(*) AS n_months,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM monthly GROUP BY 1
+), sloped AS (
+    SELECT o_custkey, n_months,
+           CASE WHEN n_months * sxx - sx * sx > 0 THEN
+               CAST(floor(CAST(n_months * sxy - sx * sy AS DOUBLE)
+                    / CAST(n_months * sxx - sx * sx AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT)
+           END AS slope_q
+    FROM stats
+)
+SELECT o_custkey, n_months, slope_q,
+       CASE WHEN slope_q IS NULL THEN 'insufficient'
+            WHEN slope_q > {TREND_EPS_Q} THEN 'rising'
+            WHEN slope_q < -{TREND_EPS_Q} THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM sloped
+"""
+
+
+LOCAL_QUERIES["customers_trend_ols"] = QuerySpec(
+    q_customers_trend_ols, _CUSTOMERS_TREND_SQL
+)

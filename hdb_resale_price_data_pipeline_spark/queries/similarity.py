@@ -3101,3 +3101,90 @@ def _kcenter_oracle() -> str:
 QUERIES["emb_kcenter_coreset"] = QuerySpec(  # r7 rotation: graded
     q_emb_kcenter_coreset, _kcenter_oracle()
 )
+
+
+# --- bounded multi-source BFS over the k-NN graph ----------------------------
+
+BFS_HOPS = 3
+BFS_SEED_MOD = 37  # seeds: vec_id % 37 == 0 (deterministic multi-source set)
+
+
+def q_emb_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the blocked k-NN graph: min-hop
+    distance (≤ ``BFS_HOPS``) from a deterministic seed set to every
+    reachable vector — the graph-expansion primitive behind
+    seed-anchored corpus curation (expand a trusted seed set K hops
+    through the similarity graph), label propagation warm-starts, and
+    recall diagnostics for graph-based ANN (how much of the corpus is
+    within K hops of the entry points).
+
+    Each hop is the canonical Pregel superstep as DataFrame ops: join
+    the FRONTIER (only the nodes first reached last hop, never the
+    whole reached set) against the edge list on ``src``, distinct the
+    destinations, anti-join out already-reached nodes, tag the hop
+    number. Hop count is a fixed constant, so the loop is a K-bounded
+    driver loop (BPE-merge discipline) with per-hop lazy
+    localCheckpoints cutting the replay lineage. Scale: per hop, one
+    src-grain join + one distinct + one anti-join — all on the node-id
+    key, linear in frontier-adjacent edges (≤ KNN_K per node by
+    construction); on a cluster the edge list is bucketed by ``src`` so
+    every superstep's join is co-located (the same layout PageRank
+    reuses). The oracle unrolls the three supersteps as CTE layers."""
+    edges = (
+        q_emb_knn_graph(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(col("vec_id") % BFS_SEED_MOD == 0)
+    )
+    reach = seeds.select(
+        col("vec_id").alias("node"), F.lit(0).cast("int").alias("hops")
+    )
+    frontier = reach.select("node")
+    for h in range(1, BFS_HOPS + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").alias("node"))
+            .distinct()
+            .join(reach.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        reach = reach.unionByName(nxt)
+        frontier = nxt.select("node")
+    return reach.select(col("node").alias("vec_id"), "hops")
+
+
+def _bfs_reach_oracle() -> str:
+    knn = _knn_graph_oracle()
+    layers = []
+    prev_r, prev_f = "r0", "r0"
+    for h in range(1, BFS_HOPS + 1):
+        layers.append(
+            f"""f{h} AS MATERIALIZED (
+    SELECT DISTINCT e.dst AS node
+    FROM edges e JOIN {prev_f} f ON f.node = e.src
+    WHERE e.dst NOT IN (SELECT node FROM {prev_r})
+), r{h} AS MATERIALIZED (
+    SELECT node, hops FROM {prev_r}
+    UNION ALL SELECT node, {h} AS hops FROM f{h}
+)"""
+        )
+        prev_r, prev_f = f"r{h}", f"f{h}"
+    body = ",\n".join(layers)
+    return f"""
+WITH edges AS MATERIALIZED (
+    SELECT src, dst FROM ({knn})
+), r0 AS (
+    SELECT vec_id AS node, 0 AS hops FROM embeddings
+    WHERE vec_id % {BFS_SEED_MOD} = 0
+),
+{body}
+SELECT node AS vec_id, CAST(hops AS INT) AS hops FROM {prev_r}
+"""
+
+
+LOCAL_QUERIES["emb_bfs_reach"] = QuerySpec(q_emb_bfs_reach, _bfs_reach_oracle())

@@ -342,6 +342,10 @@ SCALING_QUERIES = [
     # passes; the probe shows each pass is map-linear
     "emb_kcenter_coreset",
     "emb_knn_graph",
+    # r7 session 2: bounded multi-source BFS — three Pregel supersteps
+    # over the blocked kNN edge list; per-hop cost is frontier-adjacent
+    # edges, so the slope tracks the kNN-graph build it rides on
+    "emb_bfs_reach",
     # r5: unigram trainer — EM passes are vocab-sized Arrow maps; the
     # corpus reaches it only through the one word-frequency pass
     "text_unigram_learn",
@@ -566,6 +570,13 @@ TPCH_QUERIES = [
     "stream_cdc_apply",
     "dataset_drift_tv",
     "table_stats_profile",
+    # r7 session 2: explicit Bloom runtime filter (replicated customers
+    # grow the qualifying key set 10×), per-customer closed-form OLS
+    # (customer-grain working set grows 10×), per-user calendar
+    # densification (replicated events densify the fixed 30-day span)
+    "orders_bloom_semi",
+    "customers_trend_ols",
+    "events_gap_fill",
 ]
 
 
