@@ -2248,3 +2248,79 @@ LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
 LOCAL_QUERIES["events_gap_fill"] = QuerySpec(
     q_events_gap_fill, _EVENTS_GAP_FILL_SQL
 )
+
+
+# --- robust outlier detection: median absolute deviation ----------------------
+
+MAD_K = 5  # |v - median| > K·MAD flags an outlier
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier profile via MAD (median absolute
+    deviation) — the heavy-tail-safe twin of ``events_anomaly_days``'s
+    mean/σ z-score: one extreme reading moves a mean/σ gate's own
+    threshold, but the median/MAD fence only moves when half the data
+    does (50% breakdown point — the standard robust monitor for skewed
+    telemetry).
+
+    Both medians run on the exact cents grid, so each lands on an
+    integer or an exact .5 (the average of two grid points) — the one
+    value class where Spark's exact ``median`` and DuckDB's agree bit
+    for bit (no interpolation between arbitrary doubles); the fence
+    compare ``adev > K·MAD`` is exact half-grid arithmetic. Three
+    passes, each ONE type-grain aggregate with the medians' sort
+    confined to per-type partitions: median → broadcast-join deviations
+    → MAD → broadcast-join fence + count. The documented 100 TB relief
+    is approx_percentile(0.5) with identical fence logic (the sketch
+    path events_quantile_sketch already exercises); exact median here
+    keeps the oracle bit-exact."""
+    ev = t(spark, sf_dir, "events").filter(col("value").isNotNull())
+    cents = F.floor(col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = ev.select("event_type", cents.alias("c"))
+    med = base.groupBy("event_type").agg(F.median("c").alias("med_cents"))
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "c",
+        F.abs(col("c") - col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_cents"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (col("adev") > F.lit(MAD_K) * col("mad_cents")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select("event_type", "n", "med_cents", "mad_cents", "n_outliers")
+    )
+
+
+_EVENTS_MAD_SQL = f"""
+WITH base AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL
+), med AS (
+    SELECT event_type, median(c) AS med_cents FROM base GROUP BY 1
+), dev AS (
+    SELECT b.event_type, abs(b.c - m.med_cents) AS adev
+    FROM base b JOIN med m USING (event_type)
+), mad AS (
+    SELECT event_type, median(adev) AS mad_cents FROM dev GROUP BY 1
+)
+SELECT d.event_type, count(*) AS n,
+       any_value(m.med_cents) AS med_cents,
+       any_value(a.mad_cents) AS mad_cents,
+       CAST(sum(CAST(d.adev > {MAD_K} * a.mad_cents AS INT)) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN med m USING (event_type) JOIN mad a USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+LOCAL_QUERIES["events_mad_outliers"] = QuerySpec(
+    q_events_mad_outliers, _EVENTS_MAD_SQL
+)

@@ -2511,3 +2511,170 @@ FROM sloped
 LOCAL_QUERIES["customers_trend_ols"] = QuerySpec(
     q_customers_trend_ols, _CUSTOMERS_TREND_SQL
 )
+
+
+# --- skyline (Pareto frontier) -------------------------------------------------
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query over parts (minimize price,
+    maximize size): the preference-query primitive behind
+    cheapest-but-largest style product shortlists and multi-objective
+    data selection (e.g. quality-vs-length corpus frontiers).
+
+    Distributed shape is the classic two-phase skyline: (1) a
+    shuffle-free per-partition prune — the skyline of a union is a
+    subset of the union of skylines, so each input split emits only its
+    LOCAL frontier (vectorized pandas pass: group by price, running max
+    of size down the sorted price axis) — then (2) the exact dominance
+    anti-join over the pruned candidate set (a point survives iff no
+    candidate weakly dominates it with one strict improvement).
+    Candidates are frontier-sized, so the anti-join's broadcast side is
+    tiny even when the input is not; the prune is monotone-safe (phase
+    1 only ever drops points phase 2 would drop — tested). Prices
+    compare on the exact cents grid. At 100 TB the same two phases
+    hold: map-local prune, then an all-pairs join over |frontier|²,
+    with band-partitioning on one dimension as the relief if the
+    frontier itself ever outgrows a broadcast."""
+    import pandas as pd
+
+    parts = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        col("p_size").cast("int").alias("p_size"),
+    )
+
+    def local_skyline(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # per-price max size, then running max over ascending price:
+            # a row is locally dominated iff a strictly-cheaper price
+            # reached >= its size, or an equal price reached > its size.
+            per_price = (
+                pdf.groupby("cents")["p_size"].max().sort_index()
+            )
+            run_before = per_price.cummax().shift(1)  # max size at price <
+            best_lt = pdf["cents"].map(run_before)
+            best_eq = pdf["cents"].map(per_price)
+            dominated = (best_lt.notna() & (best_lt >= pdf["p_size"])) | (
+                best_eq > pdf["p_size"]
+            )
+            out = pdf[~dominated]
+            if not out.empty:
+                yield out
+
+    schema = "p_partkey bigint, cents bigint, p_size int"
+    candidates = parts.mapInPandas(local_skyline, schema=schema)
+    a, b = candidates.alias("a"), candidates.alias("b")
+    dominated = (
+        (col("b.cents") <= col("a.cents"))
+        & (col("b.p_size") >= col("a.p_size"))
+        & ((col("b.cents") < col("a.cents")) | (col("b.p_size") > col("a.p_size")))
+    )
+    return a.join(broadcast(b), dominated, "left_anti").select(
+        col("a.p_partkey").alias("p_partkey"),
+        col("a.cents").alias("cents"),
+        col("a.p_size").alias("p_size"),
+    )
+
+
+_PART_SKYLINE_SQL = """
+WITH pts AS (
+    SELECT p_partkey,
+           CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(p_size AS INT) AS p_size
+    FROM part
+)
+SELECT p_partkey, cents, p_size FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.cents <= p.cents AND q.p_size >= p.p_size
+      AND (q.cents < p.cents OR q.p_size > p.p_size)
+)
+"""
+
+
+LOCAL_QUERIES["part_skyline"] = QuerySpec(q_part_skyline, _PART_SKYLINE_SQL)
+
+
+# --- functional-dependency discovery profile -----------------------------------
+
+# Candidate FDs probed by the profiler: (table, determinant, dependent).
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_name", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_brand"),
+)
+
+
+def q_dq_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery profile: for each candidate rule
+    A → B, measure how close the data comes to satisfying it — the
+    schema-inference / data-quality companion to ``table_stats_profile``
+    (ANALYZE tells you column shapes; this tells you which columns
+    DETERMINE which). Reported per candidate: determinant-group count,
+    violating-group count (groups where B is not single-valued), and
+    the g3-style violation rate in exact ppm (groups in violation /
+    groups, ONE final division onto the 1e-6 grid — integer numerators,
+    cross-engine bit-stable).
+
+    Scale: each candidate costs one (A, B)-grain distinct + one A-grain
+    aggregate, both map-side combinable, over a two-column pruned scan;
+    candidates are independent, so Spark schedules the unioned branches
+    concurrently. The candidate set is a fixed config list — discovery
+    over all column pairs is this same plan fanned out n·(n−1) ways,
+    pruned by the NDV stats the ANALYZE profile already collects
+    (a column with NDV == rowcount determines everything; NDV 1 is
+    determined by anything)."""
+    outs = []
+    for table, det, dep in _FD_CANDIDATES:
+        pairs = (
+            t(spark, sf_dir, table)
+            .select(col(det).cast("string").alias("a"), col(dep).alias("b"))
+            .distinct()
+        )
+        grouped = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("nb"))
+        outs.append(
+            grouped.agg(
+                F.lit(f"{table}.{det}->{dep}").alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((col("nb") > 1).cast("bigint")).alias("n_violating"),
+                F.floor(
+                    F.sum((col("nb") > 1).cast("bigint")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("violation_ppm"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+_DQ_FD_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{table}.{det}->{dep}' AS fd,
+       count(*) AS n_groups,
+       CAST(sum(CAST(nb > 1 AS INT)) AS BIGINT) AS n_violating,
+       CAST(floor(CAST(sum(CAST(nb > 1 AS INT)) AS DOUBLE) / count(*)
+                  * 1000000 + 0.5) AS BIGINT) AS violation_ppm
+FROM (
+    SELECT a, count(*) AS nb FROM (
+        SELECT DISTINCT CAST({det} AS VARCHAR) AS a, {dep} AS b FROM {table}
+    ) GROUP BY a
+)"""
+    for table, det, dep in _FD_CANDIDATES
+)
+
+
+LOCAL_QUERIES["dq_fd_profile"] = QuerySpec(q_dq_fd_profile, _DQ_FD_SQL)

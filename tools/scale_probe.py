@@ -577,6 +577,12 @@ TPCH_QUERIES = [
     "orders_bloom_semi",
     "customers_trend_ols",
     "events_gap_fill",
+    # r7 session 2 (cont.): MAD robust fences (type-grain medians),
+    # two-phase skyline (map-local prune + frontier² anti-join),
+    # FD-discovery profile (per-candidate two-column aggs)
+    "events_mad_outliers",
+    "part_skyline",
+    "dq_fd_profile",
 ]
 
 
