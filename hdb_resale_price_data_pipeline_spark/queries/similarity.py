@@ -3188,3 +3188,109 @@ SELECT node AS vec_id, CAST(hops AS INT) AS hops FROM {prev_r}
 
 
 LOCAL_QUERIES["emb_bfs_reach"] = QuerySpec(q_emb_bfs_reach, _bfs_reach_oracle())
+
+
+# --- semi-supervised label propagation over the k-NN graph --------------------
+
+LP_ITERS = 2
+LP_SEED_MOD = 5  # seeds: vec_id % 5 == 0 keep their true label
+
+
+def q_emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the blocked k-NN graph —
+    the cheap label-amplification step of a curation pipeline: a small
+    trusted seed set (here the vec_id % ``LP_SEED_MOD`` == 0 slice keeps
+    its true label) spreads through the similarity graph; an unlabeled
+    node adopts the PLURALITY label among its already-labeled in-
+    neighbors, ties broken by the smaller label id (deterministic —
+    vote counts are exact integers, so the argmax is cross-engine
+    stable). ``labeled_at`` records the adopting iteration (0 = seed).
+
+    Per iteration: one src-grain join of the edge list against the
+    labeled set, one (dst, label)-grain vote count, one per-dst
+    row_number argmax (WindowGroupLimit — partial top-1 below the
+    exchange), one anti-join excluding already-labeled nodes — all
+    linear in frontier-adjacent edges, the same bucketed-by-src layout
+    PageRank and BFS reuse. Iteration count is a fixed constant
+    (K-bounded driver loop); the oracle unrolls both iterations as CTE
+    layers. Nodes never reached keep no row (approximate-graph
+    semantics, as emb_bfs_reach)."""
+    from pyspark.sql.window import Window
+
+    edges = (
+        q_emb_knn_graph(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    labeled = emb.filter(col("vec_id") % LP_SEED_MOD == 0).select(
+        col("vec_id").alias("node"),
+        col("label").cast("int").alias("plabel"),
+        F.lit(0).cast("int").alias("labeled_at"),
+    )
+    for h in range(1, LP_ITERS + 1):
+        votes = (
+            edges.join(labeled, edges.src == labeled.node)
+            .groupBy(col("dst"), col("plabel"))
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .join(
+                labeled.select(col("node").alias("dst")), "dst", "left_anti"
+            )
+        )
+        w = Window.partitionBy("dst").orderBy(
+            col("votes").desc(), col("plabel")
+        )
+        newly = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(col("rn") == 1)
+            .select(
+                col("dst").alias("node"),
+                col("plabel"),
+                F.lit(h).cast("int").alias("labeled_at"),
+            )
+        )
+        labeled = labeled.unionByName(newly).localCheckpoint(eager=False)
+    return labeled.select(col("node").alias("vec_id"), "plabel", "labeled_at")
+
+
+def _label_propagation_oracle() -> str:
+    knn = _knn_graph_oracle()
+    layers = []
+    prev = "l0"
+    for h in range(1, LP_ITERS + 1):
+        layers.append(
+            f"""v{h} AS (
+    SELECT e.dst, l.plabel, count(*) AS votes
+    FROM edges e JOIN {prev} l ON l.node = e.src
+    WHERE e.dst NOT IN (SELECT node FROM {prev})
+    GROUP BY e.dst, l.plabel
+), n{h} AS (
+    SELECT dst AS node, plabel, {h} AS labeled_at FROM (
+        SELECT dst, plabel,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY votes DESC, plabel) AS rn
+        FROM v{h}
+    ) WHERE rn = 1
+), l{h} AS MATERIALIZED (
+    SELECT node, plabel, labeled_at FROM {prev}
+    UNION ALL SELECT node, plabel, labeled_at FROM n{h}
+)"""
+        )
+        prev = f"l{h}"
+    body = ",\n".join(layers)
+    return f"""
+WITH edges AS MATERIALIZED (
+    SELECT src, dst FROM ({knn})
+), l0 AS (
+    SELECT vec_id AS node, CAST(label AS INT) AS plabel, 0 AS labeled_at
+    FROM embeddings WHERE vec_id % {LP_SEED_MOD} = 0
+),
+{body}
+SELECT node AS vec_id, plabel, CAST(labeled_at AS INT) AS labeled_at
+FROM {prev}
+"""
+
+
+LOCAL_QUERIES["emb_label_propagation"] = QuerySpec(
+    q_emb_label_propagation, _label_propagation_oracle()
+)

@@ -346,6 +346,12 @@ SCALING_QUERIES = [
     # over the blocked kNN edge list; per-hop cost is frontier-adjacent
     # edges, so the slope tracks the kNN-graph build it rides on
     "emb_bfs_reach",
+    # r7 session 2 (cont.): label propagation — per-iteration vote agg
+    # + WindowGroupLimit argmax over frontier-adjacent edges
+    "emb_label_propagation",
+    # r7 session 2 (cont.): PPJoin prefix filter — candidates bounded
+    # by rare-token df², the exact-recall counterpart to MinHash
+    "dedup_prefix_join",
     # r5: unigram trainer — EM passes are vocab-sized Arrow maps; the
     # corpus reaches it only through the one word-frequency pass
     "text_unigram_learn",
