@@ -133,6 +133,7 @@ def clear_index_caches() -> None:
         QS._IVFPQ_CACHE,
         QS._IVFADC_CACHE,
         QS._IVF_CORPUS_CACHE,
+        QS._KNN_EDGE_CACHE,
         QT._BPE_MERGE_CACHE,
         QT._LR_W_CACHE,
         SD._GATE_STATE_CACHE,
