@@ -52,9 +52,13 @@ def dot_product(a: str, b: str, dim: int | None = None) -> tuple[str, str]:
             f"aggregate(zip_with({sa}, {sb}, (x, y) -> x * y), "
             f"cast(0.0 AS double), (acc, x) -> acc + x)"
         )
+    # dim also TRUNCATES: both sides fold exactly the first ``dim``
+    # elements (Matryoshka-prefix semantics); with dim == len this is
+    # the full dot product, as every index-complete caller uses it.
+    duck_hi = str(dim) if dim is not None else f"len({da})"
     duck = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"[({da})[i] * ({db})[i] for i in range(1, len({da}) + 1)]), "
+        f"[({da})[i] * ({db})[i] for i in range(1, {duck_hi} + 1)]), "
         f"(acc, x) -> acc + x)"
     )
     return spark, duck

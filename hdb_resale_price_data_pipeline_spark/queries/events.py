@@ -2324,3 +2324,86 @@ GROUP BY d.event_type
 LOCAL_QUERIES["events_mad_outliers"] = QuerySpec(
     q_events_mad_outliers, _EVENTS_MAD_SQL
 )
+
+
+# --- incremental materialized-rollup maintenance -------------------------------
+
+def q_events_rollup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized day/type rollup: the
+    stored state holds PARTIAL aggregates (count, sum, min, max — the
+    commutative-monoid family) for the already-ingested corpus
+    (event_id % 5 != 0); a new batch (event_id % 5 == 0) is aggregated
+    at the same grain and MERGED — counts/sums add, min/max fold, and
+    derived metrics (the average) are recomputed from merged partials
+    at read time, never stored. The corpus is NEVER rescanned: the
+    merge is a state-grain full-outer join against a batch-grain
+    aggregate, which is what makes a 100 TB rollup refreshable in
+    batch-sized time (the same batch-vs-corpus discipline as
+    ``curation_increment``; sketch-valued state — HLL distincts —
+    merges the same way via events_hll_merge). Non-algebraic aggregates
+    (exact medians) deliberately can't ride this path — that's what the
+    MAD query's full-pass shape is for. Exact cents grid; avg is ONE
+    final division onto the 1e-4 grid after merge. The oracle is the
+    full recompute over corpus ∪ batch (semantics, not mechanism)."""
+    ev = t(spark, sf_dir, "events").filter(col("value").isNotNull())
+    cents = F.floor(col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = ev.select(
+        "event_id",
+        F.to_date(col("ts")).cast("string").alias("day"),
+        "event_type",
+        cents.alias("c"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sum_c"),
+            F.min("c").alias("min_c"),
+            F.max("c").alias("max_c"),
+        )
+
+    stored = partials(base.filter(col("event_id") % 5 != 0))
+    batch = partials(base.filter(col("event_id") % 5 == 0))
+    s, b = stored.alias("s"), batch.alias("b")
+    merged = s.join(b, ["day", "event_type"], "full_outer").select(
+        "day",
+        "event_type",
+        (
+            F.coalesce(col("s.n"), F.lit(0)) + F.coalesce(col("b.n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(col("s.sum_c"), F.lit(0))
+            + F.coalesce(col("b.sum_c"), F.lit(0))
+        ).alias("sum_c"),
+        F.least(
+            F.coalesce(col("s.min_c"), col("b.min_c")),
+            F.coalesce(col("b.min_c"), col("s.min_c")),
+        ).alias("min_c"),
+        F.greatest(
+            F.coalesce(col("s.max_c"), col("b.max_c")),
+            F.coalesce(col("b.max_c"), col("s.max_c")),
+        ).alias("max_c"),
+    )
+    return merged.withColumn(
+        "avg_c",
+        F.floor(col("sum_c").cast("double") / col("n") * 10000 + F.lit(0.5))
+        / 10000,
+    )
+
+
+_EVENTS_ROLLUP_INC_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c,
+       CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_c,
+       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_c,
+       floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS avg_c
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+LOCAL_QUERIES["events_rollup_increment"] = QuerySpec(
+    q_events_rollup_increment, _EVENTS_ROLLUP_INC_SQL
+)

@@ -784,3 +784,64 @@ FROM last WHERE rn = 1 AND op = 'upsert'
 
 
 LOCAL_QUERIES["stream_cdc_apply"] = QuerySpec(q_stream_cdc_apply, _STREAM_CDC_SQL)
+
+
+def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join (view → purchase
+    attribution + provably-unconverted views). Inner pairs emit per
+    microbatch; null-joined views emit only once the GLOBAL watermark
+    (min over both inputs of max-seen − delay) passes view_ts + horizon
+    — the oracle encodes that end-of-stream rule (pinned empirically at
+    µs resolution: emitted iff epoch_us(view_ts) + horizon_us ≤ wm_us;
+    at sf0.01 that withholds 10 of 1962 unmatched views still inside
+    the horizon, and Spark's emission matches the rule exactly)."""
+    from ..streaming.events import stream_view_purchase_outer
+
+    return run_stream_to_df(
+        stream_view_purchase_outer(events_stream(spark, sf_dir)), spark
+    )
+
+
+_STREAM_ATTR_OUTER_SQL = """
+WITH wm AS (
+    SELECT least(
+        (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+        (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+        - 7200000000 AS wm_us
+), v AS (
+    SELECT event_id AS view_id, user_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+), p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+), pairs AS (
+    SELECT v.view_id, v.user_id,
+           p.purchase_id AS purchase_key, 1 AS matched,
+           epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS micros_to_purchase
+    FROM v JOIN p ON p.user_id = v.user_id
+       AND p.purchase_ts >= v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+), evicted_unmatched AS (
+    SELECT v.view_id, v.user_id,
+           CAST(-1 AS BIGINT) AS purchase_key, 0 AS matched,
+           CAST(-1 AS BIGINT) AS micros_to_purchase
+    FROM v, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = v.user_id
+          AND p.purchase_ts >= v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+      AND epoch_us(v.view_ts) + 1800000000 <= wm.wm_us
+)
+SELECT view_id, user_id, purchase_key, CAST(matched AS INT) AS matched,
+       micros_to_purchase
+FROM pairs
+UNION ALL
+SELECT view_id, user_id, purchase_key, CAST(matched AS INT) AS matched,
+       micros_to_purchase
+FROM evicted_unmatched
+"""
+
+
+LOCAL_QUERIES["stream_attribution_outer"] = QuerySpec(
+    q_stream_attribution_outer, _STREAM_ATTR_OUTER_SQL
+)

@@ -3299,3 +3299,114 @@ FROM {prev}
 LOCAL_QUERIES["emb_label_propagation"] = QuerySpec(
     q_emb_label_propagation, _label_propagation_oracle()
 )
+
+
+# --- Matryoshka truncation recall ---------------------------------------------
+
+MRL_DIMS = (8, 16, 32)  # truncated prefixes evaluated against the full dim
+
+
+def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation: recall@K of brute-force
+    top-K under PREFIX-truncated cosine (first 8/16/32 dims) against
+    the full-dimension ranking — the measurement that decides how far a
+    matryoshka-trained embedding can be cut for cheap first-stage
+    retrieval (a d/8 prefix cuts every distance computation and shuffle
+    byte 8×; this query tells you what recall that buys, the same
+    accuracy-vs-cost readout the SQ8/PQ paths get from
+    tests/test_similarity_recall.py).
+
+    Prefix cosine reuses the dim-expanded codegen chain with ``dim``
+    pinned to the prefix — identical left-to-right IEEE op order in
+    both engines, quantized at round-6 with vec_id tiebreak, so every
+    top-K set is deterministic. Candidates whose PREFIX norm is zero
+    are excluded per-dim (cosine undefined there), mirroring the
+    zero-vector convention of the SQ8 path. Scale: one
+    TakeOrderedAndProject per prefix over a column-pruned scan — no
+    shuffle, no index; K-sized sets join broadcast for the overlap
+    count. Output one row per prefix dim: overlap count and recall on
+    the 1e-6 grid (single division after the integer overlap)."""
+    emb = t(spark, sf_dir, "embeddings")
+    full_dim = S.embedding_dim(emb)
+    query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
+        col("embedding").alias("q_emb")
+    )
+    cand = widen(emb.filter(col("vec_id") != QUERY_VEC_ID)).crossJoin(
+        broadcast(query)
+    )
+
+    def topk(d: int) -> DataFrame:
+        normsq = S.dot_product("embedding", "embedding", d)[0]
+        return (
+            cand.filter(F.expr(f"{normsq} > 0"))
+            .select(
+                "vec_id",
+                S.cosine_expr("embedding", "q_emb", dim=d).alias("cos"),
+            )
+            .orderBy(col("cos").desc(), col("vec_id"))
+            .limit(TOP_K)
+        )
+
+    full = topk(full_dim).select("vec_id").localCheckpoint(eager=False)
+    outs = []
+    for d in MRL_DIMS:
+        overlap = topk(d).join(broadcast(full), "vec_id")
+        outs.append(
+            overlap.agg(
+                F.lit(d).alias("dim"),
+                F.count(F.lit(1)).alias("n_overlap"),
+                (
+                    F.floor(
+                        F.count(F.lit(1)).cast("double")
+                        / TOP_K
+                        * 1_000_000
+                        + F.lit(0.5)
+                    )
+                    / 1_000_000
+                ).alias("recall_q"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def _matryoshka_oracle() -> str:
+    emb_dim = 64  # testdata embedding width (embeddings.parquet contract)
+
+    def topk_cte(name: str, d: int) -> str:
+        cos = S.cosine("e.embedding", "q.q_emb", dim=d)[1]
+        normsq = S.dot_product("e.embedding", "e.embedding", d)[1]
+        return f"""{name} AS (
+    SELECT vec_id FROM (
+        SELECT e.vec_id,
+               row_number() OVER (ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != {QUERY_VEC_ID} AND {normsq} > 0
+    ) WHERE rn <= {TOP_K}
+)"""
+
+    ctes = [topk_cte("tfull", emb_dim)] + [
+        topk_cte(f"t{d}", d) for d in MRL_DIMS
+    ]
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {d} AS dim, count(*) AS n_overlap,
+       floor(CAST(count(*) AS DOUBLE) / {TOP_K} * 1000000 + 0.5) / 1000000
+           AS recall_q
+FROM t{d} JOIN tfull USING (vec_id)"""
+        for d in MRL_DIMS
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH q AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+{body}
+{selects}
+"""
+
+
+LOCAL_QUERIES["emb_matryoshka_recall"] = QuerySpec(
+    q_emb_matryoshka_recall, _matryoshka_oracle()
+)

@@ -367,3 +367,64 @@ def stream_cms_user_cells(events: DataFrame) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cell"))
     )
+
+
+def stream_view_purchase_outer(events: DataFrame) -> DataFrame:
+    """LEFT-OUTER stream-stream join: every (view, attributing purchase)
+    pair — plus, once the watermark PROVES no purchase can still arrive
+    for a view (global watermark past view_ts + horizon), the unmatched
+    view with a NULL right side. The second half is the semantics the
+    inner join cannot express: "this exposure definitively did not
+    convert", emitted incrementally from bounded state instead of by an
+    end-of-day batch anti-join.
+
+    Same watermarks + closed event-time range as the inner variant, so
+    state eviction (and with it outer emission) is guaranteed; unmatched
+    rows for views still inside the horizon at end-of-stream are
+    correctly withheld (they are not yet provably unconverted) — the
+    batch twin encodes exactly that end-of-stream-watermark rule, making
+    the result deterministic and value-oracled. Nullable join outputs
+    are coalesced to -1 sentinels: both engines then emit non-null
+    BIGINTs (a NULL bigint surfaces as a float column in pandas and
+    breaks dtype-sensitive hashing)."""
+    views = (
+        events.where(col("event_type") == "view")
+        .select(
+            col("event_id").alias("view_id"),
+            col("user_id"),
+            col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    purchases = (
+        events.where(col("event_type") == "purchase")
+        .select(
+            col("event_id").alias("purchase_id"),
+            col("user_id").alias("p_user_id"),
+            col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + interval {ATTRIBUTION_HORIZON_MIN} minutes
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "user_id",
+        F.coalesce(col("purchase_id"), F.lit(-1)).alias("purchase_key"),
+        F.when(col("purchase_id").isNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("matched"),
+        F.coalesce(
+            F.unix_micros(col("purchase_ts")) - F.unix_micros(col("view_ts")),
+            F.lit(-1),
+        ).alias("micros_to_purchase"),
+    )

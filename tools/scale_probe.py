@@ -352,6 +352,9 @@ SCALING_QUERIES = [
     # r7 session 2 (cont.): PPJoin prefix filter — candidates bounded
     # by rare-token df², the exact-recall counterpart to MinHash
     "dedup_prefix_join",
+    # r7 session 2 (cont.): Matryoshka recall — four TakeOrdered scans,
+    # the prefix dims at 1/8..1/2 the flop/byte cost of the full scan
+    "emb_matryoshka_recall",
     # r5: unigram trainer — EM passes are vocab-sized Arrow maps; the
     # corpus reaches it only through the one word-frequency pass
     "text_unigram_learn",
@@ -589,6 +592,9 @@ TPCH_QUERIES = [
     "events_mad_outliers",
     "part_skyline",
     "dq_fd_profile",
+    # r7 session 2 (cont.): materialized-rollup merge — batch-grain agg
+    # + state-grain full-outer; the corpus is never rescanned
+    "events_rollup_increment",
 ]
 
 
