@@ -2678,3 +2678,66 @@ FROM (
 
 
 LOCAL_QUERIES["dq_fd_profile"] = QuerySpec(q_dq_fd_profile, _DQ_FD_SQL)
+
+
+# --- join-size estimation from key-frequency profiles --------------------------
+
+def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size profile: the EXACT equi-join output cardinality
+    |A ⋈ B| = Σ_k f_A(k)·f_B(k) computed from the two key-frequency
+    profiles — the statistic a cost-based optimizer (and a skew
+    diagnosis) needs, WITHOUT running the join: the fact-fact
+    orders ⋈ lineitem materialization is avoided entirely; only two
+    key-grain count tables meet. Reported per join: exact output rows,
+    key overlap, and the share of output owned by the single heaviest
+    key in exact ppm (the skew headline — a high share says "salt this
+    key before you shuffle"). All integer arithmetic; one final
+    division onto the ppm grid.
+
+    Scale: two map-side-combinable counts + one key-grain join — the
+    working set is |distinct keys|, never |rows|; this is the same
+    frequency-vector inner product a Count-Min or AMS sketch
+    approximates when even the key grain is too large, and the exact
+    form doubles as those sketches' ground truth."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    fa = orders.groupBy(col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("fa")
+    )
+    fb = li.groupBy(col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("fb")
+    )
+    prod = fa.join(fb, "k").select(
+        "k", (col("fa") * col("fb")).alias("contrib")
+    )
+    return prod.agg(
+        F.lit("orders*lineitem@orderkey").alias("join"),
+        F.count(F.lit(1)).alias("n_overlap_keys"),
+        F.sum("contrib").alias("join_rows"),
+        F.max("contrib").alias("max_key_rows"),
+        F.floor(
+            F.max("contrib").cast("double") / F.sum("contrib") * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("top_key_share_ppm"),
+    )
+
+
+_JOIN_SIZE_SQL = """
+WITH fa AS (SELECT o_orderkey AS k, count(*) AS fa FROM orders GROUP BY 1),
+fb AS (SELECT l_orderkey AS k, count(*) AS fb FROM lineitem GROUP BY 1),
+prod AS (SELECT fa.k, fa.fa * fb.fb AS contrib FROM fa JOIN fb USING (k))
+SELECT 'orders*lineitem@orderkey' AS join,
+       count(*) AS n_overlap_keys,
+       CAST(sum(contrib) AS BIGINT) AS join_rows,
+       CAST(max(contrib) AS BIGINT) AS max_key_rows,
+       CAST(floor(CAST(max(contrib) AS DOUBLE) / sum(contrib) * 1000000
+                  + 0.5) AS BIGINT) AS top_key_share_ppm
+FROM prod
+"""
+
+
+LOCAL_QUERIES["join_size_profile"] = QuerySpec(
+    q_join_size_profile, _JOIN_SIZE_SQL
+)

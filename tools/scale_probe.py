@@ -595,6 +595,9 @@ TPCH_QUERIES = [
     # r7 session 2 (cont.): materialized-rollup merge — batch-grain agg
     # + state-grain full-outer; the corpus is never rescanned
     "events_rollup_increment",
+    # r7 session 2 (cont.): frequency-vector join-size estimate — the
+    # fact-fact join's cardinality from two key-grain counts
+    "join_size_profile",
 ]
 
 
