@@ -62,6 +62,35 @@ def _load_sample() -> float:
     except (OSError, AttributeError):  # unsupported OR absent (Windows)
         return -1.0
 
+
+# --- calibration canary (r7 verdict item 1) -----------------------------------
+# `load_warning` catches CONCURRENT load; it cannot catch a slow box
+# EPOCH on a quiet box (r7: identical code read 1.28× across epochs).
+# So before the suite, time a FIXED workload — synthesized from
+# spark.range (no data files, so invariant to sf), frozen plan, never
+# rotated — and stamp its median as `canary_sec`. Round-over-round
+# comparisons divide by the canary ratio to normalize epochs.
+CANARY_ROWS = 20_000_000  # ~1s of shuffle+agg+join on a quiet local[32]
+
+
+def run_canary(spark) -> int:
+    """Frozen workload: range scan → hash agg on a modular key (one
+    shuffle) → broadcast self-join → global sort (second shuffle).
+    Exercises codegen, exchange, and sort paths with zero I/O. DO NOT
+    EDIT — any change invalidates cross-round canary comparisons."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, CANARY_ROWS).select(
+        (F.col("id") % 10_007).alias("k"),
+        (F.col("id") * 2654435761 % 2**31).alias("h"),
+    )
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")
+    )
+    top = agg.orderBy(F.col("s").desc()).limit(100)
+    joined = agg.join(F.broadcast(top.select("k")), "k")
+    return joined.orderBy("k").count()
+
 # Raw rows for the end-to-end pipeline run, per unit of sf: at sf0.1,
 # 20k historical CSV rows + 10k listings per scraper source.
 PIPELINE_HISTORICAL_PER_SF = 200_000
@@ -107,6 +136,22 @@ def main() -> None:
     load_before = _load_sample()  # BEFORE the JVM spins up any load
     spark = get_spark_session(app_name="hdb-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Calibration canary FIRST (after session init, before any query):
+    # one warm run then median of 3, same discipline as the suite.
+    try:
+        run_canary(spark)
+        canary_runs = []
+        for _ in range(3):
+            c0 = time.perf_counter()
+            run_canary(spark)
+            canary_runs.append(time.perf_counter() - c0)
+        canary_runs.sort()
+        canary_sec = round(canary_runs[1], 3)
+    except Exception as exc:  # noqa: BLE001 — harness boundary
+        canary_sec = -1.0
+        print(f"# canary ERROR: {exc}", file=sys.stderr)
+    print(f"# canary: {canary_sec:.3f}s", file=sys.stderr)
 
     registry = local_queries()
     timings: dict[str, float] = {}
@@ -171,6 +216,7 @@ def main() -> None:
         "load_avg_before": load_before,
         "load_avg_after": load_after,
         "load_warning": load_warning,
+        "canary_sec": canary_sec,
     }
     # Per-query failures are recorded in the JSON (not an exit code):
     # the artifact must stay parseable and rc=0 even on a partial run.
@@ -207,6 +253,7 @@ def main() -> None:
         "detail": os.path.basename(detail_path),
         "load_avg_before": load_before,
         "load_warning": load_warning,
+        "canary_sec": canary_sec,
     }
     if errors:
         out["partial"] = True

@@ -817,6 +817,10 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"array_distinct({grams_expr})").alias("grams"),
         )
         .withColumn("sz", F.size("grams"))
+        # Empty gram sets join nothing (Jaccard undefined: 0/0); the
+        # oracle filters len(grams) > 0 identically so both engines
+        # agree such docs never pair.
+        .filter(col("sz") > 0)
         .localCheckpoint(eager=False)
     )
     exploded = base.select(
@@ -900,6 +904,7 @@ def _prefix_join_oracle() -> str:
 WITH base AS MATERIALIZED (
     SELECT doc_id, list_distinct({grams}) AS grams
     FROM documents WHERE doc_id % {PP_SLICE_MOD} = 0
+      AND len(list_distinct({grams})) > 0
 ), scored AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            len(list_intersect(a.grams, b.grams)) AS inter,
@@ -913,6 +918,9 @@ FROM scored WHERE inter * {PP_TAU_DEN} >= un * {PP_TAU_NUM}
 """
 
 
-LOCAL_QUERIES["dedup_prefix_join"] = QuerySpec(
+# r8 rotation: promoted to the driver-graded window (took
+# emb_knn_triangles' slot) — the only deterministic set-similarity
+# family: prefix-filter theorem + positional filter on the hard signal.
+QUERIES["dedup_prefix_join"] = QuerySpec(
     q_dedup_prefix_join, _prefix_join_oracle()
 )

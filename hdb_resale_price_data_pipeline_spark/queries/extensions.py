@@ -306,7 +306,10 @@ FROM documents
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "stream_hourly_tumbling": QuerySpec(q_stream_hourly, _STREAM_HOURLY_SQL),
+    # r8 rotation: stream_hourly_tumbling demoted to LOCAL_QUERIES (its
+    # windowed-agg shape stays anchored by stream_session_windows) in
+    # favor of the watermarked LEFT-OUTER stream-stream join — the
+    # hardest streaming semantics in the tree — registered below.
     "stream_session_windows": QuerySpec(q_stream_sessions, _STREAM_SESSION_SQL),
     "stream_user_dedup": QuerySpec(q_stream_dedup, _STREAM_DEDUP_SQL),
     "stream_stateful_sessions": QuerySpec(
@@ -512,6 +515,9 @@ FROM cl
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "multimodal_chunks": QuerySpec(q_multimodal_chunks, _CHUNKS_SQL),  # r7 rotation
+    "stream_hourly_tumbling": QuerySpec(  # r8 rotation (see QUERIES note)
+        q_stream_hourly, _STREAM_HOURLY_SQL
+    ),
     "stream_dedup_gate": QuerySpec(q_stream_dedup_gate, _stream_dedup_gate_oracle()),
     "stream_emb_ingest": QuerySpec(q_stream_emb_ingest, _stream_emb_ingest_oracle()),
     "stream_attribution_join": QuerySpec(q_stream_attribution, _attribution_oracle()),
@@ -842,6 +848,10 @@ FROM evicted_unmatched
 """
 
 
-LOCAL_QUERIES["stream_attribution_outer"] = QuerySpec(
+# r8 rotation: promoted to the driver-graded window (took
+# stream_hourly_tumbling's slot) — global-watermark-withheld outer
+# emission with the value oracle pinned at µs resolution is the hardest
+# streaming semantics in the tree and belongs on the hard signal.
+QUERIES["stream_attribution_outer"] = QuerySpec(
     q_stream_attribution_outer, _STREAM_ATTR_OUTER_SQL
 )

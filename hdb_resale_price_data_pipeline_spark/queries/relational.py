@@ -998,9 +998,9 @@ SELECT
 # by tests/test_correctness.py, just not burning driver slots.
 QUERIES: dict[str, QuerySpec] = {
     "dq_checks": QuerySpec(q_dq_checks, _DQ_CHECKS_SQL),
-    "customer_order_activity": QuerySpec(
-        q_customer_order_activity, _CUSTOMER_ORDER_ACTIVITY_SQL
-    ),
+    # r8 rotation: customer_order_activity demoted to LOCAL_QUERIES (U1
+    # unionByName stays anchored by segment_set_ops) in favor of the
+    # join-size/skew profile on the hard signal — registered below.
     "hdb_cleaning_semantics": QuerySpec(q_hdb_cleaning_semantics, _HDB_CLEANING_SQL),
     # r5 session 4: orders_cube (cube demo; §2.6 aggregation anchored by
     # pricing_summary/segment_set_ops, rollup re-agg by orders_rollup)
@@ -1084,6 +1084,10 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     # r6 rotation demotion (see QUERIES note):
     "region_nation_revenue": QuerySpec(
         q_region_nation_revenue, _REGION_NATION_REVENUE_SQL
+    ),
+    # r8 rotation demotion (see QUERIES note):
+    "customer_order_activity": QuerySpec(
+        q_customer_order_activity, _CUSTOMER_ORDER_ACTIVITY_SQL
     ),
     "orders_window_frames": QuerySpec(q_orders_window_frames, _ORDERS_WINDOW_FRAMES_SQL),
     "active_customers_semi": QuerySpec(q_active_customers_semi, _ACTIVE_SEMI_SQL),
@@ -2680,6 +2684,179 @@ FROM (
 LOCAL_QUERIES["dq_fd_profile"] = QuerySpec(q_dq_fd_profile, _DQ_FD_SQL)
 
 
+# --- functional-dependency DISCOVERY (NDV-pruned all-pairs) --------------------
+
+# All-pairs discovery runs on one table; part's 6 columns give 30
+# ordered pairs, a mix of key / impossible / testable candidates.
+_FD_DISCOVER_TABLE = "part"
+_FD_DISCOVER_COLS = (
+    "p_partkey",
+    "p_name",
+    "p_brand",
+    "p_type",
+    "p_size",
+    "p_retailprice",
+)
+# NULLs participate in FD semantics as one value: NDV and pair-grouping
+# both run over coalesce(cast(col as string), sentinel). String casts
+# only feed grouping/counting, so per-engine injectivity is all that's
+# required — the strings themselves never cross engines.
+_FD_NULL_SENTINEL = "␀null␀"
+
+
+def _fd_g3(spark: SparkSession, sf_dir: str, det: str, dep: str) -> DataFrame:
+    """g3 test for one candidate det → dep: distinct (det, dep) pairs,
+    then count determinant groups where dep is not single-valued."""
+    tbl = _FD_DISCOVER_TABLE
+    pairs = (
+        t(spark, sf_dir, tbl)
+        .select(
+            F.coalesce(col(det).cast("string"), F.lit(_FD_NULL_SENTINEL)).alias("a"),
+            F.coalesce(col(dep).cast("string"), F.lit(_FD_NULL_SENTINEL)).alias("b"),
+        )
+        .distinct()
+    )
+    grouped = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("nb"))
+    return grouped.agg(
+        F.lit(f"{tbl}.{det}->{dep}").alias("fd"),
+        F.sum((col("nb") > 1).cast("bigint")).alias("n_violating"),
+        F.floor(
+            F.sum((col("nb") > 1).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("violation_ppm"),
+    )
+
+
+def q_dq_fd_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency DISCOVERY: the NDV-pruned all-pairs fan-out
+    ``dq_fd_profile``'s docstring promises. Phase 1 is one ANALYZE-style
+    wide aggregate over the table — rowcount plus exact NDV per column —
+    collected to the driver (one row, |columns|+1 values: the same
+    statistics a CBO keeps). Phase 2 classifies every ordered column pair from those
+    statistics alone where possible:
+
+    - NDV(A) == rowcount  → A is a key → A→B holds (``key_holds``);
+    - NDV(B) == 1         → B constant → A→B holds (``const_holds``);
+    - NDV(A) <  NDV(B)    → A→B cannot hold exactly, since a function
+      image can't exceed its domain (``pruned_impossible``, ppm = -1:
+      violation rate deliberately NOT measured — that's the prune);
+
+    and only the surviving candidates pay a g3 test (distinct pair
+    grain → determinant-group agg, the ``dq_fd_profile`` plan), fanned
+    out as independent unioned branches. At 100 TB the prune is the
+    point: on a typical wide table most of the n·(n−1) pairs die on
+    NDV comparisons that ONE shared scan funds, and each survivor costs
+    a two-column pruned scan with map-side-combinable aggregates. The
+    DuckDB oracle states the same classification declaratively (it
+    computes g3 for every pair and masks with the identical CASE —
+    semantics, not mechanism). Exact-integer statuses and numerators;
+    the one division lands on the ppm grid after the decision."""
+    tbl = _FD_DISCOVER_TABLE
+    base = t(spark, sf_dir, tbl)
+    ndv_exprs = [F.count(F.lit(1)).alias("rowcnt")] + [
+        F.countDistinct(
+            F.coalesce(col(c).cast("string"), F.lit(_FD_NULL_SENTINEL))
+        ).alias(c)
+        for c in _FD_DISCOVER_COLS
+    ]
+    stats = base.agg(*ndv_exprs).collect()[0]
+    rowcnt = stats["rowcnt"]
+    ndv = {c: stats[c] for c in _FD_DISCOVER_COLS}
+
+    pruned_rows = []
+    tested: list[tuple[str, str]] = []
+    for det in _FD_DISCOVER_COLS:
+        for dep in _FD_DISCOVER_COLS:
+            if det == dep:
+                continue
+            fd = f"{tbl}.{det}->{dep}"
+            if ndv[det] == rowcnt:
+                pruned_rows.append((fd, ndv[det], ndv[dep], "key_holds", 0))
+            elif ndv[dep] == 1:
+                pruned_rows.append((fd, ndv[det], ndv[dep], "const_holds", 0))
+            elif ndv[det] < ndv[dep]:
+                pruned_rows.append(
+                    (fd, ndv[det], ndv[dep], "pruned_impossible", -1)
+                )
+            else:
+                tested.append((det, dep))
+
+    schema = (
+        "fd string, ndv_det bigint, ndv_dep bigint, "
+        "status string, violation_ppm bigint"
+    )
+    result = spark.createDataFrame(pruned_rows, schema=schema)
+    for det, dep in tested:
+        g3 = _fd_g3(spark, sf_dir, det, dep).select(
+            "fd",
+            F.lit(ndv[det]).cast("bigint").alias("ndv_det"),
+            F.lit(ndv[dep]).cast("bigint").alias("ndv_dep"),
+            F.when(col("n_violating") == 0, F.lit("holds"))
+            .otherwise(F.lit("violated"))
+            .alias("status"),
+            col("violation_ppm"),
+        )
+        result = result.unionByName(g3)
+    return result
+
+
+def _fd_discover_oracle() -> str:
+    tbl = _FD_DISCOVER_TABLE
+    s = _FD_NULL_SENTINEL
+    ndv_cols = ",\n           ".join(
+        f"count(DISTINCT coalesce(CAST({c} AS VARCHAR), '{s}')) AS ndv_{c}"
+        for c in _FD_DISCOVER_COLS
+    )
+    branches = []
+    for det in _FD_DISCOVER_COLS:
+        for dep in _FD_DISCOVER_COLS:
+            if det == dep:
+                continue
+            branches.append(
+                f"""SELECT '{tbl}.{det}->{dep}' AS fd,
+       s.ndv_{det} AS ndv_det, s.ndv_{dep} AS ndv_dep,
+       CASE WHEN s.ndv_{det} = s.rowcnt THEN 'key_holds'
+            WHEN s.ndv_{dep} = 1 THEN 'const_holds'
+            WHEN s.ndv_{det} < s.ndv_{dep} THEN 'pruned_impossible'
+            WHEN g.n_violating = 0 THEN 'holds'
+            ELSE 'violated' END AS status,
+       CASE WHEN s.ndv_{det} = s.rowcnt OR s.ndv_{dep} = 1
+                THEN CAST(0 AS BIGINT)
+            WHEN s.ndv_{det} < s.ndv_{dep} THEN CAST(-1 AS BIGINT)
+            ELSE g.violation_ppm END AS violation_ppm
+FROM stats s CROSS JOIN (
+    SELECT CAST(sum(CAST(nb > 1 AS INT)) AS BIGINT) AS n_violating,
+           CAST(floor(CAST(sum(CAST(nb > 1 AS INT)) AS DOUBLE) / count(*)
+                      * 1000000 + 0.5) AS BIGINT) AS violation_ppm
+    FROM (
+        SELECT a, count(*) AS nb FROM (
+            SELECT DISTINCT coalesce(CAST({det} AS VARCHAR), '{s}') AS a,
+                            coalesce(CAST({dep} AS VARCHAR), '{s}') AS b
+            FROM {tbl}
+        ) GROUP BY a
+    )
+) g"""
+            )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH stats AS MATERIALIZED (
+    SELECT count(*) AS rowcnt,
+           {ndv_cols}
+    FROM {tbl}
+)
+{body}
+"""
+
+
+LOCAL_QUERIES["dq_fd_discover"] = QuerySpec(
+    q_dq_fd_discover, _fd_discover_oracle()
+)
+
+
 # --- join-size estimation from key-frequency profiles --------------------------
 
 def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2738,6 +2915,9 @@ FROM prod
 """
 
 
-LOCAL_QUERIES["join_size_profile"] = QuerySpec(
-    q_join_size_profile, _JOIN_SIZE_SQL
-)
+# r8 rotation: promoted to the driver-graded window (took
+# customer_order_activity's slot) — the CBO/profiling family's first
+# entry on the hard signal; the frequency-vector inner-product join-size
+# estimate is exactly the statistic a planner needs before committing to
+# a fact-fact shuffle.
+QUERIES["join_size_profile"] = QuerySpec(q_join_size_profile, _JOIN_SIZE_SQL)

@@ -1928,7 +1928,7 @@ _KNN_EDGE_CACHE = IndexCache()
 
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = ("knn_edges", sf_dir)
+    key = (S.session_cache_key(spark), "knn_edges", sf_dir)
     cached = _KNN_EDGE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -2818,10 +2818,12 @@ FROM stats s CROSS JOIN tri t
 """
 
 
-# r5 session-5 rotation: graded (took text_chunk_overlap's slot) — the
-# graph family's first entry on the driver's hard signal; transitively
-# exercises the blocked k-NN graph build and mutual filtering.
-QUERIES["emb_knn_triangles"] = QuerySpec(
+# r5 session-5 rotation: graded (took text_chunk_overlap's slot).
+# r8 rotation: demoted to LOCAL_QUERIES — the graph family stays
+# anchored on the hard signal by emb_pagerank (same persisted kNN edge
+# list) — in favor of dedup_prefix_join, the deterministic
+# set-similarity join.
+LOCAL_QUERIES["emb_knn_triangles"] = QuerySpec(
     q_emb_knn_triangles, _knn_triangles_oracle()
 )
 
@@ -3304,6 +3306,7 @@ LOCAL_QUERIES["emb_label_propagation"] = QuerySpec(
 # --- Matryoshka truncation recall ---------------------------------------------
 
 MRL_DIMS = (8, 16, 32)  # truncated prefixes evaluated against the full dim
+_MRL_ORACLE_FULL_DIM = 64  # width the SQL oracle ranks 'full' against
 
 
 def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3328,6 +3331,14 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1e-6 grid (single division after the integer overlap)."""
     emb = t(spark, sf_dir, "embeddings")
     full_dim = S.embedding_dim(emb)
+    # The DuckDB oracle pins the full-ranking width at 64 (testdata
+    # embedding contract); fail loudly here if the data ever drifts so
+    # the two engines can't silently rank against different widths.
+    if full_dim != _MRL_ORACLE_FULL_DIM:
+        raise ValueError(
+            f"embeddings width {full_dim} != oracle full dim "
+            f"{_MRL_ORACLE_FULL_DIM}; update _MRL_ORACLE_FULL_DIM"
+        )
     query = emb.filter(col("vec_id") == QUERY_VEC_ID).select(
         col("embedding").alias("q_emb")
     )
@@ -3373,7 +3384,7 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _matryoshka_oracle() -> str:
-    emb_dim = 64  # testdata embedding width (embeddings.parquet contract)
+    emb_dim = _MRL_ORACLE_FULL_DIM  # asserted == data width in the query
 
     def topk_cte(name: str, d: int) -> str:
         cos = S.cosine("e.embedding", "q.q_emb", dim=d)[1]
