@@ -696,3 +696,42 @@ def test_stream_dedup_gate_survives_null_text_corpus_docs(spark):
     out = spark.table("null_corpus_gate").collect()
     assert len(out) > 0
     assert {r.gate for r in out} <= {"drop_exact", "review_neardup", "ingest"}
+
+
+def test_stream_inner_attribution_matches_batch_and_outer_pair_half(spark):
+    """The registered inner-attribution query is served as the matched
+    projection of the shared outer-join table (queries/extensions.
+    _attribution_rows); this pins the operator itself: running
+    stream_view_purchase_join directly must equal both the batch twin
+    and the outer join's matched half, so the projection shortcut can
+    never drift from the real streaming inner join."""
+    from hdb_resale_price_data_pipeline_spark.queries.events import (
+        q_events_attribution_join,
+    )
+    from hdb_resale_price_data_pipeline_spark.streaming.events import (
+        stream_view_purchase_join,
+        stream_view_purchase_outer,
+    )
+
+    def key_set(rows):
+        return {
+            (r.purchase_id, r.view_id, r.user_id, r.micros_to_purchase)
+            for r in rows
+        }
+
+    inner = key_set(
+        run_stream_to_df(
+            stream_view_purchase_join(events_stream(spark, TEST_SF_DIR)), spark
+        ).collect()
+    )
+    batch = key_set(q_events_attribution_join(spark, TEST_SF_DIR).collect())
+    outer_matched = {
+        (r.purchase_key, r.view_id, r.user_id, r.micros_to_purchase)
+        for r in run_stream_to_df(
+            stream_view_purchase_outer(events_stream(spark, TEST_SF_DIR)), spark
+        ).collect()
+        if r.matched == 1
+    }
+    assert len(inner) > 0
+    assert inner == batch
+    assert inner == outer_matched
