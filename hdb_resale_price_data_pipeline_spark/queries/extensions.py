@@ -251,6 +251,87 @@ FROM idx
 """
 
 
+# Shot-boundary threshold: frame signatures land ~uniform on
+# [0, 2^31-1), so half the max distance marks ~50% of adjacent pairs —
+# a deterministic stand-in for a real perceptual-distance threshold.
+SHOT_DIST_MIN = 1_073_741_824  # 2^30
+
+
+def q_multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over sampled video frames: the per-asset
+    SEQUENTIAL analysis step that follows frame sampling in a video
+    curation pipeline — score each sampled frame, compare it to the
+    previous frame in stream order, and flag a boundary where the
+    inter-frame distance jumps. The frame signature here is the
+    deterministic polynomial fold (the repo's stand-in for a perceptual
+    hash; a deployment swaps in pHash/embedding distance — same
+    plumbing), so the whole query carries a full value oracle.
+
+    Plan: the mapInPandas frame sampler caps output per asset
+    (unsampled bytes never leave the scan task), the signature is a
+    JVM-side ``aggregate`` fold over the frame bytes, and the
+    lag-comparison is ONE window over (asset_id, frame_idx) — a single
+    shuffle at sampled-frame grain, ≤ MAX_FRAMES rows per asset
+    regardless of payload size. Distances are exact BIGINTs; no floats
+    anywhere."""
+    from ..functions import hashing as H
+    from ..operators.multimodal import sample_frames
+    from pyspark.sql.window import Window
+
+    frames = sample_frames(
+        documents_as_assets(t(spark, sf_dir, "documents")),
+        frame_bytes=FRAME_BYTES,
+        every_k=FRAME_EVERY_K,
+        max_frames=MAX_FRAMES,
+    ).withColumn("frame_str", F.decode(col("frame"), "utf-8"))
+    sig_spark = H.poly_fold(H.char_codes("frame_str"), 131, 7)[0]
+    scored = frames.select(
+        "asset_id", "frame_idx", F.expr(sig_spark).alias("sig")
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    return scored.select(
+        "asset_id",
+        "frame_idx",
+        "sig",
+        F.coalesce(
+            F.abs(col("sig") - F.lag("sig").over(w)), F.lit(-1)
+        ).alias("dist"),
+    ).withColumn(
+        "is_boundary",
+        (col("dist") >= SHOT_DIST_MIN).cast("int"),
+    )
+
+
+def _shot_boundaries_oracle() -> str:
+    from ..functions import hashing as H
+
+    sig_duck = H.poly_fold(H.char_codes("frame"), 131, 7)[1]
+    return f"""
+WITH idx AS (
+    SELECT doc_id, text,
+           CAST(unnest(range(0,
+               CAST(least(ceil(length(text) / {FRAME_BYTES}.0),
+                          {FRAME_EVERY_K * MAX_FRAMES}) AS BIGINT),
+               {FRAME_EVERY_K})) AS INT) AS frame_idx
+    FROM documents
+), frames AS (
+    SELECT doc_id AS asset_id, frame_idx,
+           substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})
+               AS frame
+    FROM idx
+), scored AS (
+    SELECT asset_id, frame_idx, {sig_duck} AS sig FROM frames
+)
+SELECT asset_id, frame_idx, sig,
+       coalesce(abs(sig - lag(sig) OVER (
+           PARTITION BY asset_id ORDER BY frame_idx)), -1) AS dist,
+       CAST(coalesce(abs(sig - lag(sig) OVER (
+           PARTITION BY asset_id ORDER BY frame_idx)), -1)
+           >= {SHOT_DIST_MIN} AS INT) AS is_boundary
+FROM scored
+"""
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h window, 15-min slide) over the event stream
     (streaming/events.stream_sliding_counts). Same deterministic
@@ -889,4 +970,9 @@ FROM evicted_unmatched
 # streaming semantics in the tree and belongs on the hard signal.
 QUERIES["stream_attribution_outer"] = QuerySpec(
     q_stream_attribution_outer, _STREAM_ATTR_OUTER_SQL
+)
+
+
+LOCAL_QUERIES["multimodal_shot_boundaries"] = QuerySpec(
+    q_multimodal_shot_boundaries, _shot_boundaries_oracle()
 )

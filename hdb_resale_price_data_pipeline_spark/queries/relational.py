@@ -2538,7 +2538,16 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare on the exact cents grid. At 100 TB the same two phases
     hold: map-local prune, then an all-pairs join over |frontier|²,
     with band-partitioning on one dimension as the relief if the
-    frontier itself ever outgrows a broadcast."""
+    frontier itself ever outgrows a broadcast.
+
+    Why phase 1 stays a pandas pass instead of builtin window
+    functions: the builtin running-max needs a Window partitioned by
+    ``spark_partition_id()`` (Catalyst inserts an Exchange on the
+    partition id — a full shuffle of the fact table, defeating the
+    "shuffle-free local prune" that is the phase's entire point) or an
+    unpartitioned Window (single-partition global sort — worse). The
+    Arrow pass keeps phase 1 a true map-only operator: one vectorized
+    sort+cummax per input split, no exchange."""
     import pandas as pd
 
     parts = t(spark, sf_dir, "part").select(

@@ -3505,3 +3505,109 @@ LIMIT {KS_TOP}
 
 
 LOCAL_QUERIES["text_length_ks"] = QuerySpec(q_text_length_ks, _length_ks_oracle())
+
+
+# --- preference-pair construction (chosen vs rejected) -------------------------
+
+PREF_GAP_Q4 = 2000  # minimum quality gap on the 1e-4 grid (0.2)
+
+
+def q_text_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for preference-tuning data (the
+    DPO/RLHF dataset shape): within each (lang, source) slice — the
+    topical unit two comparable documents share — pair the
+    highest-quality document (chosen) against the lowest-quality one
+    (rejected), keeping only pairs whose quality gap clears a floor so
+    every emitted pair is a meaningful supervision signal.
+
+    Quality rides the exact 1e-4 integer grid BEFORE any comparison
+    (ordering, gap floor, output), so ranking and filtering are
+    bit-stable cross-engine; ties break on doc_id. Plan: one scan
+    computes quality, two row_number windows share one (lang, source)
+    exchange (same partitioning, opposite orderings), and the
+    chosen×rejected join is GROUP-grain — at 100 TB the join input is
+    |slices| rows, not |corpus|, and the corpus shuffles exactly once."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scored = widen(docs).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(T.quality_score("text") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q4"),
+    )
+    grp = Window.partitionBy("lang", "source")
+    best = (
+        scored.withColumn(
+            "rn", F.row_number().over(grp.orderBy(col("q4").desc(), col("doc_id")))
+        )
+        .filter(col("rn") == 1)
+        .select(
+            "lang",
+            "source",
+            col("doc_id").alias("chosen_id"),
+            col("q4").alias("chosen_q4"),
+        )
+    )
+    worst = (
+        scored.withColumn(
+            "rn", F.row_number().over(grp.orderBy(col("q4").asc(), col("doc_id")))
+        )
+        .filter(col("rn") == 1)
+        .select(
+            "lang",
+            "source",
+            col("doc_id").alias("rejected_id"),
+            col("q4").alias("rejected_q4"),
+        )
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .filter(
+            (col("chosen_id") != col("rejected_id"))
+            & (col("chosen_q4") - col("rejected_q4") >= PREF_GAP_Q4)
+        )
+        .select(
+            "lang",
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_q4",
+            "rejected_q4",
+            (col("chosen_q4") - col("rejected_q4")).alias("gap_q4"),
+        )
+    )
+
+
+def _preference_pairs_oracle() -> str:
+    q = T.quality_score_duck("text")
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, source,
+           CAST(floor(({q}) * 10000 + 0.5) AS BIGINT) AS q4
+    FROM documents
+), best AS (
+    SELECT lang, source, doc_id AS chosen_id, q4 AS chosen_q4 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang, source ORDER BY q4 DESC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), worst AS (
+    SELECT lang, source, doc_id AS rejected_id, q4 AS rejected_q4 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang, source ORDER BY q4 ASC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT b.lang, b.source, chosen_id, rejected_id, chosen_q4, rejected_q4,
+       chosen_q4 - rejected_q4 AS gap_q4
+FROM best b JOIN worst w ON b.lang = w.lang AND b.source = w.source
+WHERE chosen_id != rejected_id AND chosen_q4 - rejected_q4 >= {PREF_GAP_Q4}
+"""
+
+
+LOCAL_QUERIES["text_preference_pairs"] = QuerySpec(
+    q_text_preference_pairs, _preference_pairs_oracle()
+)

@@ -598,6 +598,9 @@ TPCH_QUERIES = [
     # r7 session 2 (cont.): frequency-vector join-size estimate — the
     # fact-fact join's cardinality from two key-grain counts
     "join_size_profile",
+    # r8: NDV-pruned all-pairs FD discovery (part replicas keep the
+    # NDV/rowcount ratios, so the same pairs prune/test at 10×)
+    "dq_fd_discover",
 ]
 
 
