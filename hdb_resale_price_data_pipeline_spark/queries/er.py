@@ -1037,6 +1037,110 @@ def q_stream_er_gate_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er_fastss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-recall edit-distance-1 self-join via deletion
+    neighborhoods (the FastSS family): every customer-name pair with
+    levenshtein ≤ 1 is returned, with NO blocking recall loss — the
+    guarantee the blocked SNM pass (``er_snm_customers``) trades away
+    (its serial-prefix blocks can never pair serials that straddle a
+    block boundary, e.g. ...199/...200).
+
+    Candidate generation rests on the deletion-neighborhood theorem:
+    if ed(a, b) ≤ 1 then the sets {a} ∪ single-deletions(a) and
+    {b} ∪ single-deletions(b) intersect (substitution at i ⇒ both
+    i-deletions coincide; insertion/deletion ⇒ one string IS a
+    deletion variant of the other). So each name fans out to
+    len+1 variant rows (map-only explode of JVM ``transform`` —
+    bounded by name length, never by corpus size), candidates meet in
+    ONE variant-grain equi-join, and exact ``levenshtein`` verifies —
+    both engines' levenshtein are bit-identical integers, so the whole
+    result is value-oracled against brute-force all-pairs (semantics,
+    not mechanism).
+
+    Two scale disciplines on top of the theorem: (1) variants are
+    ``array_distinct``-ed before the explode — deleting any one of a
+    run of equal characters yields the SAME variant (zero-padded
+    serials have long zero runs), and duplicate variant rows would
+    multiply the candidate join quadratically per run length; (2) ALL
+    pair work runs at DISTINCT-NAME grain — duplicate names (common in
+    a real roster, and exactly what the 10× replicated probe stages)
+    never inflate variant buckets or the verify join; they re-enter
+    only as the final id fan-out, which is the OUTPUT's intrinsic size,
+    not wasted candidate work. Candidate work is therefore
+    Σ variant-bucket² over distinct names — the family's Σ-block²
+    bound, but with PROVEN total recall.
+
+    Sub-roster slice (id % 3 == 0, the family's convention): serial
+    names are edit-DENSE — every in-range digit substitution is a true
+    ed-1 neighbor, ~35 per name at sf0.1 — so the full roster's result
+    is ~262k pairs of mostly-redundant output; the slice keeps the
+    demo's output proportionate while exercising the identical plan."""
+    ids = (
+        t(spark, sf_dir, "customer")
+        .filter(col("c_custkey") % 3 == 0)
+        .select(col("c_custkey").alias("id"), col("c_name").alias("name"))
+    )
+    dn = ids.select("name").distinct().localCheckpoint(eager=False)
+    variants = dn.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)), i -> "
+                        "concat(substring(name, 1, i-1), substring(name, i+1)))"
+                    ),
+                )
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    name_pairs = (
+        a.join(b, (col("a.v") == col("b.v")) & (col("a.name") < col("b.name")))
+        .select(col("a.name").alias("name_a"), col("b.name").alias("name_b"))
+        .distinct()
+        .select(
+            "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("lev")
+        )
+        .filter(col("lev") <= 1)
+    )
+    # id fan-out: a matched cross-name pair expands to every id
+    # combination (normalized id_a < id_b); duplicate ids of ONE name
+    # pair among themselves at lev 0.
+    ia = ids.select(col("name").alias("name_a"), col("id").alias("ia"))
+    ib = ids.select(col("name").alias("name_b"), col("id").alias("ib"))
+    cross = (
+        name_pairs.join(ia, "name_a")
+        .join(ib, "name_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "lev",
+        )
+    )
+    x, y = ids.alias("x"), ids.alias("y")
+    within = x.join(
+        y, (col("x.name") == col("y.name")) & (col("x.id") < col("y.id"))
+    ).select(
+        col("x.id").alias("id_a"),
+        col("y.id").alias("id_b"),
+        F.lit(0).cast("int").alias("lev"),
+    )
+    return cross.unionByName(within)
+
+
+_FASTSS_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS lev
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+WHERE a.c_custkey % 3 = 0 AND b.c_custkey % 3 = 0
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 # r7 rotation: er_fellegi_sunter PROMOTED to the graded window (the
 # judge's r6 ask, after blocking its u3 estimate — the probabilistic-
 # linkage decision bands on the hard signal); multimodal_chunks demoted
@@ -1056,4 +1160,5 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "er_review_queue": QuerySpec(q_er_review_queue, _REVIEW_QUEUE_SQL),
     "stream_er_gate": QuerySpec(q_stream_er_gate, _STREAM_ER_GATE_SQL),
     "stream_er_gate_served": QuerySpec(q_stream_er_gate_served, _STREAM_ER_GATE_SQL),
+    "er_fastss_join": QuerySpec(q_er_fastss_join, _FASTSS_SQL),
 }

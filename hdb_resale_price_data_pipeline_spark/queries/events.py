@@ -973,6 +973,115 @@ LOCAL_QUERIES["events_hll_merge"] = QuerySpec(
 )
 
 
+def q_events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-overlap estimation from sketches: |viewers ∩ buyers| via
+    inclusion–exclusion over HLL registers — est(A) + est(B) −
+    est(A∪B), where the union sketch is the zero-rescan max-merge of
+    the two segment sketches. This is the audience-overlap readout HLL
+    union alone can't give (HLL has no native intersect): at 100 TB
+    each segment keeps 256 registers, the union is register-grain, and
+    the exact countDistinct-per-segment re-shuffle never happens. The
+    intersection estimate is computed from the ALREADY-QUANTIZED
+    per-segment estimates (integer arithmetic on the 1e-4 grid, floored
+    at 0 — inclusion–exclusion can go negative at sketch error), so the
+    readout is bit-stable cross-engine; the exact intersection rides
+    along for the observed error."""
+    ev = t(spark, sf_dir, "events")
+    regs_v = hll_registers(ev.filter(col("event_type") == "view"))
+    regs_p = hll_registers(ev.filter(col("event_type") == "purchase"))
+    regs_u = (
+        regs_v.unionByName(regs_p)
+        .groupBy("idx")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+    def est1(regs: DataFrame, alias: str) -> DataFrame:
+        folded = regs.agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 24 - max_rho)")).alias(
+                "sum_hi"
+            ),
+        )
+        return folded.select(
+            F.expr(f"CAST(floor({hll_est_expr()} * 1e4 + 0.5) AS BIGINT)").alias(
+                alias
+            )
+        )
+
+    both = (
+        ev.filter(col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .agg(F.sum((col("nt") == 2).cast("bigint")).alias("exact_intersect"))
+    )
+    return (
+        est1(regs_v.select("idx", "max_rho"), "est_view_q")
+        .crossJoin(F.broadcast(est1(regs_p.select("idx", "max_rho"), "est_buy_q")))
+        .crossJoin(F.broadcast(est1(regs_u, "est_union_q")))
+        .crossJoin(F.broadcast(both))
+        .select(
+            "est_view_q",
+            "est_buy_q",
+            "est_union_q",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                col("est_view_q") + col("est_buy_q") - col("est_union_q"),
+            ).alias("est_intersect_q"),
+            "exact_intersect",
+        )
+    )
+
+
+def _events_hll_overlap_sql() -> str:
+    d_hash = avalanche_hash("user_id", xor=duck_xor, shr=duck_shr)
+
+    def regs(pred: str, name: str) -> str:
+        return f"""{name} AS (
+    SELECT idx, max({_hll_rho()}) AS max_rho
+    FROM (SELECT h % 256 AS idx, (h >> 8) AS q
+          FROM (SELECT {d_hash} AS h FROM events WHERE {pred}))
+    GROUP BY idx
+)"""
+
+    def fold(src: str, name: str, alias: str) -> str:
+        return f"""{name} AS (
+    SELECT CAST(floor({hll_est_expr()} * 1e4 + 0.5) AS BIGINT) AS {alias}
+    FROM (SELECT count(*) AS n_present,
+                 CAST(sum((CAST(1 AS BIGINT) << (24 - max_rho))) AS BIGINT)
+                     AS sum_hi
+          FROM {src})
+)"""
+
+    return f"""
+WITH {regs("event_type = 'view'", "regs_v")},
+{regs("event_type = 'purchase'", "regs_p")},
+regs_u AS (
+    SELECT idx, max(max_rho) AS max_rho
+    FROM (SELECT * FROM regs_v UNION ALL SELECT * FROM regs_p)
+    GROUP BY idx
+),
+{fold("regs_v", "fv", "est_view_q")},
+{fold("regs_p", "fp", "est_buy_q")},
+{fold("regs_u", "fu", "est_union_q")},
+exact AS (
+    SELECT CAST(sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS exact_intersect
+    FROM (SELECT user_id, count(DISTINCT event_type) AS nt FROM events
+          WHERE event_type IN ('view', 'purchase') GROUP BY user_id)
+)
+SELECT est_view_q, est_buy_q, est_union_q,
+       greatest(CAST(0 AS BIGINT),
+                est_view_q + est_buy_q - est_union_q) AS est_intersect_q,
+       exact_intersect
+FROM fv, fp, fu, exact
+"""
+
+
+LOCAL_QUERIES["events_hll_overlap"] = QuerySpec(
+    q_events_hll_overlap, _events_hll_overlap_sql()
+)
+
+
 # --- mergeable quantile sketch -----------------------------------------------
 
 def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2930,3 +2930,69 @@ FROM prod
 # estimate is exactly the statistic a planner needs before committing to
 # a fact-fact shuffle.
 QUERIES["join_size_profile"] = QuerySpec(q_join_size_profile, _JOIN_SIZE_SQL)
+
+
+# --- compaction planning (small-files maintenance) ------------------------------
+
+COMPACT_TARGET_BYTES = 200_000  # target output-file size for the plan
+
+
+def q_warehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction PLAN — the lakehouse maintenance step that
+    decides which partitions coalesce into which output files before
+    any data moves. Partition grain here is (lang, source) with bytes =
+    Σ n_chars (the stand-in for footer-reported file sizes); the plan
+    assigns each partition to an output file by CONTIGUOUS cumulative
+    binning: order partitions by key, running byte total, file_id =
+    start-offset ÷ target. One tiny window over |partitions| rows — the
+    plan costs nothing next to the rewrite it schedules, and unlike
+    first-fit-decreasing bin packing (sequential, driver-bound) the
+    cumulative rule is a pure window: deterministic, distributed, and
+    keeps key-adjacent partitions in the same output file (preserving
+    partition-prune locality after the rewrite). Files can overshoot
+    the target by at most one partition — the standard contiguous-
+    packing tradeoff; a pathologically oversized partition becomes its
+    own file, never blocks others."""
+    from pyspark.sql.window import Window
+
+    parts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    w = Window.orderBy("lang", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return parts.select(
+        "lang",
+        "source",
+        "bytes",
+        (
+            F.floor(
+                (F.sum("bytes").over(w) - col("bytes"))
+                / F.lit(COMPACT_TARGET_BYTES)
+            )
+        )
+        .cast("bigint")
+        .alias("file_id"),
+    )
+
+
+_COMPACTION_PLAN_SQL = f"""
+SELECT lang, source, bytes,
+       CAST(floor((cum - bytes) / {COMPACT_TARGET_BYTES}) AS BIGINT) AS file_id
+FROM (
+    SELECT lang, source, bytes,
+           sum(bytes) OVER (ORDER BY lang, source
+               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM (
+        SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY lang, source
+    )
+)
+"""
+
+
+LOCAL_QUERIES["warehouse_compaction_plan"] = QuerySpec(
+    q_warehouse_compaction_plan, _COMPACTION_PLAN_SQL
+)

@@ -3611,3 +3611,68 @@ WHERE chosen_id != rejected_id AND chosen_q4 - rejected_q4 >= {PREF_GAP_Q4}
 LOCAL_QUERIES["text_preference_pairs"] = QuerySpec(
     q_text_preference_pairs, _preference_pairs_oracle()
 )
+
+
+# --- stratified eval-set split (exact per-stratum proportions) ------------------
+
+STRAT_TEST_PCT = 10  # test share per stratum, percent
+
+
+def q_text_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED eval-set construction: exactly ⌊n·10%⌋ test documents
+    from every (lang, source) stratum — the guarantee the hash-mod
+    split (``text_train_test_split``) can't make (its per-stratum
+    ratios only converge in expectation; a small stratum can land
+    all-train and silently vanish from eval).
+
+    Selection is deterministic, not random: each stratum's docs rank by
+    md5(doc_id) — the salted-hash order both engines compute
+    identically (the FS u-sample discipline) — and the smallest
+    ⌊n·pct/100⌋ become test. Plan: one count window + one row_number
+    window sharing a single (lang, source) exchange, map-only
+    everywhere else; no stratum-grain collect, no global sort. At
+    100 TB each stratum sorts independently inside its partition group
+    — skew-bounded by the largest stratum, the same bound any
+    stratified operation carries."""
+    from pyspark.sql.window import Window
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    grp = Window.partitionBy("lang", "source")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number()
+        .over(grp.orderBy(F.md5(col("doc_id").cast("string")), col("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            col("rn") <= F.floor(col("n") * STRAT_TEST_PCT / 100), "test"
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+_STRATIFIED_SPLIT_SQL = f"""
+SELECT doc_id, lang, source,
+       CASE WHEN rn <= floor(n * {STRAT_TEST_PCT} / 100)
+            THEN 'test' ELSE 'train' END AS split
+FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang, source) AS n
+    FROM documents
+)
+"""
+
+
+LOCAL_QUERIES["text_stratified_split"] = QuerySpec(
+    q_text_stratified_split, _STRATIFIED_SPLIT_SQL
+)

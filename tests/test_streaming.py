@@ -380,9 +380,11 @@ class TestStreamOracles:
         return con
 
     def _check(self, spark, name):
-        from hdb_resale_price_data_pipeline_spark.queries import all_queries
+        # local_queries = graded + LOCAL registries: rotation moves
+        # entries between the two, and this pin must survive that.
+        from hdb_resale_price_data_pipeline_spark.queries import local_queries
 
-        spec = all_queries()[name]
+        spec = local_queries()[name]
         sdf = spec.fn(spark, self.SF_DIR).toPandas()
         ddf = self._duck(self.SF_DIR).execute(spec.oracle).fetchdf()
         cols = sorted(sdf.columns)

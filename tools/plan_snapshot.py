@@ -120,12 +120,14 @@ def clear_index_caches() -> None:
     OTHER caches still hold, and a retained-but-unpersisted index frame
     prints a cache-less plan that no longer matches its snapshot."""
     from hdb_resale_price_data_pipeline_spark.queries import dedup as QD
+    from hdb_resale_price_data_pipeline_spark.queries import extensions as QE
     from hdb_resale_price_data_pipeline_spark.queries import text as QT
     from hdb_resale_price_data_pipeline_spark.queries import similarity as QS
     from hdb_resale_price_data_pipeline_spark.streaming import documents as SD
 
     for cache in (
         QD._MINHASH_PAIR_CACHE,
+        QE._ATTR_CACHE,
         QS._LSH_INDEX_CACHE,
         QS._IVF_INDEX_CACHE,
         QS._IVF_KM_CACHE,

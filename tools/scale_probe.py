@@ -413,6 +413,15 @@ SCALING_QUERIES = [
     "text_source_scorecard",
     # r5 session 5 (cont.): KS length drift
     "text_length_ks",
+    # r8: preference-pair construction (two windows sharing one
+    # (lang, source) exchange + group-grain join), stratified split
+    # (count + row_number windows over the same exchange), shot
+    # boundaries (capped frame fan-out + sampled-frame-grain window),
+    # contiguous compaction binning (|partitions|-row window)
+    "text_preference_pairs",
+    "text_stratified_split",
+    "multimodal_shot_boundaries",
+    "warehouse_compaction_plan",
 ]
 
 
@@ -601,6 +610,13 @@ TPCH_QUERIES = [
     # r8: NDV-pruned all-pairs FD discovery (part replicas keep the
     # NDV/rowcount ratios, so the same pairs prune/test at 10×)
     "dq_fd_discover",
+    # r8 (cont.): FastSS deletion-neighborhood join (replicated names
+    # densify variant buckets — the Σ bucket² regime the candidate
+    # bound must absorb), HLL segment overlap (register-grain merge at
+    # 10× raw rows), pseudonymization audit (user-grain shuffle)
+    "er_fastss_join",
+    "events_hll_overlap",
+    "privacy_pseudonymize",
 ]
 
 
