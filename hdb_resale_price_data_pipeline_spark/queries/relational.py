@@ -2866,6 +2866,134 @@ LOCAL_QUERIES["dq_fd_discover"] = QuerySpec(
 )
 
 
+# --- inclusion-dependency (foreign-key) discovery -------------------------------
+
+# Candidate INDs probed: (child_table, child_col, parent_table,
+# parent_col). True FKs, a reversed pair (must fail: parents without
+# children exist), and a type-compatible non-key decoy.
+_IND_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("part", "p_size", "nation", "n_nationkey"),
+)
+
+
+def q_dq_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) DISCOVERY — the cross-table
+    companion to ``dq_fd_discover``: for each candidate child ⊆ parent
+    column pair, decide whether every non-null child value exists in
+    the parent (the property that makes a join lossless and a FK
+    constraint safe to declare). Statistics prune first, exactly the
+    SPIDER/Binder discipline: each column pays ONE stats row (min, max,
+    NDV at key grain), and a candidate whose child range escapes the
+    parent range ([min,max] ⊄ [min,max]) is refuted WITHOUT touching
+    row data — on a typical schema most of the n² cross-table pairs die
+    there. Survivors pay the exact test at VALUE grain: distinct child
+    values left-anti parent values, violations = count — at 100 TB
+    that's a key-grain anti-join per survivor (never row grain; the
+    child distinct collapses the fact table map-side). Verdict per
+    candidate: ``holds`` / ``violated`` (with exact violating-value
+    count) / ``pruned_range`` (-1: not measured, that's the prune).
+    Also emitted: the NDV coverage ratio (child NDV / parent NDV, ppm)
+    — the density readout that separates a total FK from a sparse
+    reference."""
+    # One stats job PER TABLE, not per column: every candidate column of
+    # a table shares a single wide aggregate (min/max/NDV ×k), so the
+    # fact table is scanned once for statistics no matter how many
+    # candidates reference it.
+    by_table: dict[str, set] = {}
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        by_table.setdefault(ct, set()).add(cc)
+        by_table.setdefault(pt, set()).add(pc)
+    stats: dict[tuple[str, str], tuple] = {}
+    for tbl, cols in sorted(by_table.items()):
+        exprs = []
+        for c in sorted(cols):
+            exprs += [
+                F.min(col(c).cast("bigint")).alias(f"mn_{c}"),
+                F.max(col(c).cast("bigint")).alias(f"mx_{c}"),
+                F.countDistinct(col(c)).alias(f"ndv_{c}"),
+            ]
+        row = t(spark, sf_dir, tbl).agg(*exprs).collect()[0]
+        for c in cols:
+            stats[(tbl, c)] = (row[f"mn_{c}"], row[f"mx_{c}"], row[f"ndv_{c}"])
+
+    pruned_rows = []
+    tested = []
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        ind = f"{ct}.{cc} <= {pt}.{pc}"
+        (cmn, cmx, cndv), (pmn, pmx, pndv) = stats[(ct, cc)], stats[(pt, pc)]
+        cov = int(cndv / pndv * 1_000_000 + 0.5)
+        if cmn < pmn or cmx > pmx:
+            pruned_rows.append((ind, cndv, pndv, cov, "pruned_range", -1))
+        else:
+            tested.append((ind, ct, cc, pt, pc, cndv, pndv, cov))
+
+    schema = (
+        "ind string, ndv_child bigint, ndv_parent bigint, coverage_ppm bigint, "
+        "status string, n_violating bigint"
+    )
+    result = spark.createDataFrame(pruned_rows, schema=schema)
+    for ind, ct, cc, pt, pc, cndv, pndv, cov in tested:
+        child = t(spark, sf_dir, ct).select(col(cc).alias("v")).distinct()
+        parent = t(spark, sf_dir, pt).select(col(pc).alias("v")).distinct()
+        viol = child.filter(col("v").isNotNull()).join(
+            parent, "v", "left_anti"
+        )
+        row = viol.agg(F.count(F.lit(1)).alias("nv")).select(
+            F.lit(ind).alias("ind"),
+            F.lit(cndv).cast("bigint").alias("ndv_child"),
+            F.lit(pndv).cast("bigint").alias("ndv_parent"),
+            F.lit(cov).cast("bigint").alias("coverage_ppm"),
+            F.when(col("nv") == 0, F.lit("holds"))
+            .otherwise(F.lit("violated"))
+            .alias("status"),
+            col("nv").cast("bigint").alias("n_violating"),
+        )
+        result = result.unionByName(row)
+    return result
+
+
+def _ind_discover_oracle() -> str:
+    branches = []
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        ind = f"{ct}.{cc} <= {pt}.{pc}"
+        branches.append(
+            f"""SELECT '{ind}' AS ind,
+       cs.ndv AS ndv_child, ps.ndv AS ndv_parent,
+       CAST(floor(CAST(cs.ndv AS DOUBLE) / ps.ndv * 1000000 + 0.5)
+           AS BIGINT) AS coverage_ppm,
+       CASE WHEN cs.mn < ps.mn OR cs.mx > ps.mx THEN 'pruned_range'
+            WHEN g.nv = 0 THEN 'holds'
+            ELSE 'violated' END AS status,
+       CASE WHEN cs.mn < ps.mn OR cs.mx > ps.mx THEN CAST(-1 AS BIGINT)
+            ELSE g.nv END AS n_violating
+FROM (SELECT CAST(min({cc}) AS BIGINT) AS mn, CAST(max({cc}) AS BIGINT) AS mx,
+             count(DISTINCT {cc}) AS ndv FROM {ct}) cs
+CROSS JOIN (SELECT CAST(min({pc}) AS BIGINT) AS mn,
+                   CAST(max({pc}) AS BIGINT) AS mx,
+                   count(DISTINCT {pc}) AS ndv FROM {pt}) ps
+CROSS JOIN (
+    SELECT CAST(count(*) AS BIGINT) AS nv FROM (
+        SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL
+    ) c WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT DISTINCT {pc} AS v FROM {pt}) p
+        WHERE p.v = c.v)
+) g"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+LOCAL_QUERIES["dq_ind_discover"] = QuerySpec(
+    q_dq_ind_discover, _ind_discover_oracle()
+)
+
+
 # --- join-size estimation from key-frequency profiles --------------------------
 
 def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -617,6 +617,10 @@ TPCH_QUERIES = [
     "er_fastss_join",
     "events_hll_overlap",
     "privacy_pseudonymize",
+    # r8 (cont.): IND/FK discovery — range-stats prune + key-grain
+    # anti-joins; replicas shift child AND parent key ranges together,
+    # so the same candidates prune/test at 10×
+    "dq_ind_discover",
 ]
 
 
