@@ -2994,6 +2994,122 @@ LOCAL_QUERIES["dq_ind_discover"] = QuerySpec(
 )
 
 
+# --- unique-column-combination (composite-key) discovery -------------------------
+
+_UCC_TABLE = "lineitem"
+_UCC_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_shipdate",
+)
+
+
+def q_dq_ucc_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-column-combination (composite-key) discovery — the third
+    leg of the profiling triad (``dq_fd_discover`` finds determinants,
+    ``dq_ind_discover`` finds foreign keys, this finds KEYS): which
+    column PAIRS uniquely identify a row. The classic answer on this
+    schema is (l_orderkey, l_linenumber) — no single lineitem column is
+    a key, the pair is.
+
+    Pruning comes from the pigeonhole principle: |domain(a)| ·
+    |domain(b)| < rowcount means the pair CANNOT be unique, decided
+    from the single-column NDVs ONE shared stats scan already funds —
+    no pair data is touched (``pruned_pigeonhole``, duplicates = -1:
+    deliberately unmeasured). A single column that is itself a key
+    makes every pair containing it trivially unique (``super_key``,
+    also free). Only the surviving pairs pay the exact two-column
+    distinct count, fanned out as independent unioned branches —
+    map-side-combinable aggregates over two-column pruned scans.
+    Verdicts: ``holds`` / ``violated`` (exact duplicate-row count) on
+    integer arithmetic end to end."""
+    tbl = _UCC_TABLE
+    base = t(spark, sf_dir, tbl)
+    exprs = [F.count(F.lit(1)).alias("rowcnt")] + [
+        F.countDistinct(col(c)).alias(c) for c in _UCC_COLS
+    ]
+    row = base.agg(*exprs).collect()[0]
+    rowcnt = row["rowcnt"]
+    ndv = {c: row[c] for c in _UCC_COLS}
+
+    pruned_rows = []
+    tested = []
+    for i, ca in enumerate(_UCC_COLS):
+        for cb in _UCC_COLS[i + 1 :]:
+            ucc = f"{tbl}.({ca},{cb})"
+            if ndv[ca] == rowcnt or ndv[cb] == rowcnt:
+                pruned_rows.append((ucc, ndv[ca], ndv[cb], "super_key", 0))
+            elif ndv[ca] * ndv[cb] < rowcnt:
+                pruned_rows.append(
+                    (ucc, ndv[ca], ndv[cb], "pruned_pigeonhole", -1)
+                )
+            else:
+                tested.append((ucc, ca, cb))
+
+    schema = (
+        "ucc string, ndv_a bigint, ndv_b bigint, status string, "
+        "n_duplicate bigint"
+    )
+    result = spark.createDataFrame(pruned_rows, schema=schema)
+    for ucc, ca, cb in tested:
+        pair_ndv = base.agg(
+            F.countDistinct(col(ca), col(cb)).alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            F.lit(ucc).alias("ucc"),
+            F.lit(ndv[ca]).cast("bigint").alias("ndv_a"),
+            F.lit(ndv[cb]).cast("bigint").alias("ndv_b"),
+            F.when(col("nd") == col("n"), F.lit("holds"))
+            .otherwise(F.lit("violated"))
+            .alias("status"),
+            (col("n") - col("nd")).cast("bigint").alias("n_duplicate"),
+        )
+        result = result.unionByName(pair_ndv)
+    return result
+
+
+def _ucc_discover_oracle() -> str:
+    tbl = _UCC_TABLE
+    ndv_cols = ",\n           ".join(
+        f"count(DISTINCT {c}) AS ndv_{c}" for c in _UCC_COLS
+    )
+    branches = []
+    for i, ca in enumerate(_UCC_COLS):
+        for cb in _UCC_COLS[i + 1 :]:
+            ucc = f"{tbl}.({ca},{cb})"
+            branches.append(
+                f"""SELECT '{ucc}' AS ucc, s.ndv_{ca} AS ndv_a, s.ndv_{cb} AS ndv_b,
+       CASE WHEN s.ndv_{ca} = s.rowcnt OR s.ndv_{cb} = s.rowcnt
+                THEN 'super_key'
+            WHEN s.ndv_{ca} * s.ndv_{cb} < s.rowcnt THEN 'pruned_pigeonhole'
+            WHEN g.nd = s.rowcnt THEN 'holds'
+            ELSE 'violated' END AS status,
+       CASE WHEN s.ndv_{ca} = s.rowcnt OR s.ndv_{cb} = s.rowcnt
+                THEN CAST(0 AS BIGINT)
+            WHEN s.ndv_{ca} * s.ndv_{cb} < s.rowcnt THEN CAST(-1 AS BIGINT)
+            ELSE s.rowcnt - g.nd END AS n_duplicate
+FROM stats s CROSS JOIN (
+    SELECT count(*) AS nd FROM (SELECT DISTINCT {ca}, {cb} FROM {tbl})
+) g"""
+            )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH stats AS MATERIALIZED (
+    SELECT count(*) AS rowcnt,
+           {ndv_cols}
+    FROM {tbl}
+)
+{body}
+"""
+
+
+LOCAL_QUERIES["dq_ucc_discover"] = QuerySpec(
+    q_dq_ucc_discover, _ucc_discover_oracle()
+)
+
+
 # --- join-size estimation from key-frequency profiles --------------------------
 
 def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -621,6 +621,9 @@ TPCH_QUERIES = [
     # anti-joins; replicas shift child AND parent key ranges together,
     # so the same candidates prune/test at 10×
     "dq_ind_discover",
+    # r8 (cont.): composite-key discovery — pigeonhole prune from the
+    # shared NDV scan, exact two-column distinct for survivors
+    "dq_ucc_discover",
 ]
 
 
