@@ -3110,6 +3110,55 @@ LOCAL_QUERIES["dq_ucc_discover"] = QuerySpec(
 )
 
 
+def q_dq_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed schema-profiling report — the triad as one artifact
+    (the profiling counterpart of ``curation_report``'s composed dedup
+    DAG): functional dependencies, inclusion dependencies (FKs), and
+    unique column combinations (keys), normalized to (section, item,
+    status, metric) rows. This is the table a catalog/CBO ingests: what
+    determines what, what references what, what identifies a row. Each
+    section keeps its own pruning economics (NDV grid / range stats /
+    pigeonhole); the report adds only three map-only projections and a
+    union — no new shuffles beyond what the discoverers already pay."""
+    fd = q_dq_fd_discover(spark, sf_dir).select(
+        F.lit("fd").alias("section"),
+        col("fd").alias("item"),
+        "status",
+        col("violation_ppm").alias("metric"),
+    )
+    ind = q_dq_ind_discover(spark, sf_dir).select(
+        F.lit("ind").alias("section"),
+        col("ind").alias("item"),
+        "status",
+        col("n_violating").alias("metric"),
+    )
+    ucc = q_dq_ucc_discover(spark, sf_dir).select(
+        F.lit("ucc").alias("section"),
+        col("ucc").alias("item"),
+        "status",
+        col("n_duplicate").alias("metric"),
+    )
+    return fd.unionByName(ind).unionByName(ucc)
+
+
+def _profile_report_oracle() -> str:
+    return f"""
+SELECT 'fd' AS section, fd AS item, status, violation_ppm AS metric
+FROM ({_fd_discover_oracle()})
+UNION ALL
+SELECT 'ind' AS section, ind AS item, status, n_violating AS metric
+FROM ({_ind_discover_oracle()})
+UNION ALL
+SELECT 'ucc' AS section, ucc AS item, status, n_duplicate AS metric
+FROM ({_ucc_discover_oracle()})
+"""
+
+
+LOCAL_QUERIES["dq_profile_report"] = QuerySpec(
+    q_dq_profile_report, _profile_report_oracle()
+)
+
+
 # --- join-size estimation from key-frequency profiles --------------------------
 
 def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
