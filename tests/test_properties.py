@@ -207,3 +207,77 @@ def test_c4_rules_match_python_model(spark, pages):
     }
     for i, p in enumerate(pages):
         assert got[i] == _python_c4_model(p), repr(p)
+
+
+def _del_neighborhood(s: str) -> set[str]:
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Exact predicate ed(a,b) <= 1 (lengths differ by <= 1)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution allowed
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b = b, a
+        la, lb = lb, la
+    # one deletion from the longer: skip the first mismatch
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="ab0", min_size=0, max_size=6), st.text(alphabet="ab0", min_size=0, max_size=6))
+def test_deletion_neighborhood_theorem(a, b):
+    """The recall guarantee er_fastss_join's candidate generation rests
+    on: ed(a,b) <= 1 implies the {s} ∪ single-deletions(s) sets
+    intersect. Tiny alphabet forces dense collisions; hypothesis sweeps
+    substitutions, indels, equal strings, and empties."""
+    if _lev1(a, b):
+        assert _del_neighborhood(a) & _del_neighborhood(b), (a, b)
+
+
+def test_fastss_join_catches_indels_not_only_substitutions(spark):
+    """The testdata roster is fixed-width, so only SUBSTITUTION pairs
+    arise there; this crafted roster pins the insert/delete recall of
+    the registered query's exact operator chain (variants → join →
+    levenshtein verify) plus duplicate-name lev-0 fan-out."""
+    from pyspark.sql import functions as F
+
+    from hdb_resale_price_data_pipeline_spark.queries.er import q_er_fastss_join
+
+    rows = [
+        (3, "alpha"),      # vs "alph" (deletion) and "alphas" (insertion)
+        (6, "alph"),
+        (9, "alphas"),
+        (12, "beta"),      # vs "beta" dup (lev 0) and "bete" (substitution)
+        (15, "beta"),
+        (18, "bete"),
+        (21, "unrelated"),
+    ]
+    import unittest.mock as mock
+
+    crafted = spark.createDataFrame(
+        rows, "c_custkey bigint, c_name string"
+    )
+    with mock.patch(
+        "hdb_resale_price_data_pipeline_spark.queries.er.t",
+        lambda _s, _d, _n: crafted,
+    ):
+        got = {
+            (r.id_a, r.id_b, r.lev)
+            for r in q_er_fastss_join(spark, "ignored").collect()
+        }
+    assert got == {
+        (3, 6, 1),    # deletion
+        (3, 9, 1),    # insertion
+        (12, 15, 0),  # duplicate name
+        (12, 18, 1),  # substitution
+        (15, 18, 1),
+    }
