@@ -2965,7 +2965,11 @@ def q_dq_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         ind = f"{ct}.{cc} <= {pt}.{pc}"
         (cmn, cmx, cndv), (pmn, pmx, pndv) = stats[(ct, cc)], stats[(pt, pc)]
         cov = int(cndv / pndv * 1_000_000 + 0.5)
-        if cmn < pmn or cmx > pmx:
+        # An all-NULL child (min/max None) is vacuously contained —
+        # never range-pruned; the exact test sees zero non-null values
+        # and reports holds, matching the SQL CASE (NULL comparisons
+        # are not TRUE there, so it isn't pruned either).
+        if cmn is not None and (cmn < pmn or cmx > pmx):
             pruned_rows.append((ind, cndv, pndv, cov, "pruned_range", -1))
         else:
             tested.append((ind, ct, cc, pt, pc, cndv, pndv, cov))
@@ -3095,8 +3099,13 @@ def q_dq_ucc_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = spark.createDataFrame(pruned_rows, schema=schema)
     for ucc, ca, cb in tested:
+        # countDistinct over a STRUCT, not the bare column pair:
+        # countDistinct(a, b) skips rows where either side is NULL,
+        # while the oracle's SELECT DISTINCT a, b counts null-bearing
+        # combinations as values — the struct is never NULL itself, so
+        # both engines agree on NULL-bearing pairs.
         pair_ndv = base.agg(
-            F.countDistinct(col(ca), col(cb)).alias("nd"),
+            F.countDistinct(F.struct(col(ca), col(cb))).alias("nd"),
             F.count(F.lit(1)).alias("n"),
         ).select(
             F.lit(ucc).alias("ucc"),
