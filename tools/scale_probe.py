@@ -624,6 +624,9 @@ TPCH_QUERIES = [
     # r8 (cont.): composite-key discovery — pigeonhole prune from the
     # shared NDV scan, exact two-column distinct for survivors
     "dq_ucc_discover",
+    # r8 (cont.): the composed profiling report (FD + IND + UCC in one
+    # plan; statistics served from the per-session ANALYZE cache)
+    "dq_profile_report",
 ]
 
 
