@@ -924,3 +924,127 @@ FROM scored WHERE inter * {PP_TAU_DEN} >= un * {PP_TAU_NUM}
 QUERIES["dedup_prefix_join"] = QuerySpec(
     q_dedup_prefix_join, _prefix_join_oracle()
 )
+
+
+# --- LSH recall/precision evaluation vs exact truth -----------------------------
+
+LSH_EVAL_SAMPLE = 256  # bounded deterministic eval population (md5 order)
+
+
+def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH quality — recall AND candidate precision of
+    the banding scheme against EXACT token-Jaccard truth, the S-curve
+    readout that decides banding parameters in production (er_blocking_
+    recall's discipline applied to the dedup family). Truth for a
+    recall measurement is by definition all-pairs, so the EVALUATION
+    population is a bounded deterministic sample: the LSH_EVAL_SAMPLE
+    docs with smallest md5(doc_id) — the same salted-hash pick the FS
+    u-sample and the stratified split use, identical in both engines.
+
+    The measured banding is EXACTLY the registered pipeline's
+    (minhash_band_pairs with the module's shingle/band/row params), so
+    the readout certifies the production candidate generator, not a
+    test double. Truth pairs: broadcast self-join over the sample
+    (≤ LSH_EVAL_SAMPLE² — the bound is the point), exact integer
+    Jaccard test at the verify threshold. Emitted: true pair count,
+    candidate count, hits, recall and candidate-precision in exact ppm
+    (integer numerators, one division each onto the grid)."""
+    docs = (
+        widen(t(spark, sf_dir, "documents"))
+        .orderBy(F.md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(LSH_EVAL_SAMPLE)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    toks = docs.select(
+        "doc_id", F.expr(H.distinct_tokens("text")[0]).alias("toks")
+    )
+    a = toks.select(col("doc_id").alias("doc_a"), col("toks").alias("ta"))
+    b = toks.select(col("doc_id").alias("doc_b"), col("toks").alias("tb"))
+    inter = F.size(F.array_intersect(col("ta"), col("tb")))
+    union = F.size("ta") + F.size("tb") - inter
+    num = int(MINHASH_VERIFY_THRESHOLD * 10)
+    truth = (
+        a.join(F.broadcast(b), col("doc_a") < col("doc_b"))
+        .filter(inter * 10 >= union * num)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    cands = minhash_band_pairs(
+        docs, "doc_id", "text", SHINGLE_LEN, NUM_BANDS, ROWS_PER_BAND
+    ).localCheckpoint(eager=False)
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = truth.join(cands, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.floor(
+                col("n_hit").cast("double") / col("n_true") * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("recall_ppm"),
+            F.floor(
+                col("n_hit").cast("double") / col("n_candidates") * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cand_precision_ppm"),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    bands = H.band_keys(
+        H.shingles(H.tokens("text"), SHINGLE_LEN), NUM_BANDS, ROWS_PER_BAND
+    )
+    toks = H.distinct_tokens("text")[1]
+    num = int(MINHASH_VERIFY_THRESHOLD * 10)
+    melted = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {i} AS band_id, {duck} AS band_key FROM sample"
+        for i, (_, duck) in enumerate(bands)
+    )
+    return f"""
+WITH sample AS MATERIALIZED (
+    SELECT doc_id, text FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {LSH_EVAL_SAMPLE}
+), tk AS (
+    SELECT doc_id, {toks} AS toks FROM sample
+), truth AS MATERIALIZED (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 10
+          >= (len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks))) * {num}
+), melted AS (
+{melted}
+), cands AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM melted a JOIN melted b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+), agg AS (
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cands) AS n_candidates,
+           (SELECT count(*) FROM truth t JOIN cands c
+             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
+)
+SELECT n_true, n_candidates, n_hit,
+       CAST(floor(CAST(n_hit AS DOUBLE) / n_true * 1000000 + 0.5) AS BIGINT)
+           AS recall_ppm,
+       CAST(floor(CAST(n_hit AS DOUBLE) / n_candidates * 1000000 + 0.5)
+           AS BIGINT) AS cand_precision_ppm
+FROM agg
+"""
+
+
+LOCAL_QUERIES["dedup_lsh_recall_eval"] = QuerySpec(
+    q_dedup_lsh_recall_eval, _lsh_recall_oracle()
+)
