@@ -985,17 +985,27 @@ def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
             "n_candidates",
             "n_hit",
-            F.floor(
-                col("n_hit").cast("double") / col("n_true") * 1_000_000
-                + F.lit(0.5)
+            # -1 sentinels when a denominator is empty (a sample with no
+            # true pairs / no candidates at some scale): 0/0 is NaN in
+            # Spark but an error path in DuckDB casts — both engines
+            # take the CASE branch instead.
+            F.when(col("n_true") == 0, F.lit(-1).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    col("n_hit").cast("double") / col("n_true") * 1_000_000
+                    + F.lit(0.5)
+                ).cast("bigint")
             )
-            .cast("bigint")
             .alias("recall_ppm"),
-            F.floor(
-                col("n_hit").cast("double") / col("n_candidates") * 1_000_000
-                + F.lit(0.5)
+            F.when(col("n_candidates") == 0, F.lit(-1).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    col("n_hit").cast("double")
+                    / col("n_candidates")
+                    * 1_000_000
+                    + F.lit(0.5)
+                ).cast("bigint")
             )
-            .cast("bigint")
             .alias("cand_precision_ppm"),
         )
     )
@@ -1037,10 +1047,12 @@ WITH sample AS MATERIALIZED (
              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
 )
 SELECT n_true, n_candidates, n_hit,
-       CAST(floor(CAST(n_hit AS DOUBLE) / n_true * 1000000 + 0.5) AS BIGINT)
-           AS recall_ppm,
-       CAST(floor(CAST(n_hit AS DOUBLE) / n_candidates * 1000000 + 0.5)
-           AS BIGINT) AS cand_precision_ppm
+       CASE WHEN n_true = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(floor(CAST(n_hit AS DOUBLE) / n_true * 1000000 + 0.5)
+                 AS BIGINT) END AS recall_ppm,
+       CASE WHEN n_candidates = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(floor(CAST(n_hit AS DOUBLE) / n_candidates * 1000000
+                 + 0.5) AS BIGINT) END AS cand_precision_ppm
 FROM agg
 """
 
