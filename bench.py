@@ -130,7 +130,76 @@ def run_pipeline_e2e(spark, sf: float) -> int:
     )
 
 
+# --- canary-normalized comparison (r8 verdict item 5) ---------------------------
+# The documented box behavior: epochs drift up to ~2× uniformly (the
+# canary measures this) and individual queries show per-run transients
+# (BENCH_history documents pairs like 21.8s vs 4.2s for unchanged
+# code). So a regression FLAG requires a normalized ratio outside the
+# envelope AND a non-trivial absolute delta — tiny queries jitter
+# multiplicatively without meaning anything.
+COMPARE_RATIO_ENVELOPE = 2.0  # normalized cur/prior above this (or below 1/this)
+COMPARE_MIN_DELTA_SEC = 1.0  # ... AND at least this much absolute change
+
+
+def compare_runs(prior_path: str, current_path: str) -> None:
+    """Print the canary-normalized round-over-round comparison as one
+    generated markdown table (BENCH_history's closing sections used to
+    assemble this by hand across runs). Ratios divide by the canary
+    ratio, so a slow EPOCH normalizes out and only real plan/code
+    regressions get flagged."""
+    with open(prior_path) as fh:
+        prior = json.load(fh)
+    with open(current_path) as fh:
+        cur = json.load(fh)
+    cp, cc = prior.get("canary_sec", -1.0), cur.get("canary_sec", -1.0)
+    canary_ratio = (cc / cp) if (cp and cc and cp > 0 and cc > 0) else 1.0
+    pq, cq = prior.get("queries", {}), cur.get("queries", {})
+    shared = sorted(set(pq) & set(cq))
+    added = sorted(set(cq) - set(pq))
+    removed = sorted(set(pq) - set(cq))
+    flagged = []
+    for name in shared:
+        a, b = pq[name], cq[name]
+        if a <= 0:
+            continue
+        norm = (b / a) / canary_ratio
+        if (
+            (norm > COMPARE_RATIO_ENVELOPE or norm < 1 / COMPARE_RATIO_ENVELOPE)
+            and abs(b - a / canary_ratio) > COMPARE_MIN_DELTA_SEC
+        ):
+            flagged.append((name, a, b, norm))
+    tp, tc = sum(pq[n] for n in shared), sum(cq[n] for n in shared)
+    print(f"canary: prior {cp:.3f}s -> current {cc:.3f}s "
+          f"(epoch ratio {canary_ratio:.2f})")
+    print(
+        f"shared {len(shared)} queries: {tp:.1f}s -> {tc:.1f}s raw "
+        f"(ratio {tc / tp:.2f}) | canary-normalized "
+        f"{(tc / tp) / canary_ratio:.2f}"
+    )
+    if added:
+        print(f"new queries ({len(added)}): "
+              f"{sum(cq[n] for n in added):.1f}s total — {', '.join(added)}")
+    if removed:
+        print(f"removed queries ({len(removed)}): {', '.join(removed)}")
+    print(f"\n| query | prior | current | normalized ratio | "
+          f"(envelope: x{COMPARE_RATIO_ENVELOPE} and >{COMPARE_MIN_DELTA_SEC}s) |")
+    print("|---|---|---|---|---|")
+    if not flagged:
+        print("| (none outside the scatter envelope) | | | | |")
+    for name, a, b, norm in sorted(flagged, key=lambda r: -r[3]):
+        print(f"| {name} | {a:.2f}s | {b:.2f}s | {norm:.2f} | flagged |")
+
+
 def main() -> None:
+    if "--compare" in sys.argv:
+        i = sys.argv.index("--compare")
+        prior = sys.argv[i + 1]
+        default_cur = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+        )
+        cur = sys.argv[i + 2] if len(sys.argv) > i + 2 else default_cur
+        compare_runs(prior, cur)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     load_before = _load_sample()  # BEFORE the JVM spins up any load

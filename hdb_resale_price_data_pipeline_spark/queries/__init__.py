@@ -22,6 +22,7 @@ from . import (
     events,
     extensions,
     privacy,
+    profiling,
     relational,
     similarity,
     text,
@@ -36,6 +37,7 @@ from . import (
 # (tpch_extra) fall off first.
 _GRADED_MODULES = (
     relational,
+    profiling,
     events,
     dedup,
     text,

@@ -420,7 +420,11 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_least_nulls": QuerySpec(q_dedup_least_nulls, _DEDUP_LEAST_NULLS_SQL),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_oracle()),
-    "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_oracle()),
+    # r9 rotation: dedup_simhash demoted to LOCAL_QUERIES (registered
+    # below) — near-dup hashing stays graded via dedup_minhash_lsh and
+    # the exact set-similarity side via dedup_prefix_join, freeing a
+    # slot for dq_profile_report on the hard signal. Still fully
+    # oracle- and plan-verified locally.
     # r6 rotation: dedup_ngram_jaccard demoted to LOCAL_QUERIES (the
     # near-dup family stays graded three ways: minhash_lsh, simhash,
     # curation_report; the posting-join n-gram shape stays local-oracled
@@ -594,6 +598,8 @@ UNION ALL SELECT '7_test', count(*) FILTER (bucket >= {P.SPLIT_VAL}) FROM split
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     # r6 rotation demotion (see QUERIES note):
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, _ngram_oracle()),
+    # r9 rotation demotion (see QUERIES note):
+    "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_oracle()),
     "curation_increment": QuerySpec(q_curation_increment, _curation_increment_oracle()),
     "dedup_incremental": QuerySpec(q_dedup_incremental, _incremental_oracle()),
     # demoted from the driver window in favor of curation_report, which
@@ -1059,4 +1065,161 @@ FROM agg
 
 LOCAL_QUERIES["dedup_lsh_recall_eval"] = QuerySpec(
     q_dedup_lsh_recall_eval, _lsh_recall_oracle()
+)
+
+
+# Banding sweep settings at a CONSTANT signature budget (b·r = 8
+# minhash slots, so every setting hashes each document identically
+# hard): (2,4) high-precision / low-recall, (4,2) the production
+# banding, (8,1) high-recall / low-precision — the three operating
+# points that bracket the S-curve knee.
+LSH_SWEEP_SETTINGS: tuple[tuple[int, int], ...] = ((2, 4), (4, 2), (8, 1))
+
+
+def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter SWEEP — ``dedup_lsh_recall_eval`` extended to
+    the production question the readout exists to answer: which
+    (bands, rows-per-band) operating point to run. Each sweep setting
+    is evaluated against the SAME bounded exact-Jaccard truth (the
+    md5-ordered LSH_EVAL_SAMPLE, shared via one checkpoint) using the
+    SAME production candidate generator (``minhash_band_pairs``), and
+    emits one row: (n_bands, n_rows, true pairs, candidates, hits,
+    recall ppm, candidate-precision ppm). The collision probability
+    1-(1-s^r)^b moves along the classic S-curve: more, shorter bands →
+    recall up / precision down; the sweep makes the tradeoff a
+    measured table instead of a formula. tools/dedup_sweep.py does
+    this offline; the query form is value-oracled. Scale: truth stays
+    ≤ sample² broadcast work by construction; each setting pays one
+    banding pass over the sample — at 100 TB you run this on the same
+    bounded sample, which is the point."""
+    docs = (
+        widen(t(spark, sf_dir, "documents"))
+        .orderBy(F.md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(LSH_EVAL_SAMPLE)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    toks = docs.select(
+        "doc_id", F.expr(H.distinct_tokens("text")[0]).alias("toks")
+    )
+    a = toks.select(col("doc_id").alias("doc_a"), col("toks").alias("ta"))
+    b = toks.select(col("doc_id").alias("doc_b"), col("toks").alias("tb"))
+    inter = F.size(F.array_intersect(col("ta"), col("tb")))
+    union = F.size("ta") + F.size("tb") - inter
+    num = int(MINHASH_VERIFY_THRESHOLD * 10)
+    truth = (
+        a.join(F.broadcast(b), col("doc_a") < col("doc_b"))
+        .filter(inter * 10 >= union * num)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    outs = []
+    for nb, nr in LSH_SWEEP_SETTINGS:
+        cands = minhash_band_pairs(
+            docs, "doc_id", "text", SHINGLE_LEN, nb, nr
+        ).localCheckpoint(eager=False)
+        n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_hit = truth.join(cands, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        outs.append(
+            n_true.crossJoin(F.broadcast(n_cand))
+            .crossJoin(F.broadcast(n_hit))
+            .select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(nr).cast("int").alias("n_rows"),
+                "n_true",
+                "n_candidates",
+                "n_hit",
+                F.when(col("n_true") == 0, F.lit(-1).cast("bigint"))
+                .otherwise(
+                    F.floor(
+                        col("n_hit").cast("double") / col("n_true") * 1_000_000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+                .alias("recall_ppm"),
+                F.when(col("n_candidates") == 0, F.lit(-1).cast("bigint"))
+                .otherwise(
+                    F.floor(
+                        col("n_hit").cast("double")
+                        / col("n_candidates")
+                        * 1_000_000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+                .alias("cand_precision_ppm"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def _lsh_band_sweep_oracle() -> str:
+    toks = H.distinct_tokens("text")[1]
+    num = int(MINHASH_VERIFY_THRESHOLD * 10)
+    settings = []
+    for nb, nr in LSH_SWEEP_SETTINGS:
+        bands = H.band_keys(
+            H.shingles(H.tokens("text"), SHINGLE_LEN), nb, nr
+        )
+        melted = "\n    UNION ALL\n".join(
+            f"    SELECT doc_id, {i} AS band_id, {duck} AS band_key"
+            f" FROM sample"
+            for i, (_, duck) in enumerate(bands)
+        )
+        tag = f"{nb}_{nr}"
+        settings.append((nb, nr, tag, melted))
+    melted_ctes = ",\n".join(
+        f"melted_{tag} AS (\n{melted}\n), cands_{tag} AS MATERIALIZED (\n"
+        f"    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"    FROM melted_{tag} a JOIN melted_{tag} b\n"
+        f"      ON a.band_id = b.band_id AND a.band_key = b.band_key\n"
+        f"     AND a.doc_id < b.doc_id\n)"
+        for _, _, tag, melted in settings
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({nb} AS INT) AS n_bands, CAST({nr} AS INT) AS n_rows,
+       (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cands_{tag}) AS n_candidates,
+       (SELECT count(*) FROM truth t JOIN cands_{tag} c
+         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM truth) = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(floor(
+                CAST((SELECT count(*) FROM truth t JOIN cands_{tag} c
+                      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+                / (SELECT count(*) FROM truth) * 1000000 + 0.5)
+                AS BIGINT) END AS recall_ppm,
+       CASE WHEN (SELECT count(*) FROM cands_{tag}) = 0
+                THEN CAST(-1 AS BIGINT)
+            ELSE CAST(floor(
+                CAST((SELECT count(*) FROM truth t JOIN cands_{tag} c
+                      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+                / (SELECT count(*) FROM cands_{tag}) * 1000000 + 0.5)
+                AS BIGINT) END AS cand_precision_ppm"""
+        for nb, nr, tag, _ in settings
+    )
+    return f"""
+WITH sample AS MATERIALIZED (
+    SELECT doc_id, text FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {LSH_EVAL_SAMPLE}
+), tk AS (
+    SELECT doc_id, {toks} AS toks FROM sample
+), truth AS MATERIALIZED (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 10
+          >= (len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks))) * {num}
+),
+{melted_ctes}
+{selects}
+"""
+
+
+LOCAL_QUERIES["dedup_lsh_band_sweep"] = QuerySpec(
+    q_dedup_lsh_band_sweep, _lsh_band_sweep_oracle()
 )

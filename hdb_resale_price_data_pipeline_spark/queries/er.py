@@ -1037,6 +1037,36 @@ def q_stream_er_gate_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fastss_candidate_pairs(dn: DataFrame) -> DataFrame:
+    """Deletion-neighborhood CANDIDATE stage of ``q_er_fastss_join``,
+    factored out so the scale probe (tools/scale_probe.py --fastss)
+    can count candidate pairs separately from output pairs: distinct
+    (name_a, name_b) pairs whose ed-1 variant sets intersect —
+    distinct-name grain, pre-verification. Candidate work is
+    Σ variant-bucket² over distinct names; the probe measures that
+    claim on the real growing-vocabulary axis."""
+    variants = dn.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)), i -> "
+                        "concat(substring(name, 1, i-1), substring(name, i+1)))"
+                    ),
+                )
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(b, (col("a.v") == col("b.v")) & (col("a.name") < col("b.name")))
+        .select(col("a.name").alias("name_a"), col("b.name").alias("name_b"))
+        .distinct()
+    )
+
+
 def q_er_fastss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-recall edit-distance-1 self-join via deletion
     neighborhoods (the FastSS family): every customer-name pair with
@@ -1081,30 +1111,9 @@ def q_er_fastss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(col("c_custkey").alias("id"), col("c_name").alias("name"))
     )
     dn = ids.select("name").distinct().localCheckpoint(eager=False)
-    variants = dn.select(
-        "name",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(col("name")),
-                    F.expr(
-                        "transform(sequence(1, length(name)), i -> "
-                        "concat(substring(name, 1, i-1), substring(name, i+1)))"
-                    ),
-                )
-            )
-        ).alias("v"),
-    )
-    a, b = variants.alias("a"), variants.alias("b")
-    name_pairs = (
-        a.join(b, (col("a.v") == col("b.v")) & (col("a.name") < col("b.name")))
-        .select(col("a.name").alias("name_a"), col("b.name").alias("name_b"))
-        .distinct()
-        .select(
-            "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("lev")
-        )
-        .filter(col("lev") <= 1)
-    )
+    name_pairs = fastss_candidate_pairs(dn).select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("lev")
+    ).filter(col("lev") <= 1)
     # id fan-out: a matched cross-name pair expands to every id
     # combination (normalized id_a < id_b); duplicate ids of ONE name
     # pair among themselves at lev 0.
@@ -1160,5 +1169,10 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "er_review_queue": QuerySpec(q_er_review_queue, _REVIEW_QUEUE_SQL),
     "stream_er_gate": QuerySpec(q_stream_er_gate, _STREAM_ER_GATE_SQL),
     "stream_er_gate_served": QuerySpec(q_stream_er_gate_served, _STREAM_ER_GATE_SQL),
-    "er_fastss_join": QuerySpec(q_er_fastss_join, _FASTSS_SQL),
 }
+
+# r9 rotation (r8 verdict item 2): er_fastss_join PROMOTED to the
+# driver-graded window — the first graded slot covering total-recall
+# candidate generation (FastSS deletion neighborhoods, recall theorem
+# property-tested in tests/test_properties.py).
+QUERIES["er_fastss_join"] = QuerySpec(q_er_fastss_join, _FASTSS_SQL)

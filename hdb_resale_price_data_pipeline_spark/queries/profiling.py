@@ -1,0 +1,774 @@
+"""Catalog-driven schema profiling: FD / IND / UCC discovery.
+
+Round-9 rewrite of the round-8 profiling triad (which was pinned to a
+hand-listed table, column tuple, and IND candidate list in
+queries/relational.py): the discoverers now walk a declared PROFILING
+CATALOG — nine testdata tables with their profiled columns and type
+classes — and GENERATE every candidate:
+
+- FD candidates  = all ordered column pairs within each cataloged table;
+- UCC candidates = all unordered column pairs within each cataloged
+  table;
+- IND candidates = all ordered cross-table pairs of integral-class
+  columns (the joinable type class — Binder partitions IND candidates
+  by type the same way; string/measure columns never generate IND
+  candidates).
+
+The economics are unchanged and are the point at 100 TB: ONE
+ANALYZE-style wide aggregate per table (rowcount, NULL-sentinel NDV per
+column, min/max/non-null-NDV for the integral class) funds every stats
+prune — candidates are classified ``key_holds`` / ``const_holds`` /
+``pruned_impossible`` / ``pruned_range`` / ``pruned_ndv`` /
+``pruned_pigeonhole`` / ``super_key`` from statistics alone — and only
+SURVIVORS pay row-grain work:
+
+- FD survivors of a table share ONE scan via ``stack()`` (a tall
+  (candidate, det, dep) frame → one distinct → two aggregates) instead
+  of one scan per candidate — same shuffle bytes, 1/k the scans;
+- UCC survivors likewise stack into one scan + one grouped
+  count-distinct per table;
+- IND survivors across ALL candidates share ONE value-grain anti-join:
+  distinct child values tagged with their candidate ids, anti-joined
+  against tagged distinct parent values on (candidate, value) — ~140
+  surviving candidates at sf0.1 cost one shuffle, not 140 independent
+  joins, and the (candidate, value) key is unique so the join cannot
+  skew.
+
+The candidate loop is driver-side over |columns|² CANDIDATES (bounded,
+stats-only) — never over rows. Statistics are cached per (session,
+dataset fingerprint); each discoverer's RESULT frame is persisted per
+(session, dataset) in an IndexCache (joined to
+tools/plan_snapshot.clear_index_caches), so ``dq_profile_report``
+steady-state costs three projections and a union.
+
+The reference (cyusong/HDB-Resale-Price-Data-Pipeline) ships no
+profiler — its Spark surface is four cleaning scripts
+(jobs/spark/*.py); the techniques here are public-literature
+standards: the g3 violation measure (Kivinen & Mannila), pigeonhole
+UCC pruning, and SPIDER/Binder range/NDV IND pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..operators.index_cache import IndexCache
+from .base import QuerySpec, t
+
+# --- the declared catalog -------------------------------------------------------
+#
+# table -> ((column, type-class), ...). The catalog is the profiler's
+# INPUT — which tables/columns an installation profiles is config (a
+# real deployment reads it from its metastore; free-text payload
+# columns like o_comment / documents.text are deliberately not
+# profiled) — but every CANDIDATE below is generated from it, never
+# hand-listed. Type classes: "int" (integral, IND-joinable), "str",
+# "num" (floating measures), "date" (timestamps).
+_CATALOG: dict[str, tuple[tuple[str, str], ...]] = {
+    "region": (("r_regionkey", "int"), ("r_name", "str")),
+    "nation": (
+        ("n_nationkey", "int"),
+        ("n_name", "str"),
+        ("n_regionkey", "int"),
+    ),
+    "supplier": (
+        ("s_suppkey", "int"),
+        ("s_name", "str"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "num"),
+    ),
+    "part": (
+        ("p_partkey", "int"),
+        ("p_name", "str"),
+        ("p_brand", "str"),
+        ("p_type", "str"),
+        ("p_size", "int"),
+        ("p_retailprice", "num"),
+    ),
+    "customer": (
+        ("c_custkey", "int"),
+        ("c_name", "str"),
+        ("c_nationkey", "int"),
+        ("c_mktsegment", "str"),
+    ),
+    "orders": (
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_orderpriority", "str"),
+    ),
+    "lineitem": (
+        ("l_orderkey", "int"),
+        ("l_partkey", "int"),
+        ("l_suppkey", "int"),
+        ("l_linenumber", "int"),
+        ("l_shipdate", "date"),
+    ),
+    "events": (
+        ("event_id", "int"),
+        ("user_id", "int"),
+        ("event_type", "str"),
+        ("value", "num"),
+    ),
+    "documents": (
+        ("doc_id", "int"),
+        ("lang", "str"),
+        ("source", "str"),
+        ("n_chars", "num"),
+    ),
+}
+
+# NULLs participate in FD/UCC semantics as one value: NDV, pair
+# grouping, and the UCC exact distinct all run over
+# coalesce(cast(col as string), sentinel) — in BOTH engines, so the
+# pigeonhole prune is sound for NULL-bearing columns (a prior version
+# counted NDVs NULL-free while the exact test counted NULL-bearing
+# pairs, under-sizing domains). String casts only feed grouping and
+# counting, so per-engine injectivity is all that's required — the
+# strings themselves never cross engines.
+_NULL_SENTINEL = "␀null␀"
+
+
+def _cols(table: str) -> tuple[str, ...]:
+    return tuple(c for c, _ in _CATALOG[table])
+
+
+def _int_cols(table: str) -> tuple[str, ...]:
+    return tuple(c for c, k in _CATALOG[table] if k == "int")
+
+
+# --- statistics layer (ANALYZE semantics, fingerprint-keyed) ---------------------
+
+# Per-(session, dataset-fingerprint) cache of collected profiling
+# STATISTICS (plain tuples, never DataFrames): computed once, consulted
+# by every discoverer/report run. Bounded FIFO; values are a few
+# hundred bytes.
+_PROFILE_STATS_CACHE: dict = {}
+_PROFILE_STATS_MAX = 64
+
+# Per-(session, dataset-fingerprint) cache of each discoverer's RESULT
+# frame (persisted, a few hundred rows): the report and repeat
+# invocations read the materialized artifact instead of re-running the
+# survivor scans. Joined to tools/plan_snapshot.clear_index_caches —
+# a clearCache() without it leaves retained-but-unpersisted frames
+# whose plans no longer match their snapshots.
+_PROFILE_RESULT_CACHE = IndexCache(max_entries=8)
+
+
+def clear_profile_caches() -> None:
+    """Drop cached statistics AND result frames (unpersisting the
+    latter). Part of the canonical tools/plan_snapshot.
+    clear_index_caches list."""
+    _PROFILE_STATS_CACHE.clear()
+    _PROFILE_RESULT_CACHE.clear()
+
+
+def _dataset_fingerprint(sf_dir: str) -> int:
+    """Cheap content fingerprint of the cataloged tables: (name, size,
+    mtime) of every file under each table path. Folding this into the
+    cache keys means a dataset directory regenerated in-place within
+    one long-lived session re-profiles instead of classifying from
+    stale statistics (the DuckDB oracle always re-reads the files, so
+    a stale Spark-side cache would read as a cross-engine mismatch).
+    Non-local stores (no os.stat) fall back to 0 — there the documented
+    contract is that sf_dir contents are immutable per session."""
+    entries: list[tuple] = []
+    for table in _CATALOG:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        try:
+            if os.path.isdir(path):
+                for name in sorted(os.listdir(path)):
+                    st = os.stat(os.path.join(path, name))
+                    entries.append((table, name, st.st_size, st.st_mtime_ns))
+            else:
+                st = os.stat(path)
+                entries.append((table, st.st_size, st.st_mtime_ns))
+        except OSError:
+            return 0
+    return hash(tuple(entries))
+
+
+def _session_key(spark: SparkSession):
+    from ..operators.similarity import session_cache_key
+
+    return session_cache_key(spark)
+
+
+class _TableStats:
+    """One table's ANALYZE row: rowcount, sentinel NDV per cataloged
+    column, and (min, max, non-null NDV) per integral column."""
+
+    __slots__ = ("rowcnt", "ndv", "int_stats")
+
+    def __init__(self, rowcnt: int, ndv: dict, int_stats: dict) -> None:
+        self.rowcnt = rowcnt
+        self.ndv = ndv
+        self.int_stats = int_stats
+
+
+def _table_stats(spark: SparkSession, sf_dir: str, table: str) -> _TableStats:
+    key = (_session_key(spark), sf_dir, table, _dataset_fingerprint(sf_dir))
+    if key in _PROFILE_STATS_CACHE:
+        return _PROFILE_STATS_CACHE[key]
+    exprs = [F.count(F.lit(1)).alias("rowcnt")]
+    for c in _cols(table):
+        exprs.append(
+            F.countDistinct(
+                F.coalesce(col(c).cast("string"), F.lit(_NULL_SENTINEL))
+            ).alias(f"ndv_{c}")
+        )
+    for c in _int_cols(table):
+        exprs += [
+            F.min(col(c).cast("bigint")).alias(f"mn_{c}"),
+            F.max(col(c).cast("bigint")).alias(f"mx_{c}"),
+            F.countDistinct(col(c)).alias(f"indv_{c}"),
+        ]
+    # Bounded collect: ONE row of ≤ 4·|cols|+1 values — the same
+    # statistics a CBO keeps per table.
+    row = t(spark, sf_dir, table).agg(*exprs).collect()[0]
+    stats = _TableStats(
+        row["rowcnt"],
+        {c: row[f"ndv_{c}"] for c in _cols(table)},
+        {
+            c: (row[f"mn_{c}"], row[f"mx_{c}"], row[f"indv_{c}"])
+            for c in _int_cols(table)
+        },
+    )
+    while len(_PROFILE_STATS_CACHE) >= _PROFILE_STATS_MAX:
+        _PROFILE_STATS_CACHE.pop(next(iter(_PROFILE_STATS_CACHE)))
+    _PROFILE_STATS_CACHE[key] = stats
+    return stats
+
+
+def _cached_result(spark: SparkSession, sf_dir: str, tag: str, build):
+    key = (_session_key(spark), sf_dir, tag, _dataset_fingerprint(sf_dir))
+    cached = _PROFILE_RESULT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    return _PROFILE_RESULT_CACHE.put(key, build().persist())
+
+
+def _coalesced_sql(column: str) -> str:
+    """DuckDB-dialect NULL-sentinel string cast (oracle side)."""
+    return f"coalesce(CAST({column} AS VARCHAR), '{_NULL_SENTINEL}')"
+
+
+def _coalesced_spark_sql(column: str) -> str:
+    """Spark-dialect twin, used inside the ``stack()`` selectExpr."""
+    return f"coalesce(CAST({column} AS STRING), '{_NULL_SENTINEL}')"
+
+
+def _stats_ctes() -> str:
+    """One MATERIALIZED per-table stats CTE shared by every oracle
+    branch of that table — the oracle states the same
+    one-ANALYZE-scan-per-table economics declaratively."""
+    parts = []
+    for table in _CATALOG:
+        ndv_cols = ",\n           ".join(
+            f"count(DISTINCT {_coalesced_sql(c)}) AS ndv_{c}"
+            for c in _cols(table)
+        )
+        parts.append(
+            f"stats_{table} AS MATERIALIZED (\n"
+            f"    SELECT count(*) AS rowcnt,\n           {ndv_cols}\n"
+            f"    FROM {table}\n)"
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+# --- functional-dependency discovery ---------------------------------------------
+
+def _fd_candidates() -> list[tuple[str, str, str]]:
+    out = []
+    for table in _CATALOG:
+        names = _cols(table)
+        for det in names:
+            for dep in names:
+                if det != dep:
+                    out.append((table, det, dep))
+    return out
+
+
+def q_dq_fd_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency DISCOVERY over the declared catalog: every
+    ordered column pair of every cataloged table (118 candidates over 9
+    tables). Phase 1 is one ANALYZE-style wide aggregate per table —
+    rowcount plus exact NULL-sentinel NDV per column, cached per
+    (session, dataset fingerprint). Phase 2 classifies each candidate
+    from statistics alone where possible:
+
+    - NDV(A) == rowcount  → A is a key → A→B holds (``key_holds``);
+    - NDV(B) == 1         → B constant → A→B holds (``const_holds``);
+    - NDV(A) <  NDV(B)    → A→B cannot hold exactly, since a function
+      image can't exceed its domain (``pruned_impossible``, ppm = -1:
+      violation rate deliberately NOT measured — that's the prune);
+
+    and only surviving candidates pay the g3 test. Survivors of one
+    table share ONE scan: ``stack()`` pivots the needed column pairs
+    into a tall (fd, det, dep) frame → one distinct → determinant-group
+    aggregate — identical shuffle bytes to per-candidate branches but
+    1/k the scans, which is what matters when the table is 100 TB.
+    The DuckDB oracle states the same classification declaratively
+    (it computes g3 for every pair and masks with the identical CASE —
+    semantics, not mechanism). Exact-integer statuses and numerators;
+    the one division lands on the ppm grid after the decision.
+    Result frames persist per (session, dataset) — see
+    ``_PROFILE_RESULT_CACHE``."""
+    return _cached_result(
+        spark, sf_dir, "fd", lambda: _build_fd_discover(spark, sf_dir)
+    )
+
+
+def _build_fd_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = (
+        "fd string, ndv_det bigint, ndv_dep bigint, "
+        "status string, violation_ppm bigint"
+    )
+    pruned_rows: list[tuple] = []
+    tested: dict[str, list[tuple[str, str, str]]] = {}
+    ndv_of: dict[str, tuple[int, int]] = {}
+    for table, det, dep in _fd_candidates():
+        stats = _table_stats(spark, sf_dir, table)
+        fd = f"{table}.{det}->{dep}"
+        ndv_d, ndv_p = stats.ndv[det], stats.ndv[dep]
+        if ndv_d == stats.rowcnt:
+            pruned_rows.append((fd, ndv_d, ndv_p, "key_holds", 0))
+        elif ndv_p == 1:
+            pruned_rows.append((fd, ndv_d, ndv_p, "const_holds", 0))
+        elif ndv_d < ndv_p:
+            pruned_rows.append((fd, ndv_d, ndv_p, "pruned_impossible", -1))
+        else:
+            tested.setdefault(table, []).append((fd, det, dep))
+            ndv_of[fd] = (ndv_d, ndv_p)
+
+    result = spark.createDataFrame(pruned_rows, schema=schema)
+    if not ndv_of:
+        return result
+    det_map = F.create_map(
+        *[x for fd, (d, _) in ndv_of.items() for x in (F.lit(fd), F.lit(d))]
+    )
+    dep_map = F.create_map(
+        *[x for fd, (_, p) in ndv_of.items() for x in (F.lit(fd), F.lit(p))]
+    )
+    for table, cands in tested.items():
+        stack_args = ", ".join(
+            f"'{fd}', {_coalesced_spark_sql(det)}, {_coalesced_spark_sql(dep)}"
+            for fd, det, dep in cands
+        )
+        tall = t(spark, sf_dir, table).selectExpr(
+            f"stack({len(cands)}, {stack_args}) AS (fd, a, b)"
+        )
+        grouped = (
+            tall.distinct()
+            .groupBy("fd", "a")
+            .agg(F.count(F.lit(1)).alias("nb"))
+        )
+        per_fd = grouped.groupBy("fd").agg(
+            F.sum((col("nb") > 1).cast("bigint")).alias("n_violating"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        result = result.unionByName(
+            per_fd.select(
+                "fd",
+                det_map[col("fd")].cast("bigint").alias("ndv_det"),
+                dep_map[col("fd")].cast("bigint").alias("ndv_dep"),
+                F.when(col("n_violating") == 0, F.lit("holds"))
+                .otherwise(F.lit("violated"))
+                .alias("status"),
+                F.floor(
+                    col("n_violating").cast("double")
+                    / col("n_groups")
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("violation_ppm"),
+            )
+        )
+    return result
+
+
+def _fd_discover_oracle() -> str:
+    branches = []
+    for table, det, dep in _fd_candidates():
+        branches.append(
+            f"""SELECT '{table}.{det}->{dep}' AS fd,
+       s.ndv_{det} AS ndv_det, s.ndv_{dep} AS ndv_dep,
+       CASE WHEN s.ndv_{det} = s.rowcnt THEN 'key_holds'
+            WHEN s.ndv_{dep} = 1 THEN 'const_holds'
+            WHEN s.ndv_{det} < s.ndv_{dep} THEN 'pruned_impossible'
+            WHEN g.n_violating = 0 THEN 'holds'
+            ELSE 'violated' END AS status,
+       CASE WHEN s.ndv_{det} = s.rowcnt OR s.ndv_{dep} = 1
+                THEN CAST(0 AS BIGINT)
+            WHEN s.ndv_{det} < s.ndv_{dep} THEN CAST(-1 AS BIGINT)
+            ELSE g.violation_ppm END AS violation_ppm
+FROM stats_{table} s CROSS JOIN (
+    SELECT CAST(sum(CAST(nb > 1 AS INT)) AS BIGINT) AS n_violating,
+           CAST(floor(CAST(sum(CAST(nb > 1 AS INT)) AS DOUBLE) / count(*)
+                      * 1000000 + 0.5) AS BIGINT) AS violation_ppm
+    FROM (
+        SELECT a, count(*) AS nb FROM (
+            SELECT DISTINCT {_coalesced_sql(det)} AS a,
+                            {_coalesced_sql(dep)} AS b
+            FROM {table}
+        ) GROUP BY a
+    )
+) g"""
+        )
+    return _stats_ctes() + "\n" + "\nUNION ALL\n".join(branches)
+
+
+# --- inclusion-dependency (foreign-key) discovery --------------------------------
+
+def _ind_candidates() -> list[tuple[str, str, str, str]]:
+    """Ordered cross-table pairs of integral-class catalog columns —
+    the joinable type class. Generated, never hand-listed: adding a
+    table (or an integral column) to the catalog grows the candidate
+    set automatically."""
+    cols = [(tbl, c) for tbl in _CATALOG for c in _int_cols(tbl)]
+    return [
+        (ct, cc, pt, pc)
+        for ct, cc in cols
+        for pt, pc in cols
+        if ct != pt
+    ]
+
+
+def q_dq_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) DISCOVERY over generated
+    candidates: every ordered cross-table pair of integral-class
+    catalog columns (282 candidates over 18 columns) — the property
+    that makes a join lossless and an FK constraint safe to declare.
+    Statistics prune first, the SPIDER/Binder discipline, funded by the
+    same per-table ANALYZE rows the FD/UCC discoverers share:
+
+    - child [min,max] escapes parent [min,max] → ``pruned_range``
+      (guarded: an all-NULL side has NULL min/max and is never
+      range-pruned — NULL comparisons are not TRUE in the SQL oracle,
+      and the Spark side checks both ends explicitly);
+    - child non-null NDV > parent non-null NDV → ``pruned_ndv``
+      (distinct child values can't fit in a smaller parent domain);
+
+    on a dense-key schema half the candidates die on stats alone.
+    SURVIVORS share ONE value-grain anti-join: each distinct child
+    column's values are computed once, tagged with every surviving
+    candidate id that reads them (explode over a literal id array),
+    and anti-joined against identically tagged parent values on
+    (candidate, value) — so ~140 survivors cost one shuffle whose key
+    is unique by construction (no skew), and the fact-table collapse
+    to distinct values happens map-side before it. Verdicts ``holds`` /
+    ``violated`` (exact violating-value count); coverage_ppm = child
+    NDV / parent NDV (the density readout separating a total FK from a
+    coincidental dense-key containment), with a -1 sentinel when the
+    parent has no non-null values (the oracle's CASE states the same).
+    Result frames persist per (session, dataset)."""
+    return _cached_result(
+        spark, sf_dir, "ind", lambda: _build_ind_discover(spark, sf_dir)
+    )
+
+
+def _build_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = (
+        "ind string, ndv_child bigint, ndv_parent bigint, "
+        "coverage_ppm bigint, status string, n_violating bigint"
+    )
+    pruned_rows: list[tuple] = []
+    survivors: list[tuple[str, str, str, str, str, int, int, int]] = []
+    for ct, cc, pt, pc in _ind_candidates():
+        cmn, cmx, cndv = _table_stats(spark, sf_dir, ct).int_stats[cc]
+        pmn, pmx, pndv = _table_stats(spark, sf_dir, pt).int_stats[pc]
+        ind = f"{ct}.{cc} <= {pt}.{pc}"
+        cov = -1 if pndv == 0 else int(cndv / pndv * 1_000_000 + 0.5)
+        if (
+            cmn is not None
+            and pmn is not None
+            and (cmn < pmn or cmx > pmx)
+        ):
+            pruned_rows.append((ind, cndv, pndv, cov, "pruned_range", -1))
+        elif cndv > pndv:
+            pruned_rows.append((ind, cndv, pndv, cov, "pruned_ndv", -1))
+        else:
+            survivors.append((ind, ct, cc, pt, pc, cndv, pndv, cov))
+
+    result = spark.createDataFrame(pruned_rows, schema=schema)
+    if not survivors:
+        return result
+
+    child_ids: dict[tuple[str, str], list[str]] = {}
+    parent_ids: dict[tuple[str, str], list[str]] = {}
+    for ind, ct, cc, pt, pc, *_ in survivors:
+        child_ids.setdefault((ct, cc), []).append(ind)
+        parent_ids.setdefault((pt, pc), []).append(ind)
+
+    def tagged(ids_by_col: dict) -> DataFrame:
+        frames = []
+        for (table, column), ids in ids_by_col.items():
+            vals = (
+                t(spark, sf_dir, table)
+                .select(col(column).cast("bigint").alias("v"))
+                .filter(col("v").isNotNull())
+                .distinct()
+            )
+            frames.append(
+                vals.select(
+                    F.explode(F.array(*[F.lit(i) for i in ids])).alias("ind"),
+                    "v",
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    viol = (
+        tagged(child_ids)
+        .join(tagged(parent_ids), ["ind", "v"], "left_anti")
+        .groupBy("ind")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    meta = spark.createDataFrame(
+        [(ind, cndv, pndv, cov) for ind, _, _, _, _, cndv, pndv, cov in survivors],
+        schema="ind string, ndv_child bigint, ndv_parent bigint, coverage_ppm bigint",
+    )
+    tested = meta.join(F.broadcast(viol), "ind", "left").select(
+        "ind",
+        "ndv_child",
+        "ndv_parent",
+        "coverage_ppm",
+        F.when(F.coalesce(col("nv"), F.lit(0)) == 0, F.lit("holds"))
+        .otherwise(F.lit("violated"))
+        .alias("status"),
+        F.coalesce(col("nv"), F.lit(0)).cast("bigint").alias("n_violating"),
+    )
+    return result.unionByName(tested)
+
+
+def _ind_discover_oracle() -> str:
+    branches = []
+    for ct, cc, pt, pc in _ind_candidates():
+        ind = f"{ct}.{cc} <= {pt}.{pc}"
+        branches.append(
+            f"""SELECT '{ind}' AS ind,
+       cs.ndv AS ndv_child, ps.ndv AS ndv_parent,
+       CASE WHEN ps.ndv = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(floor(CAST(cs.ndv AS DOUBLE) / ps.ndv * 1000000 + 0.5)
+                AS BIGINT) END AS coverage_ppm,
+       CASE WHEN cs.mn < ps.mn OR cs.mx > ps.mx THEN 'pruned_range'
+            WHEN cs.ndv > ps.ndv THEN 'pruned_ndv'
+            WHEN g.nv = 0 THEN 'holds'
+            ELSE 'violated' END AS status,
+       CASE WHEN (cs.mn < ps.mn OR cs.mx > ps.mx) OR cs.ndv > ps.ndv
+                THEN CAST(-1 AS BIGINT)
+            ELSE g.nv END AS n_violating
+FROM istats_{ct}_{cc} cs
+CROSS JOIN istats_{pt}_{pc} ps
+CROSS JOIN (
+    SELECT CAST(count(*) AS BIGINT) AS nv FROM (
+        SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL
+    ) c WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT DISTINCT {pc} AS v FROM {pt}) p
+        WHERE p.v = c.v)
+) g"""
+        )
+    ctes = ",\n".join(
+        f"istats_{tbl}_{c} AS MATERIALIZED (\n"
+        f"    SELECT CAST(min({c}) AS BIGINT) AS mn,"
+        f" CAST(max({c}) AS BIGINT) AS mx,"
+        f" count(DISTINCT {c}) AS ndv FROM {tbl}\n)"
+        for tbl in _CATALOG
+        for c in _int_cols(tbl)
+    )
+    return "WITH " + ctes + "\n" + "\nUNION ALL\n".join(branches)
+
+
+# --- unique-column-combination (composite-key) discovery -------------------------
+
+def _ucc_candidates() -> list[tuple[str, str, str]]:
+    out = []
+    for table in _CATALOG:
+        names = _cols(table)
+        for i, a in enumerate(names):
+            for b in names[i + 1 :]:
+                out.append((table, a, b))
+    return out
+
+
+def q_dq_ucc_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-column-combination (composite-key) discovery over the
+    declared catalog — the third leg of the profiling triad
+    (``dq_fd_discover`` finds determinants, ``dq_ind_discover`` finds
+    foreign keys, this finds KEYS): which column PAIRS uniquely
+    identify a row, for every cataloged table (59 candidates). The
+    classic answer on this schema is lineitem's (l_orderkey,
+    l_linenumber) — no single lineitem column is a key, the pair is.
+
+    Pruning comes from the pigeonhole principle: |domain(a)| ·
+    |domain(b)| < rowcount means the pair CANNOT be unique, decided
+    from the single-column NULL-sentinel NDVs the shared ANALYZE scan
+    already funds (NULL counts as one domain value in BOTH the NDVs
+    and the exact test, so the prune is sound for NULL-bearing
+    columns). A single column that is itself a key makes every pair
+    containing it trivially unique (``super_key``, also free). Only
+    surviving pairs pay the exact two-column distinct — survivors of
+    one table share ONE ``stack()`` scan and one grouped
+    count-distinct. Verdicts: ``holds`` / ``violated`` (exact
+    duplicate-row count) on integer arithmetic end to end. Result
+    frames persist per (session, dataset)."""
+    return _cached_result(
+        spark, sf_dir, "ucc", lambda: _build_ucc_discover(spark, sf_dir)
+    )
+
+
+def _build_ucc_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = (
+        "ucc string, ndv_a bigint, ndv_b bigint, status string, "
+        "n_duplicate bigint"
+    )
+    pruned_rows: list[tuple] = []
+    tested: dict[str, list[tuple[str, str, str]]] = {}
+    meta: dict[str, tuple[int, int, int]] = {}
+    for table, a, b in _ucc_candidates():
+        stats = _table_stats(spark, sf_dir, table)
+        ucc = f"{table}.({a},{b})"
+        if stats.ndv[a] == stats.rowcnt or stats.ndv[b] == stats.rowcnt:
+            pruned_rows.append((ucc, stats.ndv[a], stats.ndv[b], "super_key", 0))
+        elif stats.ndv[a] * stats.ndv[b] < stats.rowcnt:
+            pruned_rows.append(
+                (ucc, stats.ndv[a], stats.ndv[b], "pruned_pigeonhole", -1)
+            )
+        else:
+            tested.setdefault(table, []).append((ucc, a, b))
+            meta[ucc] = (stats.ndv[a], stats.ndv[b], stats.rowcnt)
+
+    result = spark.createDataFrame(pruned_rows, schema=schema)
+    if not meta:
+        return result
+    a_map = F.create_map(
+        *[x for u, (a, _, _) in meta.items() for x in (F.lit(u), F.lit(a))]
+    )
+    b_map = F.create_map(
+        *[x for u, (_, b, _) in meta.items() for x in (F.lit(u), F.lit(b))]
+    )
+    n_map = F.create_map(
+        *[x for u, (_, _, n) in meta.items() for x in (F.lit(u), F.lit(n))]
+    )
+    for table, cands in tested.items():
+        stack_args = ", ".join(
+            f"'{ucc}', {_coalesced_spark_sql(a)}, {_coalesced_spark_sql(b)}"
+            for ucc, a, b in cands
+        )
+        tall = t(spark, sf_dir, table).selectExpr(
+            f"stack({len(cands)}, {stack_args}) AS (ucc, a, b)"
+        )
+        # a/b are sentinel-coalesced (never NULL), so countDistinct's
+        # null-row skip can't diverge from the oracle's SELECT DISTINCT.
+        per_ucc = tall.groupBy("ucc").agg(
+            F.countDistinct("a", "b").alias("nd")
+        )
+        result = result.unionByName(
+            per_ucc.select(
+                "ucc",
+                a_map[col("ucc")].cast("bigint").alias("ndv_a"),
+                b_map[col("ucc")].cast("bigint").alias("ndv_b"),
+                F.when(col("nd") == n_map[col("ucc")], F.lit("holds"))
+                .otherwise(F.lit("violated"))
+                .alias("status"),
+                (n_map[col("ucc")] - col("nd")).cast("bigint").alias(
+                    "n_duplicate"
+                ),
+            )
+        )
+    return result
+
+
+def _ucc_discover_oracle() -> str:
+    branches = []
+    for table, a, b in _ucc_candidates():
+        ucc = f"{table}.({a},{b})"
+        branches.append(
+            f"""SELECT '{ucc}' AS ucc, s.ndv_{a} AS ndv_a, s.ndv_{b} AS ndv_b,
+       CASE WHEN s.ndv_{a} = s.rowcnt OR s.ndv_{b} = s.rowcnt
+                THEN 'super_key'
+            WHEN s.ndv_{a} * s.ndv_{b} < s.rowcnt THEN 'pruned_pigeonhole'
+            WHEN g.nd = s.rowcnt THEN 'holds'
+            ELSE 'violated' END AS status,
+       CASE WHEN s.ndv_{a} = s.rowcnt OR s.ndv_{b} = s.rowcnt
+                THEN CAST(0 AS BIGINT)
+            WHEN s.ndv_{a} * s.ndv_{b} < s.rowcnt THEN CAST(-1 AS BIGINT)
+            ELSE s.rowcnt - g.nd END AS n_duplicate
+FROM stats_{table} s CROSS JOIN (
+    SELECT count(*) AS nd FROM (
+        SELECT DISTINCT {_coalesced_sql(a)} AS a, {_coalesced_sql(b)} AS b
+        FROM {table}
+    )
+) g"""
+        )
+    return _stats_ctes() + "\n" + "\nUNION ALL\n".join(branches)
+
+
+# --- composed report --------------------------------------------------------------
+
+def q_dq_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed schema-profiling report — the catalog-driven triad as
+    one artifact: functional dependencies, inclusion dependencies
+    (FKs), and unique column combinations (keys) for every cataloged
+    table, normalized to (section, item, status, metric) rows. This is
+    the table a catalog/CBO ingests: what determines what, what
+    references what, what identifies a row. Each section keeps its own
+    pruning economics (NDV grid / range+NDV stats / pigeonhole); the
+    discoverers' result frames persist per (session, dataset), so a
+    report following the triad — or a repeat report — costs three
+    projections and a union, no recomputed survivor scans."""
+    fd = q_dq_fd_discover(spark, sf_dir).select(
+        F.lit("fd").alias("section"),
+        col("fd").alias("item"),
+        "status",
+        col("violation_ppm").alias("metric"),
+    )
+    ind = q_dq_ind_discover(spark, sf_dir).select(
+        F.lit("ind").alias("section"),
+        col("ind").alias("item"),
+        "status",
+        col("n_violating").alias("metric"),
+    )
+    ucc = q_dq_ucc_discover(spark, sf_dir).select(
+        F.lit("ucc").alias("section"),
+        col("ucc").alias("item"),
+        "status",
+        col("n_duplicate").alias("metric"),
+    )
+    return fd.unionByName(ind).unionByName(ucc)
+
+
+def _profile_report_oracle() -> str:
+    return f"""
+SELECT 'fd' AS section, fd AS item, status, violation_ppm AS metric
+FROM ({_fd_discover_oracle()})
+UNION ALL
+SELECT 'ind' AS section, ind AS item, status, n_violating AS metric
+FROM ({_ind_discover_oracle()})
+UNION ALL
+SELECT 'ucc' AS section, ucc AS item, status, n_duplicate AS metric
+FROM ({_ucc_discover_oracle()})
+"""
+
+
+# r9 rotation (r8 verdict item 2): dq_profile_report PROMOTED to the
+# driver-graded window — the profiling family's discovery math (NDV
+# grid, range/NDV IND pruning, pigeonhole) reaches the hard signal
+# through the composed artifact; join_size_profile (relational.py)
+# stays graded for the CBO estimation side.
+QUERIES: dict[str, QuerySpec] = {
+    "dq_profile_report": QuerySpec(q_dq_profile_report, _profile_report_oracle()),
+}
+
+LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "dq_fd_discover": QuerySpec(q_dq_fd_discover, _fd_discover_oracle()),
+    "dq_ind_discover": QuerySpec(q_dq_ind_discover, _ind_discover_oracle()),
+    "dq_ucc_discover": QuerySpec(q_dq_ucc_discover, _ucc_discover_oracle()),
+}

@@ -2693,520 +2693,9 @@ FROM (
 LOCAL_QUERIES["dq_fd_profile"] = QuerySpec(q_dq_fd_profile, _DQ_FD_SQL)
 
 
-# --- functional-dependency DISCOVERY (NDV-pruned all-pairs) --------------------
-
-# Per-(session, dataset) cache of collected profiling STATISTICS (plain
-# tuples, never DataFrames): ANALYZE semantics — statistics are computed
-# once and consulted by every discoverer/report run, not re-scanned per
-# query. Bounded FIFO; values are a few hundred bytes.
-_PROFILE_STATS_CACHE: dict = {}
-_PROFILE_STATS_MAX = 64
-
-
-def _cached_stats(spark: SparkSession, sf_dir: str, tag: str, build):
-    from ..operators.similarity import session_cache_key
-
-    key = (session_cache_key(spark), sf_dir, tag)
-    if key in _PROFILE_STATS_CACHE:
-        return _PROFILE_STATS_CACHE[key]
-    value = build()
-    while len(_PROFILE_STATS_CACHE) >= _PROFILE_STATS_MAX:
-        _PROFILE_STATS_CACHE.pop(next(iter(_PROFILE_STATS_CACHE)))
-    _PROFILE_STATS_CACHE[key] = value
-    return value
-
-# All-pairs discovery runs on one table; part's 6 columns give 30
-# ordered pairs, a mix of key / impossible / testable candidates.
-_FD_DISCOVER_TABLE = "part"
-_FD_DISCOVER_COLS = (
-    "p_partkey",
-    "p_name",
-    "p_brand",
-    "p_type",
-    "p_size",
-    "p_retailprice",
-)
-# NULLs participate in FD semantics as one value: NDV and pair-grouping
-# both run over coalesce(cast(col as string), sentinel). String casts
-# only feed grouping/counting, so per-engine injectivity is all that's
-# required — the strings themselves never cross engines.
-_FD_NULL_SENTINEL = "␀null␀"
-
-
-def _fd_g3(spark: SparkSession, sf_dir: str, det: str, dep: str) -> DataFrame:
-    """g3 test for one candidate det → dep: distinct (det, dep) pairs,
-    then count determinant groups where dep is not single-valued."""
-    tbl = _FD_DISCOVER_TABLE
-    pairs = (
-        t(spark, sf_dir, tbl)
-        .select(
-            F.coalesce(col(det).cast("string"), F.lit(_FD_NULL_SENTINEL)).alias("a"),
-            F.coalesce(col(dep).cast("string"), F.lit(_FD_NULL_SENTINEL)).alias("b"),
-        )
-        .distinct()
-    )
-    grouped = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("nb"))
-    return grouped.agg(
-        F.lit(f"{tbl}.{det}->{dep}").alias("fd"),
-        F.sum((col("nb") > 1).cast("bigint")).alias("n_violating"),
-        F.floor(
-            F.sum((col("nb") > 1).cast("bigint")).cast("double")
-            / F.count(F.lit(1))
-            * 1_000_000
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("violation_ppm"),
-    )
-
-
-def q_dq_fd_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Functional-dependency DISCOVERY: the NDV-pruned all-pairs fan-out
-    ``dq_fd_profile``'s docstring promises. Phase 1 is one ANALYZE-style
-    wide aggregate over the table — rowcount plus exact NDV per column —
-    collected to the driver (one row, |columns|+1 values: the same
-    statistics a CBO keeps). Phase 2 classifies every ordered column pair from those
-    statistics alone where possible:
-
-    - NDV(A) == rowcount  → A is a key → A→B holds (``key_holds``);
-    - NDV(B) == 1         → B constant → A→B holds (``const_holds``);
-    - NDV(A) <  NDV(B)    → A→B cannot hold exactly, since a function
-      image can't exceed its domain (``pruned_impossible``, ppm = -1:
-      violation rate deliberately NOT measured — that's the prune);
-
-    and only the surviving candidates pay a g3 test (distinct pair
-    grain → determinant-group agg, the ``dq_fd_profile`` plan), fanned
-    out as independent unioned branches. At 100 TB the prune is the
-    point: on a typical wide table most of the n·(n−1) pairs die on
-    NDV comparisons that ONE shared scan funds, and each survivor costs
-    a two-column pruned scan with map-side-combinable aggregates. The
-    DuckDB oracle states the same classification declaratively (it
-    computes g3 for every pair and masks with the identical CASE —
-    semantics, not mechanism). Exact-integer statuses and numerators;
-    the one division lands on the ppm grid after the decision."""
-    tbl = _FD_DISCOVER_TABLE
-    base = t(spark, sf_dir, tbl)
-    ndv_exprs = [F.count(F.lit(1)).alias("rowcnt")] + [
-        F.countDistinct(
-            F.coalesce(col(c).cast("string"), F.lit(_FD_NULL_SENTINEL))
-        ).alias(c)
-        for c in _FD_DISCOVER_COLS
-    ]
-    rowcnt, ndv = _cached_stats(
-        spark,
-        sf_dir,
-        "fd_ndv",
-        lambda: (
-            lambda row: (row["rowcnt"], {c: row[c] for c in _FD_DISCOVER_COLS})
-        )(base.agg(*ndv_exprs).collect()[0]),
-    )
-
-    pruned_rows = []
-    tested: list[tuple[str, str]] = []
-    for det in _FD_DISCOVER_COLS:
-        for dep in _FD_DISCOVER_COLS:
-            if det == dep:
-                continue
-            fd = f"{tbl}.{det}->{dep}"
-            if ndv[det] == rowcnt:
-                pruned_rows.append((fd, ndv[det], ndv[dep], "key_holds", 0))
-            elif ndv[dep] == 1:
-                pruned_rows.append((fd, ndv[det], ndv[dep], "const_holds", 0))
-            elif ndv[det] < ndv[dep]:
-                pruned_rows.append(
-                    (fd, ndv[det], ndv[dep], "pruned_impossible", -1)
-                )
-            else:
-                tested.append((det, dep))
-
-    schema = (
-        "fd string, ndv_det bigint, ndv_dep bigint, "
-        "status string, violation_ppm bigint"
-    )
-    result = spark.createDataFrame(pruned_rows, schema=schema)
-    for det, dep in tested:
-        g3 = _fd_g3(spark, sf_dir, det, dep).select(
-            "fd",
-            F.lit(ndv[det]).cast("bigint").alias("ndv_det"),
-            F.lit(ndv[dep]).cast("bigint").alias("ndv_dep"),
-            F.when(col("n_violating") == 0, F.lit("holds"))
-            .otherwise(F.lit("violated"))
-            .alias("status"),
-            col("violation_ppm"),
-        )
-        result = result.unionByName(g3)
-    return result
-
-
-def _fd_discover_oracle() -> str:
-    tbl = _FD_DISCOVER_TABLE
-    s = _FD_NULL_SENTINEL
-    ndv_cols = ",\n           ".join(
-        f"count(DISTINCT coalesce(CAST({c} AS VARCHAR), '{s}')) AS ndv_{c}"
-        for c in _FD_DISCOVER_COLS
-    )
-    branches = []
-    for det in _FD_DISCOVER_COLS:
-        for dep in _FD_DISCOVER_COLS:
-            if det == dep:
-                continue
-            branches.append(
-                f"""SELECT '{tbl}.{det}->{dep}' AS fd,
-       s.ndv_{det} AS ndv_det, s.ndv_{dep} AS ndv_dep,
-       CASE WHEN s.ndv_{det} = s.rowcnt THEN 'key_holds'
-            WHEN s.ndv_{dep} = 1 THEN 'const_holds'
-            WHEN s.ndv_{det} < s.ndv_{dep} THEN 'pruned_impossible'
-            WHEN g.n_violating = 0 THEN 'holds'
-            ELSE 'violated' END AS status,
-       CASE WHEN s.ndv_{det} = s.rowcnt OR s.ndv_{dep} = 1
-                THEN CAST(0 AS BIGINT)
-            WHEN s.ndv_{det} < s.ndv_{dep} THEN CAST(-1 AS BIGINT)
-            ELSE g.violation_ppm END AS violation_ppm
-FROM stats s CROSS JOIN (
-    SELECT CAST(sum(CAST(nb > 1 AS INT)) AS BIGINT) AS n_violating,
-           CAST(floor(CAST(sum(CAST(nb > 1 AS INT)) AS DOUBLE) / count(*)
-                      * 1000000 + 0.5) AS BIGINT) AS violation_ppm
-    FROM (
-        SELECT a, count(*) AS nb FROM (
-            SELECT DISTINCT coalesce(CAST({det} AS VARCHAR), '{s}') AS a,
-                            coalesce(CAST({dep} AS VARCHAR), '{s}') AS b
-            FROM {tbl}
-        ) GROUP BY a
-    )
-) g"""
-            )
-    body = "\nUNION ALL\n".join(branches)
-    return f"""
-WITH stats AS MATERIALIZED (
-    SELECT count(*) AS rowcnt,
-           {ndv_cols}
-    FROM {tbl}
-)
-{body}
-"""
-
-
-LOCAL_QUERIES["dq_fd_discover"] = QuerySpec(
-    q_dq_fd_discover, _fd_discover_oracle()
-)
-
-
-# --- inclusion-dependency (foreign-key) discovery -------------------------------
-
-# Candidate INDs probed: (child_table, child_col, parent_table,
-# parent_col). True FKs, a reversed pair (must fail: parents without
-# children exist), and a type-compatible non-key decoy.
-_IND_CANDIDATES = (
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier", "s_nationkey", "nation", "n_nationkey"),
-    ("customer", "c_custkey", "orders", "o_custkey"),
-    ("part", "p_size", "nation", "n_nationkey"),
-)
-
-
-def q_dq_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inclusion-dependency (foreign-key) DISCOVERY — the cross-table
-    companion to ``dq_fd_discover``: for each candidate child ⊆ parent
-    column pair, decide whether every non-null child value exists in
-    the parent (the property that makes a join lossless and a FK
-    constraint safe to declare). Statistics prune first, exactly the
-    SPIDER/Binder discipline: each column pays ONE stats row (min, max,
-    NDV at key grain), and a candidate whose child range escapes the
-    parent range ([min,max] ⊄ [min,max]) is refuted WITHOUT touching
-    row data — on a typical schema most of the n² cross-table pairs die
-    there. Survivors pay the exact test at VALUE grain: distinct child
-    values left-anti parent values, violations = count — at 100 TB
-    that's a key-grain anti-join per survivor (never row grain; the
-    child distinct collapses the fact table map-side). Verdict per
-    candidate: ``holds`` / ``violated`` (with exact violating-value
-    count) / ``pruned_range`` (-1: not measured, that's the prune).
-    Also emitted: the NDV coverage ratio (child NDV / parent NDV, ppm)
-    — the density readout that separates a total FK from a sparse
-    reference."""
-    # One stats job PER TABLE, not per column: every candidate column of
-    # a table shares a single wide aggregate (min/max/NDV ×k), so the
-    # fact table is scanned once for statistics no matter how many
-    # candidates reference it.
-    by_table: dict[str, set] = {}
-    for ct, cc, pt, pc in _IND_CANDIDATES:
-        by_table.setdefault(ct, set()).add(cc)
-        by_table.setdefault(pt, set()).add(pc)
-    def _table_stats(tbl: str, cols: frozenset) -> dict:
-        exprs = []
-        for c in sorted(cols):
-            exprs += [
-                F.min(col(c).cast("bigint")).alias(f"mn_{c}"),
-                F.max(col(c).cast("bigint")).alias(f"mx_{c}"),
-                F.countDistinct(col(c)).alias(f"ndv_{c}"),
-            ]
-        row = t(spark, sf_dir, tbl).agg(*exprs).collect()[0]
-        return {
-            c: (row[f"mn_{c}"], row[f"mx_{c}"], row[f"ndv_{c}"]) for c in cols
-        }
-
-    stats: dict[tuple[str, str], tuple] = {}
-    for tbl, cols in sorted(by_table.items()):
-        per_col = _cached_stats(
-            spark,
-            sf_dir,
-            f"ind_{tbl}",
-            lambda tbl=tbl, cols=frozenset(cols): _table_stats(tbl, cols),
-        )
-        for c, v in per_col.items():
-            stats[(tbl, c)] = v
-
-    pruned_rows = []
-    tested = []
-    for ct, cc, pt, pc in _IND_CANDIDATES:
-        ind = f"{ct}.{cc} <= {pt}.{pc}"
-        (cmn, cmx, cndv), (pmn, pmx, pndv) = stats[(ct, cc)], stats[(pt, pc)]
-        cov = int(cndv / pndv * 1_000_000 + 0.5)
-        # An all-NULL child (min/max None) is vacuously contained —
-        # never range-pruned; the exact test sees zero non-null values
-        # and reports holds, matching the SQL CASE (NULL comparisons
-        # are not TRUE there, so it isn't pruned either).
-        if cmn is not None and (cmn < pmn or cmx > pmx):
-            pruned_rows.append((ind, cndv, pndv, cov, "pruned_range", -1))
-        else:
-            tested.append((ind, ct, cc, pt, pc, cndv, pndv, cov))
-
-    schema = (
-        "ind string, ndv_child bigint, ndv_parent bigint, coverage_ppm bigint, "
-        "status string, n_violating bigint"
-    )
-    result = spark.createDataFrame(pruned_rows, schema=schema)
-    for ind, ct, cc, pt, pc, cndv, pndv, cov in tested:
-        child = t(spark, sf_dir, ct).select(col(cc).alias("v")).distinct()
-        parent = t(spark, sf_dir, pt).select(col(pc).alias("v")).distinct()
-        viol = child.filter(col("v").isNotNull()).join(
-            parent, "v", "left_anti"
-        )
-        row = viol.agg(F.count(F.lit(1)).alias("nv")).select(
-            F.lit(ind).alias("ind"),
-            F.lit(cndv).cast("bigint").alias("ndv_child"),
-            F.lit(pndv).cast("bigint").alias("ndv_parent"),
-            F.lit(cov).cast("bigint").alias("coverage_ppm"),
-            F.when(col("nv") == 0, F.lit("holds"))
-            .otherwise(F.lit("violated"))
-            .alias("status"),
-            col("nv").cast("bigint").alias("n_violating"),
-        )
-        result = result.unionByName(row)
-    return result
-
-
-def _ind_discover_oracle() -> str:
-    branches = []
-    for ct, cc, pt, pc in _IND_CANDIDATES:
-        ind = f"{ct}.{cc} <= {pt}.{pc}"
-        branches.append(
-            f"""SELECT '{ind}' AS ind,
-       cs.ndv AS ndv_child, ps.ndv AS ndv_parent,
-       CAST(floor(CAST(cs.ndv AS DOUBLE) / ps.ndv * 1000000 + 0.5)
-           AS BIGINT) AS coverage_ppm,
-       CASE WHEN cs.mn < ps.mn OR cs.mx > ps.mx THEN 'pruned_range'
-            WHEN g.nv = 0 THEN 'holds'
-            ELSE 'violated' END AS status,
-       CASE WHEN cs.mn < ps.mn OR cs.mx > ps.mx THEN CAST(-1 AS BIGINT)
-            ELSE g.nv END AS n_violating
-FROM (SELECT CAST(min({cc}) AS BIGINT) AS mn, CAST(max({cc}) AS BIGINT) AS mx,
-             count(DISTINCT {cc}) AS ndv FROM {ct}) cs
-CROSS JOIN (SELECT CAST(min({pc}) AS BIGINT) AS mn,
-                   CAST(max({pc}) AS BIGINT) AS mx,
-                   count(DISTINCT {pc}) AS ndv FROM {pt}) ps
-CROSS JOIN (
-    SELECT CAST(count(*) AS BIGINT) AS nv FROM (
-        SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL
-    ) c WHERE NOT EXISTS (
-        SELECT 1 FROM (SELECT DISTINCT {pc} AS v FROM {pt}) p
-        WHERE p.v = c.v)
-) g"""
-        )
-    return "\nUNION ALL\n".join(branches)
-
-
-LOCAL_QUERIES["dq_ind_discover"] = QuerySpec(
-    q_dq_ind_discover, _ind_discover_oracle()
-)
-
-
-# --- unique-column-combination (composite-key) discovery -------------------------
-
-_UCC_TABLE = "lineitem"
-_UCC_COLS = (
-    "l_orderkey",
-    "l_partkey",
-    "l_suppkey",
-    "l_linenumber",
-    "l_shipdate",
-)
-
-
-def q_dq_ucc_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unique-column-combination (composite-key) discovery — the third
-    leg of the profiling triad (``dq_fd_discover`` finds determinants,
-    ``dq_ind_discover`` finds foreign keys, this finds KEYS): which
-    column PAIRS uniquely identify a row. The classic answer on this
-    schema is (l_orderkey, l_linenumber) — no single lineitem column is
-    a key, the pair is.
-
-    Pruning comes from the pigeonhole principle: |domain(a)| ·
-    |domain(b)| < rowcount means the pair CANNOT be unique, decided
-    from the single-column NDVs ONE shared stats scan already funds —
-    no pair data is touched (``pruned_pigeonhole``, duplicates = -1:
-    deliberately unmeasured). A single column that is itself a key
-    makes every pair containing it trivially unique (``super_key``,
-    also free). Only the surviving pairs pay the exact two-column
-    distinct count, fanned out as independent unioned branches —
-    map-side-combinable aggregates over two-column pruned scans.
-    Verdicts: ``holds`` / ``violated`` (exact duplicate-row count) on
-    integer arithmetic end to end."""
-    tbl = _UCC_TABLE
-    base = t(spark, sf_dir, tbl)
-    exprs = [F.count(F.lit(1)).alias("rowcnt")] + [
-        F.countDistinct(col(c)).alias(c) for c in _UCC_COLS
-    ]
-    rowcnt, ndv = _cached_stats(
-        spark,
-        sf_dir,
-        "ucc_ndv",
-        lambda: (
-            lambda row: (row["rowcnt"], {c: row[c] for c in _UCC_COLS})
-        )(base.agg(*exprs).collect()[0]),
-    )
-
-    pruned_rows = []
-    tested = []
-    for i, ca in enumerate(_UCC_COLS):
-        for cb in _UCC_COLS[i + 1 :]:
-            ucc = f"{tbl}.({ca},{cb})"
-            if ndv[ca] == rowcnt or ndv[cb] == rowcnt:
-                pruned_rows.append((ucc, ndv[ca], ndv[cb], "super_key", 0))
-            elif ndv[ca] * ndv[cb] < rowcnt:
-                pruned_rows.append(
-                    (ucc, ndv[ca], ndv[cb], "pruned_pigeonhole", -1)
-                )
-            else:
-                tested.append((ucc, ca, cb))
-
-    schema = (
-        "ucc string, ndv_a bigint, ndv_b bigint, status string, "
-        "n_duplicate bigint"
-    )
-    result = spark.createDataFrame(pruned_rows, schema=schema)
-    for ucc, ca, cb in tested:
-        # countDistinct over a STRUCT, not the bare column pair:
-        # countDistinct(a, b) skips rows where either side is NULL,
-        # while the oracle's SELECT DISTINCT a, b counts null-bearing
-        # combinations as values — the struct is never NULL itself, so
-        # both engines agree on NULL-bearing pairs.
-        pair_ndv = base.agg(
-            F.countDistinct(F.struct(col(ca), col(cb))).alias("nd"),
-            F.count(F.lit(1)).alias("n"),
-        ).select(
-            F.lit(ucc).alias("ucc"),
-            F.lit(ndv[ca]).cast("bigint").alias("ndv_a"),
-            F.lit(ndv[cb]).cast("bigint").alias("ndv_b"),
-            F.when(col("nd") == col("n"), F.lit("holds"))
-            .otherwise(F.lit("violated"))
-            .alias("status"),
-            (col("n") - col("nd")).cast("bigint").alias("n_duplicate"),
-        )
-        result = result.unionByName(pair_ndv)
-    return result
-
-
-def _ucc_discover_oracle() -> str:
-    tbl = _UCC_TABLE
-    ndv_cols = ",\n           ".join(
-        f"count(DISTINCT {c}) AS ndv_{c}" for c in _UCC_COLS
-    )
-    branches = []
-    for i, ca in enumerate(_UCC_COLS):
-        for cb in _UCC_COLS[i + 1 :]:
-            ucc = f"{tbl}.({ca},{cb})"
-            branches.append(
-                f"""SELECT '{ucc}' AS ucc, s.ndv_{ca} AS ndv_a, s.ndv_{cb} AS ndv_b,
-       CASE WHEN s.ndv_{ca} = s.rowcnt OR s.ndv_{cb} = s.rowcnt
-                THEN 'super_key'
-            WHEN s.ndv_{ca} * s.ndv_{cb} < s.rowcnt THEN 'pruned_pigeonhole'
-            WHEN g.nd = s.rowcnt THEN 'holds'
-            ELSE 'violated' END AS status,
-       CASE WHEN s.ndv_{ca} = s.rowcnt OR s.ndv_{cb} = s.rowcnt
-                THEN CAST(0 AS BIGINT)
-            WHEN s.ndv_{ca} * s.ndv_{cb} < s.rowcnt THEN CAST(-1 AS BIGINT)
-            ELSE s.rowcnt - g.nd END AS n_duplicate
-FROM stats s CROSS JOIN (
-    SELECT count(*) AS nd FROM (SELECT DISTINCT {ca}, {cb} FROM {tbl})
-) g"""
-            )
-    body = "\nUNION ALL\n".join(branches)
-    return f"""
-WITH stats AS MATERIALIZED (
-    SELECT count(*) AS rowcnt,
-           {ndv_cols}
-    FROM {tbl}
-)
-{body}
-"""
-
-
-LOCAL_QUERIES["dq_ucc_discover"] = QuerySpec(
-    q_dq_ucc_discover, _ucc_discover_oracle()
-)
-
-
-def q_dq_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed schema-profiling report — the triad as one artifact
-    (the profiling counterpart of ``curation_report``'s composed dedup
-    DAG): functional dependencies, inclusion dependencies (FKs), and
-    unique column combinations (keys), normalized to (section, item,
-    status, metric) rows. This is the table a catalog/CBO ingests: what
-    determines what, what references what, what identifies a row. Each
-    section keeps its own pruning economics (NDV grid / range stats /
-    pigeonhole); the report adds only three map-only projections and a
-    union — no new shuffles beyond what the discoverers already pay."""
-    fd = q_dq_fd_discover(spark, sf_dir).select(
-        F.lit("fd").alias("section"),
-        col("fd").alias("item"),
-        "status",
-        col("violation_ppm").alias("metric"),
-    )
-    ind = q_dq_ind_discover(spark, sf_dir).select(
-        F.lit("ind").alias("section"),
-        col("ind").alias("item"),
-        "status",
-        col("n_violating").alias("metric"),
-    )
-    ucc = q_dq_ucc_discover(spark, sf_dir).select(
-        F.lit("ucc").alias("section"),
-        col("ucc").alias("item"),
-        "status",
-        col("n_duplicate").alias("metric"),
-    )
-    return fd.unionByName(ind).unionByName(ucc)
-
-
-def _profile_report_oracle() -> str:
-    return f"""
-SELECT 'fd' AS section, fd AS item, status, violation_ppm AS metric
-FROM ({_fd_discover_oracle()})
-UNION ALL
-SELECT 'ind' AS section, ind AS item, status, n_violating AS metric
-FROM ({_ind_discover_oracle()})
-UNION ALL
-SELECT 'ucc' AS section, ucc AS item, status, n_duplicate AS metric
-FROM ({_ucc_discover_oracle()})
-"""
-
-
-LOCAL_QUERIES["dq_profile_report"] = QuerySpec(
-    q_dq_profile_report, _profile_report_oracle()
-)
+# The catalog-driven FD/IND/UCC discovery triad + composed report moved
+# to queries/profiling.py in round 9 (generalized from this module's
+# earlier pinned-table/pinned-candidate version per the r8 verdict).
 
 
 # --- join-size estimation from key-frequency profiles --------------------------

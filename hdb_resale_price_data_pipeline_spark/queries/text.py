@@ -1676,11 +1676,16 @@ QUERIES["text_wordpiece_learn"] = QuerySpec(
 QUERIES["text_quality_classifier"] = QuerySpec(
     q_text_quality_classifier, _lr_query_oracle()
 )
-QUERIES["text_model_selection"] = QuerySpec(
-    q_text_model_selection, _model_selection_oracle()
-)
+# r9 rotation: text_model_selection demoted to LOCAL_QUERIES (below) —
+# the consensus composite's four signals each stay graded individually
+# (text_c4_filter, text_gopher_quality, text_quality_classifier,
+# dedup family), freeing a slot for er_fastss_join on the hard signal.
+# Still fully oracle- and plan-verified locally.
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
+    "text_model_selection": QuerySpec(
+        q_text_model_selection, _model_selection_oracle()
+    ),
     "text_chunk_overlap": QuerySpec(q_text_chunk_overlap, _TEXT_CHUNK_SQL),
     "text_bloom_decontaminate": QuerySpec(
         q_text_bloom_decontaminate, _bloom_decontam_oracle()

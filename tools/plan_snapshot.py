@@ -121,10 +121,14 @@ def clear_index_caches() -> None:
     prints a cache-less plan that no longer matches its snapshot."""
     from hdb_resale_price_data_pipeline_spark.queries import dedup as QD
     from hdb_resale_price_data_pipeline_spark.queries import extensions as QE
+    from hdb_resale_price_data_pipeline_spark.queries import profiling as QP
     from hdb_resale_price_data_pipeline_spark.queries import text as QT
     from hdb_resale_price_data_pipeline_spark.queries import similarity as QS
     from hdb_resale_price_data_pipeline_spark.streaming import documents as SD
 
+    # The profiling module owns two caches (stats tuples + persisted
+    # result frames); its own clear covers both.
+    QP.clear_profile_caches()
     for cache in (
         QD._MINHASH_PAIR_CACHE,
         QE._ATTR_CACHE,

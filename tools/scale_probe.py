@@ -422,6 +422,14 @@ SCALING_QUERIES = [
     "text_stratified_split",
     "multimodal_shot_boundaries",
     "warehouse_compaction_plan",
+    # r9 (r8 verdict item 3): the LSH recall/precision readout — truth
+    # stays a bounded md5-ordered sample by construction, so the
+    # scale-sensitive part is the production minhash_band_pairs
+    # invocation it measures; the interesting probe readout is whether
+    # the measured S-curve operating point HOLDS as the corpus grows
+    "dedup_lsh_recall_eval",
+    # r9: the banding-parameter sweep over the same bounded truth
+    "dedup_lsh_band_sweep",
 ]
 
 
@@ -529,6 +537,8 @@ _TPCH_OFFSETS = {
     "supplier": ("s_suppkey",),
     "part": ("p_partkey",),
     "events": ("event_id",),
+    # r9: the catalog-driven profiling triad reads documents too
+    "documents": ("doc_id",),
 }
 _TPCH_VERBATIM = ("region", "nation")
 
@@ -631,7 +641,9 @@ TPCH_QUERIES = [
 
 
 def stage_tpch(spark) -> None:
-    if os.path.exists(f"{TPCH_STAGE}/_done"):
+    # marker bumped r9: documents joined the staged set (profiling
+    # catalog); a pre-r9 stage dir restages once
+    if os.path.exists(f"{TPCH_STAGE}/_done_r9"):
         return
     for table, keys in _TPCH_OFFSETS.items():
         base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
@@ -648,7 +660,7 @@ def stage_tpch(spark) -> None:
         spark.read.parquet(f"{SF_DIR}/{table}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{TPCH_STAGE}/{table}.parquet")
-    open(f"{TPCH_STAGE}/_done", "w").close()
+    open(f"{TPCH_STAGE}/_done_r9", "w").close()
 
 
 def probe_tpch(spark) -> None:
@@ -683,6 +695,11 @@ def probe_tpch(spark) -> None:
         for label, d in (("1x", SF_DIR), ("10x", TPCH_STAGE)):
             runs = []
             for _ in range(2):
+                # r9: index caches joined this probe (the profiling
+                # discoverers persist their result frames) — a cold run
+                # must price the BUILD, and clearCache() alone would
+                # leave retained-but-unpersisted frames.
+                _clear_index_caches()
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 _noop(fn(spark, d))
@@ -939,9 +956,81 @@ def probe_er(spark, grow_vocab: bool = False) -> None:
         )
 
 
+def probe_fastss(spark) -> None:
+    """FastSS at growing DISTINCT-name scale with a candidate/output
+    separation (r8 verdict item 6): the r8 10×-duplication probe
+    conflated output growth with candidate work (slope 0.75 was the
+    output's intrinsic id fan-out). This probe grows the real scaling
+    axis — the ER staging regenerates customer names from fresh
+    serials, so distinct names grow linearly with copies — and reports
+    CANDIDATE pairs (variant-grain join output, pre-verify: the
+    Σ variant-bucket² term the theorem bounds) separately from OUTPUT
+    pairs at 1×/4×/16×. Expected: candidates/name ≈ constant (serial
+    names have bounded edit-dense neighborhoods), i.e. candidate count
+    slope ≈ 1 in distinct names — never quadratic."""
+    import math
+
+    from hdb_resale_price_data_pipeline_spark.queries import local_queries
+    from hdb_resale_price_data_pipeline_spark.queries.er import (
+        fastss_candidate_pairs,
+    )
+
+    registry = local_queries()
+    dirs: dict[int, str] = {}
+    for c in SCALING_COPIES:
+        if c == 1:
+            dirs[c] = SF_DIR
+            continue
+        dest = f"/tmp/er_scale_c{c}"
+        stage_er_at(spark, dest, copies=c)
+        dirs[c] = dest
+
+    fn = registry["er_fastss_join"].fn
+    _noop(fn(spark, dirs[1]))  # warmup (codegen/JIT/scan cache)
+    print("\n| copies | distinct names | candidate pairs | output pairs "
+          "| cand/name | t_cand | t_full |")
+    print("|---|---|---|---|---|---|---|")
+    rows = {}
+    for c in SCALING_COPIES:
+        cust = spark.read.parquet(f"{dirs[c]}/customer.parquet")
+        dn = (
+            cust.filter(col("c_custkey") % 3 == 0)
+            .select(col("c_name").alias("name"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_names = dn.count()
+        t0 = time.perf_counter()
+        n_cand = fastss_candidate_pairs(dn).count()
+        t_cand = time.perf_counter() - t0
+        _clear_index_caches()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _noop(fn(spark, dirs[c]))
+        t_full = time.perf_counter() - t0
+        n_out = fn(spark, dirs[c]).count()
+        rows[c] = (n_names, n_cand, n_out)
+        print(
+            f"| {c}x | {n_names:,} | {n_cand:,} | {n_out:,} "
+            f"| {n_cand / max(n_names, 1):.1f} | {t_cand:.2f}s "
+            f"| {t_full:.2f}s |"
+        )
+    c0, c2 = SCALING_COPIES[0], SCALING_COPIES[-1]
+    g = math.log(rows[c2][0] / rows[c0][0])
+    print(
+        f"slopes in DISTINCT NAMES ({rows[c0][0]:,}->{rows[c2][0]:,}): "
+        f"candidates {math.log(rows[c2][1] / rows[c0][1]) / g:.2f}, "
+        f"output {math.log(rows[c2][2] / rows[c0][2]) / g:.2f}"
+    )
+
+
 def main() -> None:
     spark = get_spark_session(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--fastss" in sys.argv:
+        probe_fastss(spark)
+        spark.stop()
+        return
     if "--er" in sys.argv:
         probe_er(spark, grow_vocab="--grow" in sys.argv)
         spark.stop()
