@@ -937,48 +937,56 @@ QUERIES["dedup_prefix_join"] = QuerySpec(
 LSH_EVAL_SAMPLE = 256  # bounded deterministic eval population (md5 order)
 
 
-def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured MinHash-LSH quality — recall AND candidate precision of
-    the banding scheme against EXACT token-Jaccard truth, the S-curve
-    readout that decides banding parameters in production (er_blocking_
-    recall's discipline applied to the dedup family). Truth for a
-    recall measurement is by definition all-pairs, so the EVALUATION
-    population is a bounded deterministic sample: the LSH_EVAL_SAMPLE
+def _lsh_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded deterministic evaluation population: LSH_EVAL_SAMPLE
     docs with smallest md5(doc_id) — the same salted-hash pick the FS
-    u-sample and the stratified split use, identical in both engines.
-
-    The measured banding is EXACTLY the registered pipeline's
-    (minhash_band_pairs with the module's shingle/band/row params), so
-    the readout certifies the production candidate generator, not a
-    test double. Truth pairs: broadcast self-join over the sample
-    (≤ LSH_EVAL_SAMPLE² — the bound is the point), exact integer
-    Jaccard test at the verify threshold. Emitted: true pair count,
-    candidate count, hits, recall and candidate-precision in exact ppm
-    (integer numerators, one division each onto the grid)."""
-    docs = (
+    u-sample and the stratified split use, identical in both engines."""
+    return (
         widen(t(spark, sf_dir, "documents"))
         .orderBy(F.md5(col("doc_id").cast("string")), col("doc_id"))
         .limit(LSH_EVAL_SAMPLE)
         .select("doc_id", "text")
         .localCheckpoint(eager=False)
     )
-    toks = docs.select(
-        "doc_id", F.expr(H.distinct_tokens("text")[0]).alias("toks")
-    )
-    a = toks.select(col("doc_id").alias("doc_a"), col("toks").alias("ta"))
-    b = toks.select(col("doc_id").alias("doc_b"), col("toks").alias("tb"))
-    inter = F.size(F.array_intersect(col("ta"), col("tb")))
-    union = F.size("ta") + F.size("tb") - inter
+
+
+# The two truth metrics every LSH readout reports (r9): the banding
+# operates on SHINGLE minhash, while the production verify step (and
+# the curation pipeline) targets TOKEN Jaccard — two different
+# similarity definitions. Measuring both separates "is the candidate
+# generator faithful to ITS OWN metric" (shingle truth — the
+# 1-(1-s^r)^b S-curve applies here, and the measured answer is
+# recall=precision=100% on this corpus: its shingle similarity is
+# bimodal) from "how much of the END metric does shingle banding
+# reach" (token truth — the metric-mismatch gap: documents sharing
+# vocabulary but not phrasing are token-near-dups that shingle
+# banding deliberately does not target).
+def _lsh_truths(spark: SparkSession, docs: DataFrame) -> dict:
     num = int(MINHASH_VERIFY_THRESHOLD * 10)
-    truth = (
-        a.join(F.broadcast(b), col("doc_a") < col("doc_b"))
-        .filter(inter * 10 >= union * num)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
-    cands = minhash_band_pairs(
-        docs, "doc_id", "text", SHINGLE_LEN, NUM_BANDS, ROWS_PER_BAND
-    ).localCheckpoint(eager=False)
+    shingle_spark = H.shingles(H.tokens("text"), SHINGLE_LEN)[0]
+    exprs = {
+        "token": F.expr(H.distinct_tokens("text")[0]),
+        "shingle": F.expr(f"array_distinct({shingle_spark})"),
+    }
+    out = {}
+    for metric, expr in exprs.items():
+        sets = docs.select("doc_id", expr.alias("s"))
+        a = sets.select(col("doc_id").alias("doc_a"), col("s").alias("sa"))
+        b = sets.select(col("doc_id").alias("doc_b"), col("s").alias("sb"))
+        inter = F.size(F.array_intersect(col("sa"), col("sb")))
+        union = F.size("sa") + F.size("sb") - inter
+        out[metric] = (
+            a.join(F.broadcast(b), col("doc_a") < col("doc_b"))
+            .filter(inter * 10 >= union * num)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+    return out
+
+
+def _lsh_metric_row(
+    truth: DataFrame, cands: DataFrame, head_cols: list, metric: str
+) -> DataFrame:
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_hit = truth.join(cands, ["doc_a", "doc_b"]).agg(
@@ -988,6 +996,8 @@ def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_true.crossJoin(F.broadcast(n_cand))
         .crossJoin(F.broadcast(n_hit))
         .select(
+            *head_cols,
+            F.lit(metric).alias("metric"),
             "n_true",
             "n_candidates",
             "n_hit",
@@ -1017,49 +1027,108 @@ def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_recall_oracle() -> str:
-    bands = H.band_keys(
-        H.shingles(H.tokens("text"), SHINGLE_LEN), NUM_BANDS, ROWS_PER_BAND
-    )
+def q_dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH quality — recall AND candidate precision of
+    the production banding scheme against EXACT truth, the readout that
+    decides banding parameters in production (er_blocking_recall's
+    discipline applied to the dedup family). One row per TRUTH METRIC
+    (see _lsh_truths): ``shingle`` certifies the candidate generator
+    against its own similarity definition (the S-curve's s), ``token``
+    measures how much of the production verify metric the shingle
+    banding reaches — the r9 probe exposed that conflating the two
+    reads as a recall bug when it is a metric gap.
+
+    Truth for a recall measurement is by definition all-pairs, so the
+    EVALUATION population is a bounded deterministic sample (truth cost
+    ≤ LSH_EVAL_SAMPLE² broadcast work — the bound is the point). The
+    measured banding is EXACTLY the registered pipeline's
+    (minhash_band_pairs with the module's shingle/band/row params), so
+    the readout certifies the production candidate generator, not a
+    test double. Exact integer counts; one division per ratio onto the
+    ppm grid."""
+    docs = _lsh_eval_sample(spark, sf_dir)
+    truths = _lsh_truths(spark, docs)
+    cands = minhash_band_pairs(
+        docs, "doc_id", "text", SHINGLE_LEN, NUM_BANDS, ROWS_PER_BAND
+    ).localCheckpoint(eager=False)
+    rows = [
+        _lsh_metric_row(truths[m], cands, [], m)
+        for m in ("shingle", "token")
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _lsh_truth_ctes() -> str:
     toks = H.distinct_tokens("text")[1]
+    sh = H.shingles(H.tokens("text"), SHINGLE_LEN)[1]
     num = int(MINHASH_VERIFY_THRESHOLD * 10)
+    parts = []
+    for metric, expr in (("token", toks), ("shingle", f"list_distinct({sh})")):
+        parts.append(
+            f"""sets_{metric} AS (
+    SELECT doc_id, {expr} AS s FROM sample
+), truth_{metric} AS MATERIALIZED (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sets_{metric} a JOIN sets_{metric} b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 10
+          >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * {num}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _lsh_metric_select(metric: str, cands: str, head: str = "") -> str:
+    return f"""SELECT {head}'{metric}' AS metric,
+       (SELECT count(*) FROM truth_{metric}) AS n_true,
+       (SELECT count(*) FROM {cands}) AS n_candidates,
+       (SELECT count(*) FROM truth_{metric} t JOIN {cands} c
+         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM truth_{metric}) = 0
+                THEN CAST(-1 AS BIGINT)
+            ELSE CAST(floor(
+                CAST((SELECT count(*) FROM truth_{metric} t JOIN {cands} c
+                      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+                / (SELECT count(*) FROM truth_{metric}) * 1000000 + 0.5)
+                AS BIGINT) END AS recall_ppm,
+       CASE WHEN (SELECT count(*) FROM {cands}) = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(floor(
+                CAST((SELECT count(*) FROM truth_{metric} t JOIN {cands} c
+                      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+                / (SELECT count(*) FROM {cands}) * 1000000 + 0.5)
+                AS BIGINT) END AS cand_precision_ppm"""
+
+
+def _lsh_melted(nb: int, nr: int, tag: str) -> str:
+    bands = H.band_keys(H.shingles(H.tokens("text"), SHINGLE_LEN), nb, nr)
     melted = "\n    UNION ALL\n".join(
         f"    SELECT doc_id, {i} AS band_id, {duck} AS band_key FROM sample"
         for i, (_, duck) in enumerate(bands)
+    )
+    return (
+        f"melted_{tag} AS (\n{melted}\n), cands_{tag} AS MATERIALIZED (\n"
+        f"    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"    FROM melted_{tag} a JOIN melted_{tag} b\n"
+        f"      ON a.band_id = b.band_id AND a.band_key = b.band_key\n"
+        f"     AND a.doc_id < b.doc_id\n)"
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    tag = f"{NUM_BANDS}_{ROWS_PER_BAND}"
+    selects = "\nUNION ALL\n".join(
+        _lsh_metric_select(m, f"cands_{tag}") for m in ("shingle", "token")
     )
     return f"""
 WITH sample AS MATERIALIZED (
     SELECT doc_id, text FROM documents
     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {LSH_EVAL_SAMPLE}
-), tk AS (
-    SELECT doc_id, {toks} AS toks FROM sample
-), truth AS MATERIALIZED (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM tk a JOIN tk b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.toks, b.toks)) * 10
-          >= (len(a.toks) + len(b.toks)
-              - len(list_intersect(a.toks, b.toks))) * {num}
-), melted AS (
-{melted}
-), cands AS MATERIALIZED (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM melted a JOIN melted b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
-), agg AS (
-    SELECT (SELECT count(*) FROM truth) AS n_true,
-           (SELECT count(*) FROM cands) AS n_candidates,
-           (SELECT count(*) FROM truth t JOIN cands c
-             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
-)
-SELECT n_true, n_candidates, n_hit,
-       CASE WHEN n_true = 0 THEN CAST(-1 AS BIGINT)
-            ELSE CAST(floor(CAST(n_hit AS DOUBLE) / n_true * 1000000 + 0.5)
-                 AS BIGINT) END AS recall_ppm,
-       CASE WHEN n_candidates = 0 THEN CAST(-1 AS BIGINT)
-            ELSE CAST(floor(CAST(n_hit AS DOUBLE) / n_candidates * 1000000
-                 + 0.5) AS BIGINT) END AS cand_precision_ppm
-FROM agg
+),
+{_lsh_truth_ctes()},
+{_lsh_melted(NUM_BANDS, ROWS_PER_BAND, tag)}
+{selects}
 """
 
 
@@ -1080,78 +1149,39 @@ def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-parameter SWEEP — ``dedup_lsh_recall_eval`` extended to
     the production question the readout exists to answer: which
     (bands, rows-per-band) operating point to run. Each sweep setting
-    is evaluated against the SAME bounded exact-Jaccard truth (the
-    md5-ordered LSH_EVAL_SAMPLE, shared via one checkpoint) using the
-    SAME production candidate generator (``minhash_band_pairs``), and
-    emits one row: (n_bands, n_rows, true pairs, candidates, hits,
-    recall ppm, candidate-precision ppm). The collision probability
-    1-(1-s^r)^b moves along the classic S-curve: more, shorter bands →
-    recall up / precision down; the sweep makes the tradeoff a
-    measured table instead of a formula. tools/dedup_sweep.py does
-    this offline; the query form is value-oracled. Scale: truth stays
-    ≤ sample² broadcast work by construction; each setting pays one
-    banding pass over the sample — at 100 TB you run this on the same
-    bounded sample, which is the point."""
-    docs = (
-        widen(t(spark, sf_dir, "documents"))
-        .orderBy(F.md5(col("doc_id").cast("string")), col("doc_id"))
-        .limit(LSH_EVAL_SAMPLE)
-        .select("doc_id", "text")
-        .localCheckpoint(eager=False)
-    )
-    toks = docs.select(
-        "doc_id", F.expr(H.distinct_tokens("text")[0]).alias("toks")
-    )
-    a = toks.select(col("doc_id").alias("doc_a"), col("toks").alias("ta"))
-    b = toks.select(col("doc_id").alias("doc_b"), col("toks").alias("tb"))
-    inter = F.size(F.array_intersect(col("ta"), col("tb")))
-    union = F.size("ta") + F.size("tb") - inter
-    num = int(MINHASH_VERIFY_THRESHOLD * 10)
-    truth = (
-        a.join(F.broadcast(b), col("doc_a") < col("doc_b"))
-        .filter(inter * 10 >= union * num)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    is evaluated against the SAME bounded exact truths (shared via one
+    checkpoint each) using the SAME production candidate generator
+    (``minhash_band_pairs``), one row per (setting, truth metric):
+    (n_bands, n_rows, metric, true pairs, candidates, hits, recall ppm,
+    candidate-precision ppm). On the shingle metric the collision
+    probability 1-(1-s^r)^b moves along the classic S-curve — more,
+    shorter bands → recall up / precision down; the token metric rows
+    carry the shingle-vs-token gap at each operating point. The sweep
+    makes the tradeoff a measured table instead of a formula
+    (tools/dedup_sweep.py does this offline; the query form is
+    value-oracled). Scale: truths stay ≤ sample² broadcast work by
+    construction; each setting pays one banding pass over the sample —
+    at 100 TB you run this on the same bounded sample, which is the
+    point."""
+    docs = _lsh_eval_sample(spark, sf_dir)
+    truths = _lsh_truths(spark, docs)
     outs = []
     for nb, nr in LSH_SWEEP_SETTINGS:
         cands = minhash_band_pairs(
             docs, "doc_id", "text", SHINGLE_LEN, nb, nr
         ).localCheckpoint(eager=False)
-        n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
-        n_hit = truth.join(cands, ["doc_a", "doc_b"]).agg(
-            F.count(F.lit(1)).alias("n_hit")
-        )
-        outs.append(
-            n_true.crossJoin(F.broadcast(n_cand))
-            .crossJoin(F.broadcast(n_hit))
-            .select(
-                F.lit(nb).cast("int").alias("n_bands"),
-                F.lit(nr).cast("int").alias("n_rows"),
-                "n_true",
-                "n_candidates",
-                "n_hit",
-                F.when(col("n_true") == 0, F.lit(-1).cast("bigint"))
-                .otherwise(
-                    F.floor(
-                        col("n_hit").cast("double") / col("n_true") * 1_000_000
-                        + F.lit(0.5)
-                    ).cast("bigint")
+        for m in ("shingle", "token"):
+            outs.append(
+                _lsh_metric_row(
+                    truths[m],
+                    cands,
+                    [
+                        F.lit(nb).cast("int").alias("n_bands"),
+                        F.lit(nr).cast("int").alias("n_rows"),
+                    ],
+                    m,
                 )
-                .alias("recall_ppm"),
-                F.when(col("n_candidates") == 0, F.lit(-1).cast("bigint"))
-                .otherwise(
-                    F.floor(
-                        col("n_hit").cast("double")
-                        / col("n_candidates")
-                        * 1_000_000
-                        + F.lit(0.5)
-                    ).cast("bigint")
-                )
-                .alias("cand_precision_ppm"),
             )
-        )
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
@@ -1159,62 +1189,24 @@ def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_band_sweep_oracle() -> str:
-    toks = H.distinct_tokens("text")[1]
-    num = int(MINHASH_VERIFY_THRESHOLD * 10)
-    settings = []
-    for nb, nr in LSH_SWEEP_SETTINGS:
-        bands = H.band_keys(
-            H.shingles(H.tokens("text"), SHINGLE_LEN), nb, nr
-        )
-        melted = "\n    UNION ALL\n".join(
-            f"    SELECT doc_id, {i} AS band_id, {duck} AS band_key"
-            f" FROM sample"
-            for i, (_, duck) in enumerate(bands)
-        )
-        tag = f"{nb}_{nr}"
-        settings.append((nb, nr, tag, melted))
     melted_ctes = ",\n".join(
-        f"melted_{tag} AS (\n{melted}\n), cands_{tag} AS MATERIALIZED (\n"
-        f"    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
-        f"    FROM melted_{tag} a JOIN melted_{tag} b\n"
-        f"      ON a.band_id = b.band_id AND a.band_key = b.band_key\n"
-        f"     AND a.doc_id < b.doc_id\n)"
-        for _, _, tag, melted in settings
+        _lsh_melted(nb, nr, f"{nb}_{nr}") for nb, nr in LSH_SWEEP_SETTINGS
     )
     selects = "\nUNION ALL\n".join(
-        f"""SELECT CAST({nb} AS INT) AS n_bands, CAST({nr} AS INT) AS n_rows,
-       (SELECT count(*) FROM truth) AS n_true,
-       (SELECT count(*) FROM cands_{tag}) AS n_candidates,
-       (SELECT count(*) FROM truth t JOIN cands_{tag} c
-         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
-       CASE WHEN (SELECT count(*) FROM truth) = 0 THEN CAST(-1 AS BIGINT)
-            ELSE CAST(floor(
-                CAST((SELECT count(*) FROM truth t JOIN cands_{tag} c
-                      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
-                / (SELECT count(*) FROM truth) * 1000000 + 0.5)
-                AS BIGINT) END AS recall_ppm,
-       CASE WHEN (SELECT count(*) FROM cands_{tag}) = 0
-                THEN CAST(-1 AS BIGINT)
-            ELSE CAST(floor(
-                CAST((SELECT count(*) FROM truth t JOIN cands_{tag} c
-                      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
-                / (SELECT count(*) FROM cands_{tag}) * 1000000 + 0.5)
-                AS BIGINT) END AS cand_precision_ppm"""
-        for nb, nr, tag, _ in settings
+        _lsh_metric_select(
+            m,
+            f"cands_{nb}_{nr}",
+            head=f"CAST({nb} AS INT) AS n_bands, CAST({nr} AS INT) AS n_rows,\n       ",
+        )
+        for nb, nr in LSH_SWEEP_SETTINGS
+        for m in ("shingle", "token")
     )
     return f"""
 WITH sample AS MATERIALIZED (
     SELECT doc_id, text FROM documents
     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {LSH_EVAL_SAMPLE}
-), tk AS (
-    SELECT doc_id, {toks} AS toks FROM sample
-), truth AS MATERIALIZED (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM tk a JOIN tk b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.toks, b.toks)) * 10
-          >= (len(a.toks) + len(b.toks)
-              - len(list_intersect(a.toks, b.toks))) * {num}
 ),
+{_lsh_truth_ctes()},
 {melted_ctes}
 {selects}
 """

@@ -9,10 +9,10 @@ classes — and GENERATE every candidate:
 - FD candidates  = all ordered column pairs within each cataloged table;
 - UCC candidates = all unordered column pairs within each cataloged
   table;
-- IND candidates = all ordered cross-table pairs of integral-class
-  columns (the joinable type class — Binder partitions IND candidates
-  by type the same way; string/measure columns never generate IND
-  candidates).
+- IND candidates = all ordered cross-table pairs of joinable-class
+  columns, generated PER TYPE CLASS (integral / string / timestamp —
+  Binder partitions IND candidates by type the same way; floating
+  measures never generate IND candidates).
 
 The economics are unchanged and are the point at 100 TB: ONE
 ANALYZE-style wide aggregate per table (rowcount, NULL-sentinel NDV per
@@ -100,6 +100,7 @@ _CATALOG: dict[str, tuple[tuple[str, str], ...]] = {
         ("o_custkey", "int"),
         ("o_orderstatus", "str"),
         ("o_orderpriority", "str"),
+        ("o_orderdate", "date"),
     ),
     "lineitem": (
         ("l_orderkey", "int"),
@@ -113,6 +114,7 @@ _CATALOG: dict[str, tuple[tuple[str, str], ...]] = {
         ("user_id", "int"),
         ("event_type", "str"),
         ("value", "num"),
+        ("ts", "date"),
     ),
     "documents": (
         ("doc_id", "int"),
@@ -137,8 +139,21 @@ def _cols(table: str) -> tuple[str, ...]:
     return tuple(c for c, _ in _CATALOG[table])
 
 
-def _int_cols(table: str) -> tuple[str, ...]:
-    return tuple(c for c, k in _CATALOG[table] if k == "int")
+# IND candidates are generated per TYPE CLASS (Binder's candidate
+# partition): integral keys, strings (binary/UTF-8 collation on both
+# engines, so range-prune decisions agree), and timestamps. "num"
+# (floating measures) is deliberately not a joinable class.
+_IND_CLASSES = ("int", "str", "date")
+
+
+def _class_cols(table: str, klass: str) -> tuple[str, ...]:
+    return tuple(c for c, k in _CATALOG[table] if k == klass)
+
+
+def _ind_cols(table: str) -> tuple[tuple[str, str], ...]:
+    return tuple(
+        (c, k) for c, k in _CATALOG[table] if k in _IND_CLASSES
+    )
 
 
 # --- statistics layer (ANALYZE semantics, fingerprint-keyed) ---------------------
@@ -200,42 +215,71 @@ def _session_key(spark: SparkSession):
 
 class _TableStats:
     """One table's ANALYZE row: rowcount, sentinel NDV per cataloged
-    column, and (min, max, non-null NDV) per integral column."""
+    column, and (min, max, non-null NDV) per IND-class column —
+    integral columns at bigint grain, string/timestamp columns raw
+    (both engines order them identically: binary UTF-8 collation for
+    strings, the time line for timestamps, so range-prune decisions
+    taken from these values agree cross-engine)."""
 
-    __slots__ = ("rowcnt", "ndv", "int_stats")
+    __slots__ = ("rowcnt", "ndv", "ind_stats")
 
-    def __init__(self, rowcnt: int, ndv: dict, int_stats: dict) -> None:
+    def __init__(self, rowcnt: int, ndv: dict, ind_stats: dict) -> None:
         self.rowcnt = rowcnt
         self.ndv = ndv
-        self.int_stats = int_stats
+        self.ind_stats = ind_stats
+
+
+def _ind_value_col(column: str, klass: str):
+    """The joinable value expression per type class: integral columns
+    meet at bigint grain; strings/timestamps meet raw."""
+    return col(column).cast("bigint") if klass == "int" else col(column)
 
 
 def _table_stats(spark: SparkSession, sf_dir: str, table: str) -> _TableStats:
     key = (_session_key(spark), sf_dir, table, _dataset_fingerprint(sf_dir))
     if key in _PROFILE_STATS_CACHE:
         return _PROFILE_STATS_CACHE[key]
+    # Distinct aggregates dominate the ANALYZE scan (each adds a slice
+    # to Spark's Expand), so every column pays exactly ONE: ind-class
+    # columns (int/str/date) pay the RAW countDistinct — their sentinel
+    # NDV is derived exactly as raw NDV + 1 if any NULL (string casts
+    # are injective on these types, so the identity is exact; floating
+    # "num" columns keep the explicit sentinel count because -0.0/0.0
+    # would break the identity there) — and the non-null count that
+    # funds the null flag is a plain aggregate.
+    ind_kinds = dict(_ind_cols(table))
     exprs = [F.count(F.lit(1)).alias("rowcnt")]
     for c in _cols(table):
-        exprs.append(
-            F.countDistinct(
-                F.coalesce(col(c).cast("string"), F.lit(_NULL_SENTINEL))
-            ).alias(f"ndv_{c}")
-        )
-    for c in _int_cols(table):
-        exprs += [
-            F.min(col(c).cast("bigint")).alias(f"mn_{c}"),
-            F.max(col(c).cast("bigint")).alias(f"mx_{c}"),
-            F.countDistinct(col(c)).alias(f"indv_{c}"),
-        ]
+        if c in ind_kinds:
+            exprs += [
+                F.countDistinct(col(c)).alias(f"rndv_{c}"),
+                F.count(col(c)).alias(f"nn_{c}"),
+            ]
+        else:
+            exprs.append(
+                F.countDistinct(
+                    F.coalesce(col(c).cast("string"), F.lit(_NULL_SENTINEL))
+                ).alias(f"ndv_{c}")
+            )
+    for c, k in _ind_cols(table):
+        v = _ind_value_col(c, k)
+        exprs += [F.min(v).alias(f"mn_{c}"), F.max(v).alias(f"mx_{c}")]
     # Bounded collect: ONE row of ≤ 4·|cols|+1 values — the same
     # statistics a CBO keeps per table.
     row = t(spark, sf_dir, table).agg(*exprs).collect()[0]
+    rowcnt = row["rowcnt"]
+    ndv = {}
+    for c in _cols(table):
+        if c in ind_kinds:
+            ndv[c] = row[f"rndv_{c}"] + (1 if row[f"nn_{c}"] < rowcnt else 0)
+        else:
+            ndv[c] = row[f"ndv_{c}"]
     stats = _TableStats(
-        row["rowcnt"],
-        {c: row[f"ndv_{c}"] for c in _cols(table)},
+        rowcnt,
+        ndv,
         {
-            c: (row[f"mn_{c}"], row[f"mx_{c}"], row[f"indv_{c}"])
-            for c in _int_cols(table)
+            c: (row[f"mn_{c}"], row[f"mx_{c}"], row[f"rndv_{c}"])
+            for c, _ in _ind_cols(table)
         },
     )
     while len(_PROFILE_STATS_CACHE) >= _PROFILE_STATS_MAX:
@@ -425,27 +469,35 @@ FROM stats_{table} s CROSS JOIN (
 
 # --- inclusion-dependency (foreign-key) discovery --------------------------------
 
-def _ind_candidates() -> list[tuple[str, str, str, str]]:
-    """Ordered cross-table pairs of integral-class catalog columns —
-    the joinable type class. Generated, never hand-listed: adding a
-    table (or an integral column) to the catalog grows the candidate
+def _ind_candidates() -> list[tuple[str, str, str, str, str]]:
+    """Ordered cross-table pairs of catalog columns, generated PER
+    TYPE CLASS (klass, child_table, child_col, parent_table,
+    parent_col) — Binder's candidate partition: integral with
+    integral, string with string, timestamp with timestamp; "num"
+    measures never generate candidates. Never hand-listed: adding a
+    table (or a joinable column) to the catalog grows the candidate
     set automatically."""
-    cols = [(tbl, c) for tbl in _CATALOG for c in _int_cols(tbl)]
-    return [
-        (ct, cc, pt, pc)
-        for ct, cc in cols
-        for pt, pc in cols
-        if ct != pt
-    ]
+    out = []
+    for klass in _IND_CLASSES:
+        cols = [(tbl, c) for tbl in _CATALOG for c in _class_cols(tbl, klass)]
+        out += [
+            (klass, ct, cc, pt, pc)
+            for ct, cc in cols
+            for pt, pc in cols
+            if ct != pt
+        ]
+    return out
 
 
 def q_dq_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inclusion-dependency (foreign-key) DISCOVERY over generated
-    candidates: every ordered cross-table pair of integral-class
-    catalog columns (282 candidates over 18 columns) — the property
-    that makes a join lossless and an FK constraint safe to declare.
-    Statistics prune first, the SPIDER/Binder discipline, funded by the
-    same per-table ANALYZE rows the FD/UCC discoverers share:
+    candidates: every ordered cross-table pair of catalog columns
+    WITHIN a type class (integral / string / timestamp — Binder's
+    candidate partition; 432 candidates over 24 joinable columns) —
+    the property that makes a join lossless and an FK constraint safe
+    to declare. Statistics prune first, the SPIDER/Binder discipline,
+    funded by the same per-table ANALYZE rows the FD/UCC discoverers
+    share:
 
     - child [min,max] escapes parent [min,max] → ``pruned_range``
       (guarded: an all-NULL side has NULL min/max and is never
@@ -454,14 +506,20 @@ def q_dq_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     - child non-null NDV > parent non-null NDV → ``pruned_ndv``
       (distinct child values can't fit in a smaller parent domain);
 
-    on a dense-key schema half the candidates die on stats alone.
-    SURVIVORS share ONE value-grain anti-join: each distinct child
-    column's values are computed once, tagged with every surviving
-    candidate id that reads them (explode over a literal id array),
-    and anti-joined against identically tagged parent values on
-    (candidate, value) — so ~140 survivors cost one shuffle whose key
-    is unique by construction (no skew), and the fact-table collapse
-    to distinct values happens map-side before it. Verdicts ``holds`` /
+    on a dense-key schema half the integral candidates die on stats
+    alone, and the string class shows the prune at its best — 144
+    generated string candidates, ~2 survivors (name-style columns have
+    disjoint lexicographic ranges). SURVIVORS share ONE value-grain
+    anti-join per type class, keyed (parent-column, value): each
+    distinct child column's values are computed once and tagged with
+    its surviving (candidate, parent-column) pairs, while each parent
+    column's distinct values enter ONCE, tagged only with their own
+    column id — parent work is Σ parent-NDV no matter how many
+    candidates reference a parent (a per-candidate parent tag measured
+    3× slower at sf1), the join key is parent-unique (no skew), and
+    the fact-table collapse to distinct values happens map-side before
+    the shuffle. ~140 survivors cost one join per class, never one
+    per candidate. Verdicts ``holds`` /
     ``violated`` (exact violating-value count); coverage_ppm = child
     NDV / parent NDV (the density readout separating a total FK from a
     coincidental dense-key containment), with a -1 sentinel when the
@@ -478,10 +536,10 @@ def _build_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coverage_ppm bigint, status string, n_violating bigint"
     )
     pruned_rows: list[tuple] = []
-    survivors: list[tuple[str, str, str, str, str, int, int, int]] = []
-    for ct, cc, pt, pc in _ind_candidates():
-        cmn, cmx, cndv = _table_stats(spark, sf_dir, ct).int_stats[cc]
-        pmn, pmx, pndv = _table_stats(spark, sf_dir, pt).int_stats[pc]
+    survivors: list[tuple[str, str, str, str, str, str, int, int, int]] = []
+    for klass, ct, cc, pt, pc in _ind_candidates():
+        cmn, cmx, cndv = _table_stats(spark, sf_dir, ct).ind_stats[cc]
+        pmn, pmx, pndv = _table_stats(spark, sf_dir, pt).ind_stats[pc]
         ind = f"{ct}.{cc} <= {pt}.{pc}"
         cov = -1 if pndv == 0 else int(cndv / pndv * 1_000_000 + 0.5)
         if (
@@ -493,46 +551,84 @@ def _build_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         elif cndv > pndv:
             pruned_rows.append((ind, cndv, pndv, cov, "pruned_ndv", -1))
         else:
-            survivors.append((ind, ct, cc, pt, pc, cndv, pndv, cov))
+            survivors.append((klass, ind, ct, cc, pt, pc, cndv, pndv, cov))
 
     result = spark.createDataFrame(pruned_rows, schema=schema)
     if not survivors:
         return result
 
-    child_ids: dict[tuple[str, str], list[str]] = {}
-    parent_ids: dict[tuple[str, str], list[str]] = {}
-    for ind, ct, cc, pt, pc, *_ in survivors:
-        child_ids.setdefault((ct, cc), []).append(ind)
-        parent_ids.setdefault((pt, pc), []).append(ind)
+    def distinct_vals(table: str, column: str, klass: str) -> DataFrame:
+        return (
+            t(spark, sf_dir, table)
+            .select(_ind_value_col(column, klass).alias("v"))
+            .filter(col("v").isNotNull())
+            .distinct()
+        )
 
-    def tagged(ids_by_col: dict) -> DataFrame:
-        frames = []
-        for (table, column), ids in ids_by_col.items():
-            vals = (
-                t(spark, sf_dir, table)
-                .select(col(column).cast("bigint").alias("v"))
-                .filter(col("v").isNotNull())
-                .distinct()
-            )
-            frames.append(
-                vals.select(
-                    F.explode(F.array(*[F.lit(i) for i in ids])).alias("ind"),
+    # One value-grain anti-join PER TYPE CLASS, keyed (parent-column,
+    # value). CHILD side: each distinct child column's values computed
+    # once, exploded over (candidate id, parent-column id) literal
+    # structs — the fan-out is bounded by how many parents a child
+    # references, and children that survive against MANY parents are
+    # the small-domain ones. PARENT side: each parent column's distinct
+    # values ONCE, tagged with its own column id — never duplicated per
+    # candidate. (The first cut tagged parents per candidate: at sf1
+    # that fanned o_orderkey's 1.5M distinct values ×17 candidates into
+    # the shuffle and the probe read 171s; this shape keeps parent work
+    # at Σ parent-NDV.) The join key (pcol, v) is unique on the parent
+    # side and ≤ children-per-parent on the child side — no skew.
+    viols = []
+    for klass in _IND_CLASSES:
+        child_tags: dict[tuple[str, str], list] = {}
+        parent_cols: dict[tuple[str, str], str] = {}
+        for k, ind, ct, cc, pt, pc, *_ in survivors:
+            if k != klass:
+                continue
+            pcol = f"{pt}.{pc}"
+            child_tags.setdefault((ct, cc), []).append((ind, pcol))
+            parent_cols[(pt, pc)] = pcol
+        if not child_tags:
+            continue
+        child_frames = []
+        for (ct, cc), tags in child_tags.items():
+            child_frames.append(
+                distinct_vals(ct, cc, klass).select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(ind).alias("ind"),
+                                    F.lit(pcol).alias("pcol"),
+                                )
+                                for ind, pcol in tags
+                            ]
+                        )
+                    ).alias("tag"),
                     "v",
-                )
+                ).select(col("tag.ind").alias("ind"), col("tag.pcol").alias("pcol"), "v")
             )
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
-
-    viol = (
-        tagged(child_ids)
-        .join(tagged(parent_ids), ["ind", "v"], "left_anti")
-        .groupBy("ind")
-        .agg(F.count(F.lit(1)).alias("nv"))
-    )
+        children = child_frames[0]
+        for f in child_frames[1:]:
+            children = children.unionByName(f)
+        parent_frames = [
+            distinct_vals(pt, pc, klass).select(F.lit(pcol).alias("pcol"), "v")
+            for (pt, pc), pcol in parent_cols.items()
+        ]
+        parents = parent_frames[0]
+        for f in parent_frames[1:]:
+            parents = parents.unionByName(f)
+        viols.append(
+            children.join(parents, ["pcol", "v"], "left_anti").select("ind")
+        )
+    viol = viols[0]
+    for v in viols[1:]:
+        viol = viol.unionByName(v)
+    viol = viol.groupBy("ind").agg(F.count(F.lit(1)).alias("nv"))
     meta = spark.createDataFrame(
-        [(ind, cndv, pndv, cov) for ind, _, _, _, _, cndv, pndv, cov in survivors],
+        [
+            (ind, cndv, pndv, cov)
+            for _, ind, _, _, _, _, cndv, pndv, cov in survivors
+        ],
         schema="ind string, ndv_child bigint, ndv_parent bigint, coverage_ppm bigint",
     )
     tested = meta.join(F.broadcast(viol), "ind", "left").select(
@@ -550,7 +646,7 @@ def _build_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ind_discover_oracle() -> str:
     branches = []
-    for ct, cc, pt, pc in _ind_candidates():
+    for _, ct, cc, pt, pc in _ind_candidates():
         ind = f"{ct}.{cc} <= {pt}.{pc}"
         branches.append(
             f"""SELECT '{ind}' AS ind,
@@ -575,13 +671,18 @@ CROSS JOIN (
         WHERE p.v = c.v)
 ) g"""
         )
+    def _mnmx(c: str, klass: str) -> tuple[str, str]:
+        if klass == "int":  # integral columns meet at bigint grain
+            return f"CAST(min({c}) AS BIGINT)", f"CAST(max({c}) AS BIGINT)"
+        return f"min({c})", f"max({c})"
+
     ctes = ",\n".join(
         f"istats_{tbl}_{c} AS MATERIALIZED (\n"
-        f"    SELECT CAST(min({c}) AS BIGINT) AS mn,"
-        f" CAST(max({c}) AS BIGINT) AS mx,"
+        f"    SELECT {_mnmx(c, k)[0]} AS mn,"
+        f" {_mnmx(c, k)[1]} AS mx,"
         f" count(DISTINCT {c}) AS ndv FROM {tbl}\n)"
         for tbl in _CATALOG
-        for c in _int_cols(tbl)
+        for c, k in _ind_cols(tbl)
     )
     return "WITH " + ctes + "\n" + "\nUNION ALL\n".join(branches)
 

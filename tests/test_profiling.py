@@ -36,9 +36,9 @@ def test_ind_survivors_share_one_antijoin(spark):
     mode."""
     P.clear_profile_caches()
     survivors, child_cols = [], set()
-    for ct, cc, pt, pc in P._ind_candidates():
-        cmn, cmx, cndv = P._table_stats(spark, SMOKE_SF_DIR, ct).int_stats[cc]
-        pmn, pmx, pndv = P._table_stats(spark, SMOKE_SF_DIR, pt).int_stats[pc]
+    for _, ct, cc, pt, pc in P._ind_candidates():
+        cmn, cmx, cndv = P._table_stats(spark, SMOKE_SF_DIR, ct).ind_stats[cc]
+        pmn, pmx, pndv = P._table_stats(spark, SMOKE_SF_DIR, pt).ind_stats[pc]
         if (
             not (
                 cmn is not None
@@ -90,13 +90,16 @@ def test_candidates_are_generated_from_catalog():
         len(P._cols(t)) * (len(P._cols(t)) - 1) // 2 for t in P._CATALOG
     )
     assert len(P._ucc_candidates()) == n_ucc
-    ints = [(t, c) for t in P._CATALOG for c in P._int_cols(t)]
-    n_ind = sum(
-        1 for ct, _ in ints for pt, _ in ints if ct != pt
-    )
+    n_ind = 0
+    for klass in P._IND_CLASSES:
+        cols = [(t, c) for t in P._CATALOG for c in P._class_cols(t, klass)]
+        n_ind += sum(1 for ct, _ in cols for pt, _ in cols if ct != pt)
     assert len(P._ind_candidates()) == n_ind
+    # candidates never pair across type classes
+    for klass, ct, cc, pt, pc in P._ind_candidates():
+        assert dict(P._CATALOG[ct])[cc] == dict(P._CATALOG[pt])[pc] == klass
     # and the oracle enumerates the identical candidate set
-    for ct, cc, pt, pc in P._ind_candidates():
+    for _, ct, cc, pt, pc in P._ind_candidates():
         assert f"{ct}.{cc} <= {pt}.{pc}" in P._ind_discover_oracle()
 
 
