@@ -873,3 +873,144 @@ LOCAL_QUERIES: dict[str, QuerySpec] = {
     "dq_ind_discover": QuerySpec(q_dq_ind_discover, _ind_discover_oracle()),
     "dq_ucc_discover": QuerySpec(q_dq_ucc_discover, _ucc_discover_oracle()),
 }
+
+
+# --- holdout transfer validation (profile -> contract) ----------------------------
+
+# The transfer check profiles ONE table's FD candidates on a small
+# deterministic TRAIN split and re-measures them on the HOLDOUT: an FD
+# that "holds" on a sample is only a contract if it survives data it
+# was not mined from (TANE-style holdout validation — small samples
+# mint spurious dependencies because near-unique determinants rarely
+# collide there). Split rule: first two hex chars of md5(key) = '00' →
+# train (≈1/256 of rows), else holdout — salted-hash determinism,
+# identical in both engines. 1/256 is deliberately small: at sf0.01
+# the 56-row train split mints 4 spurious FDs the holdout refutes
+# (at sf0.1's 558 rows the same FDs are already refuted in-train —
+# itself the sample-size lesson the check teaches).
+_TRANSFER_TABLE = "orders"
+_TRANSFER_KEY = "o_orderkey"
+_TRANSFER_TRAIN_PREFIX = "00"
+
+
+def _transfer_candidates() -> list[tuple[str, str]]:
+    names = _cols(_TRANSFER_TABLE)
+    return [(d, p) for d in names for p in names if d != p]
+
+
+def q_dq_fd_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD DISCOVERY-TRANSFER validation — the profile→contract loop:
+    every ordered column pair of the cataloged ``orders`` columns is
+    g3-measured on a deterministic 1/256 TRAIN split AND on the
+    HOLDOUT, and classified by whether the train verdict survives:
+
+    - ``generalizes``        — holds on train AND holdout: a contract;
+    - ``spurious_on_train``  — holds on train, violated on holdout:
+      the sample minted it (near-unique determinants rarely collide on
+      1/16 of the rows) — the case this check exists to catch;
+    - ``violated_on_train``  — never discovered in the first place
+      (holdout ppm still reported: the drift baseline).
+
+    Scale: ONE scan of the table funds everything — ``stack()`` pivots
+    all candidates into a tall (fd, split, det, dep) frame, one
+    distinct, two map-side-combinable aggregates, then a 2-way pivot
+    at (fd) grain (|candidates| rows). No per-candidate scans, no
+    second pass for the holdout. Exact integer numerators; ppm
+    divisions after the verdicts."""
+    cands = _transfer_candidates()
+    stack_args = ", ".join(
+        f"'{_TRANSFER_TABLE}.{d}->{p}', {_coalesced_spark_sql(d)}, "
+        f"{_coalesced_spark_sql(p)}"
+        for d, p in cands
+    )
+    split = F.when(
+        F.substring(F.md5(col(_TRANSFER_KEY).cast("string")), 1, 2)
+        == _TRANSFER_TRAIN_PREFIX,
+        F.lit("train"),
+    ).otherwise(F.lit("holdout"))
+    tall = (
+        t(spark, sf_dir, _TRANSFER_TABLE)
+        .withColumn("split", split)
+        .selectExpr("split", f"stack({len(cands)}, {stack_args}) AS (fd, a, b)")
+    )
+    grouped = (
+        tall.distinct()
+        .groupBy("fd", "split", "a")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    per_split = grouped.groupBy("fd", "split").agg(
+        F.sum((col("nb") > 1).cast("bigint")).alias("n_violating"),
+        F.floor(
+            F.sum((col("nb") > 1).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ppm"),
+    )
+    pivoted = (
+        per_split.groupBy("fd")
+        .pivot("split", ["train", "holdout"])
+        .agg(
+            F.first("n_violating").alias("nv"), F.first("ppm").alias("ppm")
+        )
+    )
+    return pivoted.select(
+        "fd",
+        F.coalesce(col("train_ppm"), F.lit(0)).cast("bigint").alias(
+            "train_ppm"
+        ),
+        F.coalesce(col("holdout_ppm"), F.lit(0)).cast("bigint").alias(
+            "holdout_ppm"
+        ),
+        F.when(
+            F.coalesce(col("train_nv"), F.lit(0)) > 0,
+            F.lit("violated_on_train"),
+        )
+        .when(
+            F.coalesce(col("holdout_nv"), F.lit(0)) == 0, F.lit("generalizes")
+        )
+        .otherwise(F.lit("spurious_on_train"))
+        .alias("verdict"),
+    )
+
+
+def _fd_transfer_oracle() -> str:
+    tbl, key = _TRANSFER_TABLE, _TRANSFER_KEY
+    branches = []
+    for d, p in _transfer_candidates():
+        g3 = (
+            "SELECT CAST(sum(CAST(nb > 1 AS INT)) AS BIGINT) AS nv,\n"
+            "       CAST(floor(CAST(sum(CAST(nb > 1 AS INT)) AS DOUBLE)\n"
+            "            / count(*) * 1000000 + 0.5) AS BIGINT) AS ppm\n"
+            "FROM (SELECT a, count(*) AS nb FROM (\n"
+            f"    SELECT DISTINCT {_coalesced_sql(d)} AS a,\n"
+            f"                    {_coalesced_sql(p)} AS b\n"
+            f"    FROM {tbl} WHERE {{pred}}\n"
+            ") GROUP BY a)"
+        )
+        pred_t = (
+            f"substring(md5(CAST({key} AS VARCHAR)), 1, 2) "
+            f"= '{_TRANSFER_TRAIN_PREFIX}'"
+        )
+        pred_h = (
+            f"substring(md5(CAST({key} AS VARCHAR)), 1, 2) "
+            f"<> '{_TRANSFER_TRAIN_PREFIX}'"
+        )
+        branches.append(
+            f"""SELECT '{tbl}.{d}->{p}' AS fd,
+       coalesce(tr.ppm, 0) AS train_ppm,
+       coalesce(ho.ppm, 0) AS holdout_ppm,
+       CASE WHEN coalesce(tr.nv, 0) > 0 THEN 'violated_on_train'
+            WHEN coalesce(ho.nv, 0) = 0 THEN 'generalizes'
+            ELSE 'spurious_on_train' END AS verdict
+FROM ({g3.format(pred=pred_t)}) tr
+CROSS JOIN ({g3.format(pred=pred_h)}) ho"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+LOCAL_QUERIES["dq_fd_transfer"] = QuerySpec(
+    q_dq_fd_transfer, _fd_transfer_oracle()
+)

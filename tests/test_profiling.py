@@ -236,3 +236,25 @@ def test_fd_nulls_one_value_cross_engine(spark, null_catalog):
         .fetchall()
     )
     assert got == want
+
+
+def test_fd_transfer_one_scan_and_verdicts(spark, duck):
+    """Holdout transfer validation: the whole check (both splits, all
+    candidates) costs ONE scan of the table, and the three verdicts
+    behave as designed on the oracle-SF data — in particular the 1/256
+    train split mints FDs the holdout refutes (``spurious_on_train``),
+    which is the failure mode the check exists to catch, and every key-
+    determined pair generalizes."""
+    P.clear_profile_caches()
+    df = P.q_dq_fd_transfer(spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, "transfer must share one scan"
+    rows = {r["fd"]: r for r in df.collect()}
+    verdicts = {r["verdict"] for r in rows.values()}
+    assert "spurious_on_train" in verdicts
+    for dep in ("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"):
+        assert rows[f"orders.o_orderkey->{dep}"]["verdict"] == "generalizes"
+    # spurious == holds on train (ppm 0) AND violated on holdout (ppm > 0)
+    for r in rows.values():
+        if r["verdict"] == "spurious_on_train":
+            assert r["train_ppm"] == 0 and r["holdout_ppm"] > 0

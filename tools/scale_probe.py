@@ -637,6 +637,9 @@ TPCH_QUERIES = [
     # r8 (cont.): the composed profiling report (FD + IND + UCC in one
     # plan; statistics served from the per-session ANALYZE cache)
     "dq_profile_report",
+    # r9: holdout FD-transfer validation — one scan funds both splits'
+    # g3 for all candidates; replicas grow both splits proportionally
+    "dq_fd_transfer",
 ]
 
 
