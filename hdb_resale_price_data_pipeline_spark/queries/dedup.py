@@ -1215,3 +1215,153 @@ WITH sample AS MATERIALIZED (
 LOCAL_QUERIES["dedup_lsh_band_sweep"] = QuerySpec(
     q_dedup_lsh_band_sweep, _lsh_band_sweep_oracle()
 )
+
+
+# --- exact duplicated-SPAN detection (substring-level dedup) ----------------------
+
+# Span gram width in tokens: a duplicated run must share at least one
+# full K-token window to be detected, so K is the minimum span length
+# reported. 8 tokens ≈ the "50-token threshold scaled to this corpus"
+# — long enough that shared runs mean copied text, short enough that
+# the synthetic corpus (30-word vocabulary) still exhibits them.
+SPAN_GRAM = 8
+
+
+def q_dedup_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — substring-level
+    dedup, the modality the document-level family (exact hash, MinHash,
+    SimHash, containment) cannot see: two long documents sharing one
+    copied paragraph are no document-pair near-dup, but an LLM
+    memorizes the paragraph anyway (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their ExactSubstr
+    suffix-array dedup). Spark-first re-expression of that idea: a
+    positional K-token-gram ROLLING GRID replaces the suffix array —
+
+    1. every document emits (doc, pos, gram-hash) for each of its
+       token K-grams (order-preserving polynomial hashes, bit-identical
+       in both engines by construction);
+    2. a gram is DUPLICATED iff it occurs in >= 2 distinct documents —
+       decided by one grouped min(doc) != max(doc) at gram grain (no
+       pairwise join, no suffix sort);
+    3. per document, flagged positions MERGE into maximal spans when
+       consecutive flagged grams overlap in tokens (gap < K) — the
+       gaps-and-islands window — and each span covers
+       last - first + K tokens exactly (union of overlapping windows).
+
+    Output: per affected document, the span count, longest span, exact
+    duplicated-token coverage, and its ppm of the document. Scale: the
+    grid is Σ tokens rows (the same grain the MinHash/decontam shingle
+    paths already pay); gram-grain groupBy map-side-combines; the
+    semi-join fans back only this document's positions — a hot
+    boilerplate gram costs its occurrence count, never occurrences²
+    (the pairwise alternative). The per-document windows run at
+    flagged-gram grain. A 100 TB corpus shards by gram hash with no
+    skewed key: the grid is near-uniform by construction."""
+    from pyspark.sql.window import Window
+
+    toks = H.tokens("text")[0]
+    hashes = H.shingle_hashes(H.shingles(H.tokens("text"), SPAN_GRAM), 131, 7)[0]
+    base = (
+        t(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            f"size({toks}) AS n_tokens",
+            f"{hashes} AS hs",
+        )
+        .filter(col("n_tokens") > 0)
+    )
+    d = base.select(
+        "doc_id", "n_tokens", F.posexplode("hs").alias("pos", "g")
+    )
+    dup_g = (
+        d.groupBy("g")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(col("mn") != col("mx"))
+        .select("g")
+    )
+    flagged = d.join(dup_g, "g", "semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = flagged.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (col("pos") - F.lag("pos").over(w) >= SPAN_GRAM),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    numbered = marked.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.sum("new_span")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("span_id"),
+    )
+    spans = numbered.groupBy("doc_id", "n_tokens", "span_id").agg(
+        (F.max("pos") - F.min("pos") + F.lit(SPAN_GRAM))
+        .cast("bigint")
+        .alias("span_tokens")
+    )
+    covered = F.least(F.sum("span_tokens"), col("n_tokens").cast("bigint"))
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.max("span_tokens").alias("longest_span_tokens"),
+        covered.alias("dup_tokens_covered"),
+        F.floor(
+            covered.cast("double") / col("n_tokens") * 1_000_000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dup_token_ppm"),
+    )
+
+
+def _span_dups_oracle() -> str:
+    toks = H.tokens("text")[1]
+    hashes = H.shingle_hashes(H.shingles(H.tokens("text"), SPAN_GRAM), 131, 7)[1]
+    k = SPAN_GRAM
+    return f"""
+WITH base AS (
+    SELECT doc_id, len({toks}) AS n_tokens, {hashes} AS hs FROM documents
+), d AS (
+    SELECT doc_id, n_tokens, pos, hs[pos] AS g
+    FROM base, unnest(generate_series(1, len(hs))) AS u(pos)
+    WHERE n_tokens > 0
+), dup_g AS (
+    SELECT g FROM d GROUP BY g HAVING min(doc_id) <> max(doc_id)
+), f AS (
+    SELECT doc_id, n_tokens, pos FROM d WHERE g IN (SELECT g FROM dup_g)
+), marked AS (
+    SELECT doc_id, n_tokens, pos,
+           CASE WHEN prev IS NULL OR pos - prev >= {k} THEN 1 ELSE 0
+           END AS new_span
+    FROM (SELECT doc_id, n_tokens, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM f)
+), numbered AS (
+    SELECT doc_id, n_tokens, pos,
+           sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+    FROM marked
+), spans AS (
+    SELECT doc_id, n_tokens, span_id,
+           CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens
+    FROM numbered GROUP BY doc_id, n_tokens, span_id
+)
+SELECT doc_id, n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(max(span_tokens) AS BIGINT) AS longest_span_tokens,
+       CAST(least(sum(span_tokens), n_tokens) AS BIGINT)
+           AS dup_tokens_covered,
+       CAST(floor(CAST(least(sum(span_tokens), n_tokens) AS DOUBLE)
+                  / n_tokens * 1000000 + 0.5) AS BIGINT) AS dup_token_ppm
+FROM spans GROUP BY doc_id, n_tokens
+"""
+
+
+LOCAL_QUERIES["dedup_span_dups"] = QuerySpec(
+    q_dedup_span_dups, _span_dups_oracle()
+)

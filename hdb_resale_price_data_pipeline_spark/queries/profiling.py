@@ -1,4 +1,4 @@
-"""Catalog-driven schema profiling: FD / IND / UCC discovery.
+"""Catalog-driven schema profiling: FD / IND / UCC / OD discovery.
 
 Round-9 rewrite of the round-8 profiling triad (which was pinned to a
 hand-listed table, column tuple, and IND candidate list in
@@ -815,16 +815,18 @@ FROM stats_{table} s CROSS JOIN (
 # --- composed report --------------------------------------------------------------
 
 def q_dq_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed schema-profiling report — the catalog-driven triad as
-    one artifact: functional dependencies, inclusion dependencies
-    (FKs), and unique column combinations (keys) for every cataloged
-    table, normalized to (section, item, status, metric) rows. This is
-    the table a catalog/CBO ingests: what determines what, what
-    references what, what identifies a row. Each section keeps its own
-    pruning economics (NDV grid / range+NDV stats / pigeonhole); the
-    discoverers' result frames persist per (session, dataset), so a
-    report following the triad — or a repeat report — costs three
-    projections and a union, no recomputed survivor scans."""
+    """Composed schema-profiling report — the catalog-driven discovery
+    family as one artifact: functional dependencies, inclusion
+    dependencies (FKs), unique column combinations (keys), and order
+    dependencies for every cataloged table, normalized to (section,
+    item, status, metric) rows. This is the table a catalog/CBO
+    ingests: what determines what, what references what, what
+    identifies a row, what sorts with what. Each section keeps its own
+    pruning economics (NDV grid / range+NDV stats / pigeonhole /
+    NDV triviality); the discoverers' result frames persist per
+    (session, dataset), so a report following the discoverers — or a
+    repeat report — costs four projections and a union, no recomputed
+    survivor scans."""
     fd = q_dq_fd_discover(spark, sf_dir).select(
         F.lit("fd").alias("section"),
         col("fd").alias("item"),
@@ -843,7 +845,13 @@ def q_dq_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         col("n_duplicate").alias("metric"),
     )
-    return fd.unionByName(ind).unionByName(ucc)
+    od = q_dq_od_discover(spark, sf_dir).select(
+        F.lit("od").alias("section"),
+        col("od").alias("item"),
+        "status",
+        col("disorder_ppm").alias("metric"),
+    )
+    return fd.unionByName(ind).unionByName(ucc).unionByName(od)
 
 
 def _profile_report_oracle() -> str:
@@ -856,17 +864,11 @@ FROM ({_ind_discover_oracle()})
 UNION ALL
 SELECT 'ucc' AS section, ucc AS item, status, n_duplicate AS metric
 FROM ({_ucc_discover_oracle()})
+UNION ALL
+SELECT 'od' AS section, od AS item, status, disorder_ppm AS metric
+FROM ({_od_discover_oracle()})
 """
 
-
-# r9 rotation (r8 verdict item 2): dq_profile_report PROMOTED to the
-# driver-graded window — the profiling family's discovery math (NDV
-# grid, range/NDV IND pruning, pigeonhole) reaches the hard signal
-# through the composed artifact; join_size_profile (relational.py)
-# stays graded for the CBO estimation side.
-QUERIES: dict[str, QuerySpec] = {
-    "dq_profile_report": QuerySpec(q_dq_profile_report, _profile_report_oracle()),
-}
 
 LOCAL_QUERIES: dict[str, QuerySpec] = {
     "dq_fd_discover": QuerySpec(q_dq_fd_discover, _fd_discover_oracle()),
@@ -1014,3 +1016,268 @@ CROSS JOIN ({g3.format(pred=pred_h)}) ho"""
 LOCAL_QUERIES["dq_fd_transfer"] = QuerySpec(
     q_dq_fd_transfer, _fd_transfer_oracle()
 )
+
+
+# --- order-dependency discovery ----------------------------------------------------
+
+# Orderable classes: the same three the IND candidate partition uses —
+# both engines order them identically (integers on the number line,
+# strings by binary UTF-8 collation, timestamps on the time line), so
+# order-compatibility verdicts agree cross-engine. "num" (floating
+# measures) is excluded for the same reason it is IND-excluded.
+_OD_CLASSES = _IND_CLASSES
+
+
+def _od_candidates() -> list[tuple[str, str, str, str, str]]:
+    """(table, a, class_a, b, class_b): every ordered pair of orderable
+    cataloged columns within each table — generated, never
+    hand-listed."""
+    out = []
+    for table in _CATALOG:
+        cols = [(c, k) for c, k in _CATALOG[table] if k in _OD_CLASSES]
+        out += [
+            (table, a, ka, b, kb)
+            for a, ka in cols
+            for b, kb in cols
+            if a != b
+        ]
+    return out
+
+
+def _od_value_spark(column: str, klass: str) -> str:
+    """Spark-dialect typed value expression: integral columns meet at
+    bigint grain, timestamps at timestamp grain, strings raw — the
+    casts unify types WITHIN a stack branch without disturbing order."""
+    if klass == "int":
+        return f"CAST({column} AS BIGINT)"
+    if klass == "date":
+        return f"CAST({column} AS TIMESTAMP)"
+    return f"CAST({column} AS STRING)"
+
+
+def _od_value_duck(column: str, klass: str) -> str:
+    if klass == "int":
+        return f"CAST({column} AS BIGINT)"
+    if klass == "date":
+        return f"CAST({column} AS TIMESTAMP)"
+    return f"CAST({column} AS VARCHAR)"
+
+
+def q_dq_od_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-dependency discovery over the declared catalog — the
+    fourth leg of the profiling family (FD = what determines, IND =
+    what references, UCC = what identifies; OD = what is
+    ORDER-COMPATIBLE): for which column pairs (a, b) does sorting by
+    ``a`` also sort ``b``? ODs fund interchangeable sort orders,
+    zone-map/partition pruning on secondary columns, and merge-join
+    eligibility — the ORDER/FASTOD literature's motivating uses.
+
+    Semantics (non-strict, over rows where both columns are non-NULL):
+    ``a ~> b`` holds ascending iff a_r < a_s implies b_r <= b_s; ties
+    in ``a`` constrain nothing. Equivalently, at a-GROUP grain: no
+    earlier group's max(b) exceeds a later group's min(b). Both
+    directions are measured in one pass; verdicts ``holds_asc`` /
+    ``holds_desc`` / ``holds_both`` / ``violated``, with
+    ``disorder_ppm`` = violating-group share in the better direction
+    (the approximate-OD readout, same ppm grid as the FD g3).
+
+    Economics at 100 TB: the shared ANALYZE stats classify
+    ``trivial_holds`` (NDV(a) <= 1 — no ordered pairs exist) and
+    ``const_holds`` (NDV(b) <= 1) for free; every surviving candidate
+    is decided at a-GROUP grain — ``stack()`` pivots each (table,
+    type-class pair) branch's candidates into one column-pruned scan
+    (native order semantics forbid the FD discoverer's string-sentinel
+    stack, so the scan count is |class-pair branches|, each reading
+    only its candidates' columns), a grouped min/max collapses rows
+    map-side to Σ NDV(a), and ONE running-max/min window per candidate
+    (partitioned by candidate id) counts out-of-order groups. Row-grain
+    work never multiplies by candidate count. Result frames persist per
+    (session, dataset) — see ``_PROFILE_RESULT_CACHE``."""
+    return _cached_result(
+        spark, sf_dir, "od", lambda: _build_od_discover(spark, sf_dir)
+    )
+
+
+def _build_od_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    schema = (
+        "od string, ndv_a bigint, ndv_b bigint, status string, "
+        "asc_viol_groups bigint, desc_viol_groups bigint, "
+        "n_groups bigint, disorder_ppm bigint"
+    )
+    pruned_rows: list[tuple] = []
+    branches: dict[tuple[str, str, str], list[tuple[str, str, str]]] = {}
+    meta_rows: list[tuple[str, int, int]] = []
+    for table, a, ka, b, kb in _od_candidates():
+        stats = _table_stats(spark, sf_dir, table)
+        # Non-null NDVs (the ind_stats grain): OD is defined over rows
+        # where both columns are present, so NULL-sentinel NDVs would
+        # overcount domains here.
+        ndv_a, ndv_b = stats.ind_stats[a][2], stats.ind_stats[b][2]
+        od = f"{table}.{a}~>{b}"
+        if ndv_a <= 1:
+            pruned_rows.append((od, ndv_a, ndv_b, "trivial_holds", 0, 0, -1, 0))
+        elif ndv_b <= 1:
+            pruned_rows.append((od, ndv_a, ndv_b, "const_holds", 0, 0, -1, 0))
+        else:
+            branches.setdefault((table, ka, kb), []).append((od, a, b))
+            meta_rows.append((od, ndv_a, ndv_b))
+
+    result = spark.createDataFrame(pruned_rows, schema=schema)
+    if not meta_rows:
+        return result
+
+    agg_all: DataFrame | None = None
+    for (table, ka, kb), cands in branches.items():
+        stack_args = ", ".join(
+            f"'{od}', {_od_value_spark(a, ka)}, {_od_value_spark(b, kb)}"
+            for od, a, b in cands
+        )
+        tall = (
+            t(spark, sf_dir, table)
+            .selectExpr(f"stack({len(cands)}, {stack_args}) AS (od, a, b)")
+            .filter(col("a").isNotNull() & col("b").isNotNull())
+        )
+        # Map-side combine collapses rows to (candidate, a-value) grain
+        # BEFORE the shuffle; the window then runs over <= NDV(a) rows
+        # per candidate.
+        grouped = tall.groupBy("od", "a").agg(
+            F.min("b").alias("mn_b"), F.max("b").alias("mx_b")
+        )
+        w = (
+            Window.partitionBy("od")
+            .orderBy("a")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        flagged = grouped.select(
+            "od",
+            "mn_b",
+            "mx_b",
+            F.max("mx_b").over(w).alias("cmx"),
+            F.min("mn_b").over(w).alias("cmn"),
+        )
+        per_od = flagged.groupBy("od").agg(
+            F.sum(F.when(col("cmx") > col("mn_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("av"),
+            F.sum(F.when(col("cmn") < col("mx_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dv"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        agg_all = per_od if agg_all is None else agg_all.unionByName(per_od)
+
+    meta = spark.createDataFrame(
+        meta_rows, schema="od string, ndv_a bigint, ndv_b bigint"
+    )
+    # Left join so a candidate whose rows are ALL null-filtered still
+    # emits its row (vacuously holds_both, zero groups) — mirroring the
+    # oracle, which always emits one row per candidate.
+    tested = meta.join(F.broadcast(agg_all), "od", "left").select(
+        "od",
+        "ndv_a",
+        "ndv_b",
+        F.when(
+            (F.coalesce(col("av"), F.lit(0)) == 0)
+            & (F.coalesce(col("dv"), F.lit(0)) == 0),
+            F.lit("holds_both"),
+        )
+        .when(F.coalesce(col("av"), F.lit(0)) == 0, F.lit("holds_asc"))
+        .when(F.coalesce(col("dv"), F.lit(0)) == 0, F.lit("holds_desc"))
+        .otherwise(F.lit("violated"))
+        .alias("status"),
+        F.coalesce(col("av"), F.lit(0)).cast("bigint").alias(
+            "asc_viol_groups"
+        ),
+        F.coalesce(col("dv"), F.lit(0)).cast("bigint").alias(
+            "desc_viol_groups"
+        ),
+        F.coalesce(col("n_groups"), F.lit(0)).cast("bigint").alias("n_groups"),
+        F.when(F.coalesce(col("n_groups"), F.lit(0)) == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.least(
+                    F.coalesce(col("av"), F.lit(0)),
+                    F.coalesce(col("dv"), F.lit(0)),
+                ).cast("double")
+                / col("n_groups")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+        )
+        .cast("bigint")
+        .alias("disorder_ppm"),
+    )
+    return result.unionByName(tested)
+
+
+def _od_discover_oracle() -> str:
+    branches = []
+    for table, a, ka, b, kb in _od_candidates():
+        od = f"{table}.{a}~>{b}"
+        va, vb = _od_value_duck(a, ka), _od_value_duck(b, kb)
+        branches.append(
+            f"""SELECT '{od}' AS od, sa.ndv AS ndv_a, sb.ndv AS ndv_b,
+       CASE WHEN sa.ndv <= 1 THEN 'trivial_holds'
+            WHEN sb.ndv <= 1 THEN 'const_holds'
+            WHEN g.av = 0 AND g.dv = 0 THEN 'holds_both'
+            WHEN g.av = 0 THEN 'holds_asc'
+            WHEN g.dv = 0 THEN 'holds_desc'
+            ELSE 'violated' END AS status,
+       CASE WHEN sa.ndv <= 1 OR sb.ndv <= 1 THEN CAST(0 AS BIGINT)
+            ELSE g.av END AS asc_viol_groups,
+       CASE WHEN sa.ndv <= 1 OR sb.ndv <= 1 THEN CAST(0 AS BIGINT)
+            ELSE g.dv END AS desc_viol_groups,
+       CASE WHEN sa.ndv <= 1 OR sb.ndv <= 1 THEN CAST(-1 AS BIGINT)
+            ELSE g.n END AS n_groups,
+       CASE WHEN sa.ndv <= 1 OR sb.ndv <= 1 OR g.n = 0
+                THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST(least(g.av, g.dv) AS DOUBLE) / g.n
+                            * 1000000 + 0.5) AS BIGINT) END AS disorder_ppm
+FROM odst_{table}_{a} sa CROSS JOIN odst_{table}_{b} sb CROSS JOIN (
+    SELECT CAST(coalesce(sum(CASE WHEN cmx > mn_b THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS av,
+           CAST(coalesce(sum(CASE WHEN cmn < mx_b THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS dv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT mn_b, mx_b,
+               max(mx_b) OVER (ORDER BY a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmx,
+               min(mn_b) OVER (ORDER BY a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmn
+        FROM (
+            SELECT {va} AS a, min({vb}) AS mn_b, max({vb}) AS mx_b
+            FROM {table}
+            WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+            GROUP BY 1
+        )
+    )
+) g"""
+        )
+    used = sorted(
+        {(table, c) for table, c, _, _, _ in _od_candidates()}
+        | {(table, c) for table, _, _, c, _ in _od_candidates()}
+    )
+    ctes = ",\n".join(
+        f"odst_{tbl}_{c} AS MATERIALIZED (\n"
+        f"    SELECT count(DISTINCT {c}) AS ndv FROM {tbl}\n)"
+        for tbl, c in used
+    )
+    return "WITH " + ctes + "\n" + "\nUNION ALL\n".join(branches)
+
+
+LOCAL_QUERIES["dq_od_discover"] = QuerySpec(
+    q_dq_od_discover, _od_discover_oracle()
+)
+
+# r9 rotation (r8 verdict item 2): dq_profile_report PROMOTED to the
+# driver-graded window — the profiling family's discovery math (NDV
+# grid, range/NDV IND pruning, pigeonhole) reaches the hard signal
+# through the composed artifact; join_size_profile (relational.py)
+# stays graded for the CBO estimation side. Registered LAST: the
+# report's oracle composes every discoverer's oracle, OD included.
+QUERIES: dict[str, QuerySpec] = {
+    "dq_profile_report": QuerySpec(q_dq_profile_report, _profile_report_oracle()),
+}

@@ -258,3 +258,125 @@ def test_fd_transfer_one_scan_and_verdicts(spark, duck):
     for r in rows.values():
         if r["verdict"] == "spurious_on_train":
             assert r["train_ppm"] == 0 and r["holdout_ppm"] > 0
+
+
+# --- order-dependency discovery ---------------------------------------------------
+
+
+def test_od_candidates_generated_from_catalog():
+    """OD candidates = every ordered pair of orderable-class columns
+    within each cataloged table; the oracle enumerates the identical
+    set."""
+    total = 0
+    for table in P._CATALOG:
+        k = sum(1 for _, kl in P._CATALOG[table] if kl in P._OD_CLASSES)
+        total += k * (k - 1)
+    assert len(P._od_candidates()) == total
+    kinds = {t: dict(cols) for t, cols in P._CATALOG.items()}
+    oracle = P._od_discover_oracle()
+    for table, a, ka, b, kb in P._od_candidates():
+        assert kinds[table][a] == ka and kinds[table][b] == kb
+        assert ka in P._OD_CLASSES and kb in P._OD_CLASSES
+        assert f"{table}.{a}~>{b}" in oracle
+
+
+def test_od_group_grain_one_scan_per_class_branch(spark):
+    """OD survivors share one column-pruned scan per (table,
+    class-pair) branch — native order semantics forbid the FD
+    discoverer's string-sentinel stack, so the scan count is the
+    branch count, never the candidate count."""
+    P.clear_profile_caches()
+    branches, survivors = set(), 0
+    for table, a, ka, b, kb in P._od_candidates():
+        s = P._table_stats(spark, SMOKE_SF_DIR, table)
+        if s.ind_stats[a][2] > 1 and s.ind_stats[b][2] > 1:
+            branches.add((table, ka, kb))
+            survivors += 1
+    assert survivors > len(branches)  # the gate must not be vacuous
+    plan = _plan(P._build_od_discover(spark, SMOKE_SF_DIR))
+    assert plan.count("Scan parquet") == len(branches), (
+        f"{plan.count('Scan parquet')} scans for {survivors} survivors "
+        f"over {len(branches)} class-pair branches"
+    )
+
+
+@pytest.fixture()
+def od_catalog(spark, tmp_path, monkeypatch):
+    """One tmp table staging every OD verdict the testdata cannot:
+    ascending/descending/shuffled dependents, a tie in the determinant
+    (non-strict semantics), NULL rows (excluded), a constant column
+    (both stats prunes), and a disjoint-NULL pair (the vacuous
+    zero-group path)."""
+    sf_dir = str(tmp_path)
+    rows = [
+        (1, 10, 30, 2, "n1", 7, 1, None),
+        (2, 20, 20, 3, "n2", 7, 2, None),
+        (3, 20, 10, 1, "n3", 7, None, 5),
+        (4, None, 5, 2, "n4", 7, None, 6),
+    ]
+    schema = (
+        "key int, inc int, dec int, shuf int, nm string, one int, "
+        "va int, vb int"
+    )
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(
+        f"{sf_dir}/tod.parquet"
+    )
+    catalog = {
+        "tod": (
+            ("key", "int"),
+            ("inc", "int"),
+            ("dec", "int"),
+            ("shuf", "int"),
+            ("nm", "str"),
+            ("one", "int"),
+            ("va", "int"),
+            ("vb", "int"),
+        ),
+    }
+    monkeypatch.setattr(P, "_CATALOG", catalog)
+    P.clear_profile_caches()
+    yield sf_dir
+    P.clear_profile_caches()
+
+
+def test_od_statuses_and_cross_engine(spark, od_catalog):
+    """Every status is reachable and cross-engine exact: non-strict
+    asc/desc verdicts honor determinant ties, NULL rows are excluded
+    on both engines, stats prunes (trivial/const) fire from NDVs
+    alone, and a pair whose columns are never non-NULL together emits
+    the vacuous holds_both row with zero groups."""
+    rows = {
+        r["od"]: r for r in P.q_dq_od_discover(spark, od_catalog).collect()
+    }
+    assert rows["tod.key~>inc"]["status"] == "holds_asc"  # tie at key 2/3
+    assert rows["tod.key~>dec"]["status"] == "holds_desc"
+    assert rows["tod.key~>nm"]["status"] == "holds_asc"
+    r = rows["tod.key~>shuf"]
+    assert (
+        r["status"],
+        r["asc_viol_groups"],
+        r["desc_viol_groups"],
+        r["n_groups"],
+        r["disorder_ppm"],
+    ) == ("violated", 2, 2, 4, 500000)
+    assert rows["tod.one~>key"]["status"] == "trivial_holds"
+    assert rows["tod.key~>one"]["status"] == "const_holds"
+    v = rows["tod.va~>vb"]
+    assert (v["status"], v["n_groups"], v["disorder_ppm"]) == (
+        "holds_both",
+        0,
+        0,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW tod AS SELECT * FROM '{od_catalog}/tod.parquet/*.parquet'"
+    )
+    got = sorted(
+        tuple(r) for r in P._build_od_discover(spark, od_catalog).collect()
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(P._od_discover_oracle()).fetchall()
+    )
+    assert got == want

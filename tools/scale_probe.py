@@ -430,6 +430,10 @@ SCALING_QUERIES = [
     "dedup_lsh_recall_eval",
     # r9: the banding-parameter sweep over the same bounded truth
     "dedup_lsh_band_sweep",
+    # r9 (cont.): duplicated-span detection — the positional gram grid
+    # is Σ tokens rows; gram-grain dup decision is one grouped
+    # min!=max; expect ~linear in corpus size
+    "dedup_span_dups",
 ]
 
 
@@ -640,6 +644,11 @@ TPCH_QUERIES = [
     # r9: holdout FD-transfer validation — one scan funds both splits'
     # g3 for all candidates; replicas grow both splits proportionally
     "dq_fd_transfer",
+    # r9 (cont.): order-dependency discovery — group-grain min/max
+    # collapse then one cummax/cummin window per candidate; replicas
+    # keep per-candidate NDVs, so window sizes grow with data while
+    # the candidate set stays fixed
+    "dq_od_discover",
 ]
 
 
