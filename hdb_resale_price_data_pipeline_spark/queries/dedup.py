@@ -1262,7 +1262,7 @@ def q_dedup_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = H.tokens("text")[0]
     hashes = H.shingle_hashes(H.shingles(H.tokens("text"), SPAN_GRAM), 131, 7)[0]
     base = (
-        t(spark, sf_dir, "documents")
+        widen(t(spark, sf_dir, "documents"))
         .selectExpr(
             "doc_id",
             f"size({toks}) AS n_tokens",

@@ -1134,6 +1134,12 @@ def _build_od_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"'{od}', {_od_value_spark(a, ka)}, {_od_value_spark(b, kb)}"
             for od, a, b in cands
         )
+        # NOT widened: each class-pair branch stacks only a few
+        # candidates (light per-row work), so a per-branch round-robin
+        # repartition costs more than it parallelizes — measured
+        # 62s -> 156s at sf1 with widen(); contrast dedup_span_dups,
+        # where ONE scan feeds heavy per-row amplification and widen
+        # fixed a single-task anomaly.
         tall = (
             t(spark, sf_dir, table)
             .selectExpr(f"stack({len(cands)}, {stack_args}) AS (od, a, b)")
@@ -1281,3 +1287,197 @@ LOCAL_QUERIES["dq_od_discover"] = QuerySpec(
 QUERIES: dict[str, QuerySpec] = {
     "dq_profile_report": QuerySpec(q_dq_profile_report, _profile_report_oracle()),
 }
+
+
+# --- correlation (soft-FD) discovery ----------------------------------------------
+
+# Contingency cap: pairs where either side's domain exceeds this are
+# classified from statistics alone (CORDS' discipline — correlation
+# detection pays |domain_a × domain_b| cell work, so high-cardinality
+# columns are skipped, exactly as a CBO skips them when picking
+# multi-column statistics to keep).
+_CORR_NDV_CAP = 64
+# Verdict grid (ppm of Cramér's V): >= 0.95 behaves like a functional
+# dependency for estimation purposes; >= 0.30 breaks the independence
+# assumption enough to matter (CORDS' flag threshold).
+_CORR_DETERMINED_PPM = 950_000
+_CORR_CORRELATED_PPM = 300_000
+
+
+def _corr_candidates() -> list[tuple[str, str, str]]:
+    return _ucc_candidates()  # all unordered cataloged column pairs
+
+
+def q_dq_corr_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATION discovery over the declared catalog (CORDS, Ilyas
+    et al.): which column pairs violate the optimizer's independence
+    assumption, and how hard — the soft end of the dependency spectrum
+    the exact discoverers (FD/IND/UCC/OD) cannot grade. Measured as
+    Cramér's V over the pair's contingency table, NULL as one category
+    (the family's sentinel semantics): V = 0 independent, V = 1 a
+    perfect association (an exact FD in both directions reads 1; a
+    soft FD reads just under). Verdicts: ``independent`` /
+    ``correlated`` (V >= 0.30, CORDS' flag) / ``determined``
+    (V >= 0.95 — estimate as if an FD), with ``const`` and
+    ``skipped_highcard`` decided from the shared ANALYZE stats alone —
+    the contingency is only paid when BOTH domains fit the
+    ``_CORR_NDV_CAP`` (the CORDS discipline; the observed-cell count
+    rides along, itself a dependency readout: cells << |dom a|·|dom b|
+    means co-occurrence structure).
+
+    Exactness across engines: chi-square reduces to
+    n·(S - 1) with S = Σ_cells o²/(rowmargin·colmargin) — only
+    OBSERVED cells contribute, so S is a sum of identically-rounded
+    rationals; both engines fold it SEQUENTIALLY in (a, b) cell order
+    (array_sort + aggregate / list ORDER BY + list_reduce), making the
+    double bit-identical before the one sqrt and the ppm floor.
+
+    Scale: survivors of one table share ONE ``stack()`` scan; cells
+    collapse map-side to <= CAP² rows per pair; margins are two
+    windows at cell grain; the fold's collect_list is bounded by CAP²
+    = 4096 structs per pair. Row-grain work never multiplies by
+    candidate count. Result frames persist per (session, dataset)."""
+    return _cached_result(
+        spark, sf_dir, "corr", lambda: _build_corr_discover(spark, sf_dir)
+    )
+
+
+def _build_corr_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    schema = (
+        "corr string, ndv_a bigint, ndv_b bigint, status string, "
+        "n_cells bigint, cramers_v_ppm bigint"
+    )
+    pruned_rows: list[tuple] = []
+    tested: dict[str, list[tuple[str, str, str]]] = {}
+    meta_rows: list[tuple[str, int, int]] = []
+    for table, a, b in _corr_candidates():
+        stats = _table_stats(spark, sf_dir, table)
+        corr = f"{table}.({a},{b})"
+        ndv_a, ndv_b = stats.ndv[a], stats.ndv[b]
+        if ndv_a <= 1 or ndv_b <= 1:
+            pruned_rows.append((corr, ndv_a, ndv_b, "const", -1, 0))
+        elif ndv_a > _CORR_NDV_CAP or ndv_b > _CORR_NDV_CAP:
+            pruned_rows.append(
+                (corr, ndv_a, ndv_b, "skipped_highcard", -1, -1)
+            )
+        else:
+            tested.setdefault(table, []).append((corr, a, b))
+            meta_rows.append((corr, ndv_a, ndv_b))
+
+    result = spark.createDataFrame(pruned_rows, schema=schema)
+    if not meta_rows:
+        return result
+
+    agg_all: DataFrame | None = None
+    for table, cands in tested.items():
+        stack_args = ", ".join(
+            f"'{corr}', {_coalesced_spark_sql(a)}, {_coalesced_spark_sql(b)}"
+            for corr, a, b in cands
+        )
+        tall = t(spark, sf_dir, table).selectExpr(
+            f"stack({len(cands)}, {stack_args}) AS (corr, a, b)"
+        )
+        cells = tall.groupBy("corr", "a", "b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("o")
+        )
+        wa = Window.partitionBy("corr", "a")
+        wb = Window.partitionBy("corr", "b")
+        terms = cells.select(
+            "corr",
+            "a",
+            "b",
+            (
+                (col("o") * col("o")).cast("double")
+                / (F.sum("o").over(wa) * F.sum("o").over(wb))
+            ).alias("term"),
+        )
+        # Bounded collect: <= CAP² = 4096 cells per pair; the sorted
+        # sequential fold makes the double sum engine-identical.
+        per = terms.groupBy("corr").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("a", "b", "term"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("S"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        agg_all = per if agg_all is None else agg_all.unionByName(per)
+
+    meta = spark.createDataFrame(
+        meta_rows, schema="corr string, ndv_a bigint, ndv_b bigint"
+    )
+    v_ppm = F.floor(
+        F.sqrt(
+            F.greatest(F.coalesce(col("S"), F.lit(0.0)) - 1.0, F.lit(0.0))
+            / (F.least("ndv_a", "ndv_b") - 1).cast("double")
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    tested_df = meta.join(F.broadcast(agg_all), "corr", "left").select(
+        "corr",
+        "ndv_a",
+        "ndv_b",
+        F.when(v_ppm >= _CORR_DETERMINED_PPM, F.lit("determined"))
+        .when(v_ppm >= _CORR_CORRELATED_PPM, F.lit("correlated"))
+        .otherwise(F.lit("independent"))
+        .alias("status"),
+        F.coalesce(col("n_cells"), F.lit(0)).cast("bigint").alias("n_cells"),
+        v_ppm.alias("cramers_v_ppm"),
+    )
+    return result.unionByName(tested_df)
+
+
+def _corr_discover_oracle() -> str:
+    branches = []
+    for table, a, b in _corr_candidates():
+        corr = f"{table}.({a},{b})"
+        vppm = (
+            "CAST(floor(sqrt(greatest(g.S - 1, 0) / "
+            f"(least(s.ndv_{a}, s.ndv_{b}) - 1)) * 1000000 + 0.5) AS BIGINT)"
+        )
+        branches.append(
+            f"""SELECT '{corr}' AS corr, s.ndv_{a} AS ndv_a, s.ndv_{b} AS ndv_b,
+       CASE WHEN s.ndv_{a} <= 1 OR s.ndv_{b} <= 1 THEN 'const'
+            WHEN s.ndv_{a} > {_CORR_NDV_CAP} OR s.ndv_{b} > {_CORR_NDV_CAP}
+                THEN 'skipped_highcard'
+            WHEN {vppm} >= {_CORR_DETERMINED_PPM} THEN 'determined'
+            WHEN {vppm} >= {_CORR_CORRELATED_PPM} THEN 'correlated'
+            ELSE 'independent' END AS status,
+       CASE WHEN s.ndv_{a} <= 1 OR s.ndv_{b} <= 1
+              OR s.ndv_{a} > {_CORR_NDV_CAP} OR s.ndv_{b} > {_CORR_NDV_CAP}
+                THEN CAST(-1 AS BIGINT)
+            ELSE g.n_cells END AS n_cells,
+       CASE WHEN s.ndv_{a} <= 1 OR s.ndv_{b} <= 1 THEN CAST(0 AS BIGINT)
+            WHEN s.ndv_{a} > {_CORR_NDV_CAP} OR s.ndv_{b} > {_CORR_NDV_CAP}
+                THEN CAST(-1 AS BIGINT)
+            ELSE {vppm} END AS cramers_v_ppm
+FROM stats_{table} s CROSS JOIN (
+    SELECT coalesce(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(term ORDER BY a, b)), (acc, x) -> acc + x), 0.0) AS S,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM (
+        SELECT a, b, CAST(o * o AS DOUBLE) / (r_i * c_j) AS term
+        FROM (
+            SELECT a, b, o,
+                   sum(o) OVER (PARTITION BY a) AS r_i,
+                   sum(o) OVER (PARTITION BY b) AS c_j
+            FROM (
+                SELECT {_coalesced_sql(a)} AS a, {_coalesced_sql(b)} AS b,
+                       CAST(count(*) AS BIGINT) AS o
+                FROM {table} GROUP BY 1, 2
+            )
+        )
+    )
+) g"""
+        )
+    return _stats_ctes() + "\n" + "\nUNION ALL\n".join(branches)
+
+
+LOCAL_QUERIES["dq_corr_discover"] = QuerySpec(
+    q_dq_corr_discover, _corr_discover_oracle()
+)

@@ -380,3 +380,72 @@ def test_od_statuses_and_cross_engine(spark, od_catalog):
         tuple(r) for r in con.execute(P._od_discover_oracle()).fetchall()
     )
     assert got == want
+
+
+# --- correlation (soft-FD) discovery ----------------------------------------------
+
+
+@pytest.fixture()
+def corr_catalog(spark, tmp_path, monkeypatch):
+    """One tmp table staging the statuses the testdata cannot: a
+    constant column (const prune with its zero-variation V=0), a
+    bijective pair (V=1 determined), an exactly independent pair
+    (uniform 2x2 product distribution, V=0), and a NULL-bearing column
+    (NULL is one category on both engines)."""
+    sf_dir = str(tmp_path)
+    rows = []
+    # 4 rows per (x, y) cell of a uniform 2x2 grid -> x,y independent;
+    # b = bijection of x; c constant; nb NULL for half the rows.
+    i = 0
+    for x in ("x0", "x1"):
+        for y in ("y0", "y1"):
+            for _ in range(4):
+                rows.append((x, y, f"b_{x}", "k", x if i % 2 else None))
+                i += 1
+    spark.createDataFrame(
+        rows, schema="x string, y string, b string, c string, nb string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/tc.parquet")
+    catalog = {
+        "tc": (
+            ("x", "str"),
+            ("y", "str"),
+            ("b", "str"),
+            ("c", "str"),
+            ("nb", "str"),
+        ),
+    }
+    monkeypatch.setattr(P, "_CATALOG", catalog)
+    P.clear_profile_caches()
+    yield sf_dir
+    P.clear_profile_caches()
+
+
+def test_corr_statuses_and_cross_engine(spark, corr_catalog):
+    rows = {
+        r["corr"]: r
+        for r in P.q_dq_corr_discover(spark, corr_catalog).collect()
+    }
+    assert rows["tc.(x,y)"]["status"] == "independent"
+    assert rows["tc.(x,y)"]["cramers_v_ppm"] == 0
+    r = rows["tc.(x,b)"]
+    assert (r["status"], r["cramers_v_ppm"], r["n_cells"]) == (
+        "determined",
+        1000000,
+        2,
+    )
+    assert rows["tc.(x,c)"]["status"] == "const"
+    assert rows["tc.(y,nb)"]["status"] is not None  # NULL category measured
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW tc AS "
+        f"SELECT * FROM '{corr_catalog}/tc.parquet/*.parquet'"
+    )
+    got = sorted(
+        tuple(r) for r in P._build_corr_discover(spark, corr_catalog).collect()
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(P._corr_discover_oracle()).fetchall()
+    )
+    assert got == want

@@ -649,6 +649,10 @@ TPCH_QUERIES = [
     # keep per-candidate NDVs, so window sizes grow with data while
     # the candidate set stays fixed
     "dq_od_discover",
+    # r9 (cont.): correlation discovery — contingency cells collapse
+    # map-side to <= CAP² rows per surviving pair; replicas keep NDVs,
+    # so cell counts stay fixed while the one stack scan grows
+    "dq_corr_discover",
 ]
 
 
