@@ -18,6 +18,7 @@ reader (sources/readers.py).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -279,6 +280,81 @@ def stream_view_purchase_join(events: DataFrame) -> DataFrame:
     )
 
 
+# --- scale-adaptive state partitioning (r9 optimization round) ----------------
+# A stateful streaming operator creates one state store per shuffle
+# partition, and the partition count is frozen at the query's first
+# batch — AQE is DISABLED inside streaming, so nothing coalesces the
+# default down when the input is small. Measured at sf0.1 (≈200k events,
+# 32 partitions): per-partition store open/commit overhead dominates —
+# session windows 2.8–7.6s wall vs 1.4–1.8s at a size-derived count,
+# identical results (state partitioning never changes aggregate/dedup
+# semantics; the driver's bare 200-partition sessions already hash-match
+# the 32-partition bench). So derive the count the way AQE would: rows
+# from the parquet FOOTER (driver-side metadata, no data scan — the
+# _events_ts_flavor discipline) divided by a target state-rows-per-
+# partition, CLAMPED ABOVE by the session's configured
+# spark.sql.shuffle.partitions. On a production cluster the configured
+# value is large and the input is 100 TB, so the ceiling binds and
+# behavior is unchanged; the derivation only ever *lowers* the count
+# when the data provably fits in fewer stores.
+STREAM_STATE_ROWS_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_ROWS", "65536")
+)
+
+_SOURCE_ROWS_CACHE: dict[str, tuple[tuple, int]] = {}
+
+
+def _dir_parquet_rows(path: str) -> int | None:
+    """Total footer row count over a landing directory's parquet files
+    (symlinks followed), cached on the files' (mtime, size) so a
+    re-staged directory never reuses stale counts."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    if not files:
+        return None
+    key = tuple((f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files)
+    hit = _SOURCE_ROWS_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    _SOURCE_ROWS_CACHE[path] = (key, rows)
+    return rows
+
+
+def _analyzed_plan_string(streaming_df: DataFrame) -> str | None:
+    try:
+        return streaming_df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # Spark Connect: no _jdf on the client
+        return None
+
+
+def _stream_source_rows(plan: str) -> int | None:
+    """Sum of input rows across the stream's distinct file sources,
+    read from the analyzed plan's ``FileSource[...]`` markers. Returns
+    None (→ no scaling) when a source is not a parquet directory."""
+    import re
+
+    paths = sorted(set(re.findall(r"FileSource\[([^\]]+)\]", plan)))
+    if not paths:
+        return None
+    total = 0
+    for p in paths:
+        rows = _dir_parquet_rows(p)
+        if rows is None:
+            return None
+        total += rows
+    return total
+
+
+def derived_stream_partitions(n_rows: int, configured: int) -> int:
+    """ceil(rows / target-rows-per-store), clamped to [1, configured]."""
+    derived = max(1, -(-n_rows // STREAM_STATE_ROWS_PER_PARTITION))
+    return min(configured, derived)
+
+
 def run_stream_to_df(
     streaming_df: DataFrame, spark: SparkSession, mode: str = "append"
 ) -> DataFrame:
@@ -288,16 +364,47 @@ def run_stream_to_df(
     return DataFrames. ``mode="append"`` for watermarked windows (emit
     on finalization); ``mode="complete"`` for unwindowed running
     aggregates (e.g. sketch registers), where the last microbatch's
-    full state is the result."""
+    full state is the result.
+
+    The state-store partition count is derived from the source size
+    (see ``derived_stream_partitions``) for the duration of the query
+    and restored afterwards — the streaming twin of AQE coalescing,
+    which streaming plans cannot use."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    query = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
+    prior: str | None = None
+    plan = _analyzed_plan_string(streaming_df)
+    # Python-stateful plans (applyInPandasWithState) are exempt: their
+    # cost is per-GROUP Python work, which the partition count
+    # parallelizes — measured 4.4s at the configured 32 partitions vs
+    # 8.6s at the state-derived 4 (sf0.1). State-store overhead is the
+    # minor term there; compute wins.
+    n_rows = (
+        _stream_source_rows(plan)
+        if plan is not None and "FlatMapGroupsInPandasWithState" not in plan
+        else None
     )
-    query.awaitTermination()
+    if n_rows is not None:
+        try:
+            configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            configured = 0
+        if configured > 0:
+            target = derived_stream_partitions(n_rows, configured)
+            if target < configured:
+                prior = str(configured)
+                spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        query = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
 
 

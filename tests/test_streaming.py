@@ -737,3 +737,51 @@ def test_stream_inner_attribution_matches_batch_and_outer_pair_half(spark):
     assert len(inner) > 0
     assert inner == batch
     assert inner == outer_matched
+
+
+def test_derived_stream_partitions_math_and_conf_restore(spark):
+    """r9 optimization: the state-store partition count is derived from
+    the source's footer row count (ceil(rows / target), clamped to the
+    configured spark.sql.shuffle.partitions) for the duration of a
+    run_stream_to_df call and restored afterwards. Pins the clamp
+    arithmetic and the restore, plus the two opt-outs (no FileSource in
+    the plan / Python-stateful plans keep the configured count)."""
+    from hdb_resale_price_data_pipeline_spark.streaming.events import (
+        STREAM_STATE_ROWS_PER_PARTITION,
+        _analyzed_plan_string,
+        _stream_source_rows,
+        derived_stream_partitions,
+    )
+
+    # clamp arithmetic
+    t = STREAM_STATE_ROWS_PER_PARTITION
+    assert derived_stream_partitions(1, 32) == 1
+    assert derived_stream_partitions(t, 32) == 1
+    assert derived_stream_partitions(t + 1, 32) == 2
+    assert derived_stream_partitions(100 * t, 32) == 32  # ceiling binds
+    assert derived_stream_partitions(100 * t, 8) == 8
+
+    # source rows come from the parquet footer, not a scan
+    sdf = stream_hourly_tumbling(events_stream(spark, TEST_SF_DIR))
+    plan = _analyzed_plan_string(sdf)
+    assert plan is not None and "FileSource[" in plan
+    n = _stream_source_rows(plan)
+    from hdb_resale_price_data_pipeline_spark.sources import read_table
+
+    assert n == read_table(spark, TEST_SF_DIR, "events").count()
+
+    # conf is restored after the query (whatever value it lowered to)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_stream_to_df(sdf, spark)
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # Python-stateful plans are exempt from downscaling
+    from hdb_resale_price_data_pipeline_spark.streaming.stateful import (
+        split_events_stream,
+        stateful_sessions,
+    )
+
+    st = stateful_sessions(split_events_stream(spark, TEST_SF_DIR))
+    st_plan = _analyzed_plan_string(st)
+    assert st_plan is not None and "FlatMapGroupsInPandasWithState" in st_plan
