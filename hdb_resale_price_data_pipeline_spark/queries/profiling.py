@@ -288,6 +288,29 @@ def _table_stats(spark: SparkSession, sf_dir: str, table: str) -> _TableStats:
     return stats
 
 
+def _warm_table_stats(spark: SparkSession, sf_dir: str, tables) -> None:
+    """Collect missing tables' ANALYZE rows CONCURRENTLY (guide §2.6:
+    overlap independent jobs). Each stats row is one small bounded
+    job; the candidate loops otherwise trigger them serially on first
+    touch, leaving most of the box idle through nine job tails. A few
+    jobs in flight back-fill the tail without fighting for cores; the
+    cache dict is only ever written under the GIL and ``missing`` is
+    deduplicated, so no two threads compute the same table."""
+    fp = _dataset_fingerprint(sf_dir)
+    skey = _session_key(spark)
+    missing = [
+        tb
+        for tb in dict.fromkeys(tables)
+        if (skey, sf_dir, tb, fp) not in _PROFILE_STATS_CACHE
+    ]
+    if len(missing) < 2:
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda tb: _table_stats(spark, sf_dir, tb), missing))
+
+
 def _cached_result(spark: SparkSession, sf_dir: str, tag: str, build):
     key = (_session_key(spark), sf_dir, tag, _dataset_fingerprint(sf_dir))
     cached = _PROFILE_RESULT_CACHE.get(key)
@@ -368,6 +391,7 @@ def q_dq_fd_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_fd_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _warm_table_stats(spark, sf_dir, _CATALOG)
     schema = (
         "fd string, ndv_det bigint, ndv_dep bigint, "
         "status string, violation_ppm bigint"
@@ -531,6 +555,7 @@ def q_dq_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_ind_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _warm_table_stats(spark, sf_dir, _CATALOG)
     schema = (
         "ind string, ndv_child bigint, ndv_parent bigint, "
         "coverage_ppm bigint, status string, n_violating bigint"
@@ -726,6 +751,7 @@ def q_dq_ucc_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_ucc_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _warm_table_stats(spark, sf_dir, _CATALOG)
     schema = (
         "ucc string, ndv_a bigint, ndv_b bigint, status string, "
         "n_duplicate bigint"
@@ -1098,7 +1124,17 @@ def q_dq_od_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _null_as(klass: str) -> str:
+    """Typed NULL literal for an unused stack slot of the given class."""
+    if klass == "int":
+        return "CAST(NULL AS BIGINT)"
+    if klass == "date":
+        return "CAST(NULL AS TIMESTAMP)"
+    return "CAST(NULL AS STRING)"
+
+
 def _build_od_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _warm_table_stats(spark, sf_dir, _CATALOG)
     from pyspark.sql.window import Window
 
     schema = (
@@ -1107,7 +1143,20 @@ def _build_od_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_groups bigint, disorder_ppm bigint"
     )
     pruned_rows: list[tuple] = []
-    branches: dict[tuple[str, str, str], list[tuple[str, str, str]]] = {}
+    # table -> {(det, det_class) -> [(od, dep, dep_class), ...]}:
+    # r10 fusion grain (guide §2.4 — shared exchange/sort). The r9
+    # shape branched per (table, class_a, class_b) and stacked one row
+    # COPY per candidate, so a determinant with d dependents paid d
+    # stacked copies, d grouped collapses, and d window sorts of its
+    # NDV(a) groups. All d candidates of one determinant share the
+    # grouping key AND the window partitioning/order, so they fuse:
+    # one stacked copy per determinant carrying every dependent as its
+    # own typed column, one grouped min/max pass, ONE window (multiple
+    # running-max/min expressions over the same WindowSpec evaluate in
+    # a single Window operator with a single sort). Measured at sf0.1:
+    # 37 scan branches -> 9 (one per table), stacked row copies
+    # 104×N -> 34×N, window-sorted rows Σ_cand NDV(a) -> Σ_det NDV(a).
+    dets: dict[str, dict[tuple[str, str], list[tuple[str, str, str]]]] = {}
     meta_rows: list[tuple[str, int, int]] = []
     for table, a, ka, b, kb in _od_candidates():
         stats = _table_stats(spark, sf_dir, table)
@@ -1121,7 +1170,9 @@ def _build_od_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         elif ndv_b <= 1:
             pruned_rows.append((od, ndv_a, ndv_b, "const_holds", 0, 0, -1, 0))
         else:
-            branches.setdefault((table, ka, kb), []).append((od, a, b))
+            dets.setdefault(table, {}).setdefault((a, ka), []).append(
+                (od, b, kb)
+            )
             meta_rows.append((od, ndv_a, ndv_b))
 
     result = spark.createDataFrame(pruned_rows, schema=schema)
@@ -1129,48 +1180,121 @@ def _build_od_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
 
     agg_all: DataFrame | None = None
-    for (table, ka, kb), cands in branches.items():
-        stack_args = ", ".join(
-            f"'{od}', {_od_value_spark(a, ka)}, {_od_value_spark(b, kb)}"
-            for od, a, b in cands
+    for table, table_dets in sorted(dets.items()):
+        # Dependent slots: columns surviving as a dependent of ANY
+        # surviving determinant of this table. Pruned candidates still
+        # pay no row-grain work — their slot is a typed NULL in that
+        # determinant's stack branch, and min/max ignore NULLs.
+        dep_slots = sorted(
+            {(b, kb) for cands in table_dets.values() for _, b, kb in cands}
         )
-        # NOT widened: each class-pair branch stacks only a few
-        # candidates (light per-row work), so a per-branch round-robin
-        # repartition costs more than it parallelizes — measured
-        # 62s -> 156s at sf1 with widen(); contrast dedup_span_dups,
-        # where ONE scan feeds heavy per-row amplification and widen
-        # fixed a single-task anomaly.
+        dep_ix = {b: i for i, (b, _) in enumerate(dep_slots)}
+        branch_rows = []
+        for (a, ka), cands in sorted(table_dets.items()):
+            deps_of_a = {b for _, b, _ in cands}
+            # Determinant value in its class-typed slot (native order
+            # semantics forbid one untyped slot across classes; the
+            # other two slots ride as typed NULLs and sort as ties).
+            vals = [f"'{a}'"]
+            for klass in ("int", "str", "date"):
+                vals.append(
+                    _od_value_spark(a, ka) if ka == klass else _null_as(klass)
+                )
+            for b, kb in dep_slots:
+                vals.append(
+                    _od_value_spark(b, kb) if b in deps_of_a else _null_as(kb)
+                )
+            branch_rows.append(", ".join(vals))
+        dep_names = [f"d{i}" for i in range(len(dep_slots))]
+        stack_expr = (
+            f"stack({len(branch_rows)}, {', '.join(branch_rows)}) "
+            f"AS (det, a_int, a_str, a_dt, {', '.join(dep_names)})"
+        )
+        # NOT widened: light per-row work per stacked copy — a
+        # per-branch round-robin repartition costs more than it
+        # parallelizes (measured 62s -> 156s at sf1 on the r9 shape;
+        # contrast dedup_span_dups, where ONE scan feeds heavy per-row
+        # amplification and widen fixed a single-task anomaly).
         tall = (
             t(spark, sf_dir, table)
-            .selectExpr(f"stack({len(cands)}, {stack_args}) AS (od, a, b)")
-            .filter(col("a").isNotNull() & col("b").isNotNull())
+            .selectExpr(stack_expr)
+            .filter(
+                col("a_int").isNotNull()
+                | col("a_str").isNotNull()
+                | col("a_dt").isNotNull()
+            )
         )
-        # Map-side combine collapses rows to (candidate, a-value) grain
-        # BEFORE the shuffle; the window then runs over <= NDV(a) rows
-        # per candidate.
-        grouped = tall.groupBy("od", "a").agg(
-            F.min("b").alias("mn_b"), F.max("b").alias("mx_b")
+        # Map-side combine collapses rows to (determinant, a-value)
+        # grain BEFORE the shuffle; the window then runs over <= NDV(a)
+        # rows per determinant. A group's dependent min/max is NULL
+        # when no row of the group has that dependent non-NULL — the
+        # group then contributes nothing to that candidate (running
+        # max/min skip NULLs; the flags below don't count it), exactly
+        # matching the r9 per-candidate "a nn AND b nn" row filter.
+        grouped = tall.groupBy("det", "a_int", "a_str", "a_dt").agg(
+            *[
+                agg
+                for i in range(len(dep_slots))
+                for agg in (
+                    F.min(f"d{i}").alias(f"mn{i}"),
+                    F.max(f"d{i}").alias(f"mx{i}"),
+                )
+            ]
         )
         w = (
-            Window.partitionBy("od")
-            .orderBy("a")
+            Window.partitionBy("det")
+            .orderBy("a_int", "a_str", "a_dt")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         flagged = grouped.select(
-            "od",
-            "mn_b",
-            "mx_b",
-            F.max("mx_b").over(w).alias("cmx"),
-            F.min("mn_b").over(w).alias("cmn"),
+            "det",
+            *[
+                e
+                for i in range(len(dep_slots))
+                for e in (
+                    col(f"mn{i}"),
+                    col(f"mx{i}"),
+                    F.max(f"mx{i}").over(w).alias(f"cmx{i}"),
+                    F.min(f"mn{i}").over(w).alias(f"cmn{i}"),
+                )
+            ],
         )
-        per_od = flagged.groupBy("od").agg(
-            F.sum(F.when(col("cmx") > col("mn_b"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("av"),
-            F.sum(F.when(col("cmn") < col("mx_b"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("dv"),
-            F.count(F.lit(1)).alias("n_groups"),
+        per_det = flagged.groupBy("det").agg(
+            *[
+                agg
+                for i in range(len(dep_slots))
+                for agg in (
+                    F.sum(F.when(col(f"cmx{i}") > col(f"mn{i}"), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"av{i}"),
+                    F.sum(F.when(col(f"cmn{i}") < col(f"mx{i}"), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"dv{i}"),
+                    F.sum(F.when(col(f"mn{i}").isNotNull(), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"n{i}"),
+                )
+            ]
+        )
+        # Unpivot the per-determinant flag columns back to candidate
+        # grain (tiny: one row per determinant). Slots that are not a
+        # surviving candidate of their determinant unpivot to all-zero
+        # rows whose od never appears in meta — the left join drops
+        # them.
+        unpivot = ", ".join(
+            f"'{b}', av{dep_ix[b]}, dv{dep_ix[b]}, n{dep_ix[b]}"
+            for b, _ in dep_slots
+        )
+        per_od = per_det.selectExpr(
+            "det",
+            f"stack({len(dep_slots)}, {unpivot}) AS (dep, av, dv, n_groups)",
+        ).select(
+            F.concat(
+                F.lit(f"{table}."), col("det"), F.lit("~>"), col("dep")
+            ).alias("od"),
+            "av",
+            "dv",
+            "n_groups",
         )
         agg_all = per_od if agg_all is None else agg_all.unionByName(per_od)
 
@@ -1343,6 +1467,7 @@ def q_dq_corr_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_corr_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _warm_table_stats(spark, sf_dir, _CATALOG)
     from pyspark.sql.window import Window
 
     schema = (

@@ -301,27 +301,59 @@ STREAM_STATE_ROWS_PER_PARTITION = int(
     os.environ.get("SPARK_GRAFT_STREAM_STATE_ROWS", "65536")
 )
 
-_SOURCE_ROWS_CACHE: dict[str, tuple[tuple, int]] = {}
+# path -> (file-stat key, rows, complete). ``rows`` is a lower bound
+# when ``complete`` is False (the short-circuit below fired).
+_SOURCE_ROWS_CACHE: dict[str, tuple[tuple, int, bool]] = {}
 
 
-def _dir_parquet_rows(path: str) -> int | None:
+def _dir_parquet_rows(path: str, stop_at: int | None = None) -> int | None:
     """Total footer row count over a landing directory's parquet files
     (symlinks followed), cached on the files' (mtime, size) so a
-    re-staged directory never reuses stale counts."""
+    re-staged directory never reuses stale counts.
+
+    Short-circuits once ``stop_at`` rows are proven: the caller only
+    uses the count to check whether the partition ceiling binds, so at
+    100 TB / O(1e5) files the driver must not read every footer to
+    learn what the first few already decide — the returned partial sum
+    is >= ``stop_at`` and the ceiling binds. Any metadata failure (a
+    file deleted between glob and stat, a corrupt or partially-written
+    footer in a landing dir receiving concurrent appends) returns None
+    -> the caller skips scaling instead of failing the query."""
     import glob
 
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
-    if not files:
+    try:
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return None
+        # One os.stat per file: two stats could straddle a concurrent
+        # rewrite and mint a key matching neither version.
+        stats = [os.stat(f) for f in files]
+        key = tuple(
+            (f, st.st_mtime_ns, st.st_size) for f, st in zip(files, stats)
+        )
+        hit = _SOURCE_ROWS_CACHE.get(path)
+        if hit is not None and hit[0] == key:
+            rows, complete = hit[1], hit[2]
+            # A truncated count is reusable only if it already proves
+            # this call's threshold; otherwise re-read (a higher
+            # configured partition count needs a higher bound).
+            if complete or (stop_at is not None and rows >= stop_at):
+                return rows
+        rows = 0
+        complete = True
+        for i, f in enumerate(files):
+            rows += pq.read_metadata(f).num_rows
+            if stop_at is not None and rows >= stop_at:
+                complete = i == len(files) - 1
+                break
+        _SOURCE_ROWS_CACHE[path] = (key, rows, complete)
+        return rows
+    except Exception:  # metadata racing a live landing dir — skip scaling
         return None
-    key = tuple((f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files)
-    hit = _SOURCE_ROWS_CACHE.get(path)
-    if hit is not None and hit[0] == key:
-        return hit[1]
-    rows = sum(pq.read_metadata(f).num_rows for f in files)
-    _SOURCE_ROWS_CACHE[path] = (key, rows)
-    return rows
 
 
 def _analyzed_plan_string(streaming_df: DataFrame) -> str | None:
@@ -331,10 +363,12 @@ def _analyzed_plan_string(streaming_df: DataFrame) -> str | None:
         return None
 
 
-def _stream_source_rows(plan: str) -> int | None:
+def _stream_source_rows(plan: str, stop_at: int | None = None) -> int | None:
     """Sum of input rows across the stream's distinct file sources,
     read from the analyzed plan's ``FileSource[...]`` markers. Returns
-    None (→ no scaling) when a source is not a parquet directory."""
+    None (→ no scaling) when a source is not a parquet directory.
+    ``stop_at`` propagates the footer-read short-circuit: once the sum
+    proves the threshold, later sources need not be read at all."""
     import re
 
     paths = sorted(set(re.findall(r"FileSource\[([^\]]+)\]", plan)))
@@ -342,7 +376,13 @@ def _stream_source_rows(plan: str) -> int | None:
         return None
     total = 0
     for p in paths:
-        rows = _dir_parquet_rows(p)
+        if p.startswith("file:"):  # URI-scheme FileSource → local path
+            p = p.removeprefix("file:")
+        if stop_at is not None and total >= stop_at:
+            return total
+        rows = _dir_parquet_rows(
+            p, None if stop_at is None else stop_at - total
+        )
         if rows is None:
             return None
         total += rows
@@ -378,21 +418,28 @@ def run_stream_to_df(
     # parallelizes — measured 4.4s at the configured 32 partitions vs
     # 8.6s at the state-derived 4 (sf0.1). State-store overhead is the
     # minor term there; compute wins.
+    try:
+        configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        configured = 0
+    # NOTE: the set/restore below mutates a session-global conf and
+    # assumes no concurrent query planning shares this SparkSession
+    # (true for the bench, the driver, and the tests, which are all
+    # sequential). ``prior`` is read from the live conf value above.
     n_rows = (
-        _stream_source_rows(plan)
-        if plan is not None and "FlatMapGroupsInPandasWithState" not in plan
+        _stream_source_rows(
+            plan, stop_at=configured * STREAM_STATE_ROWS_PER_PARTITION
+        )
+        if plan is not None
+        and configured > 0
+        and "FlatMapGroupsInPandasWithState" not in plan
         else None
     )
-    if n_rows is not None:
-        try:
-            configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except Exception:
-            configured = 0
-        if configured > 0:
-            target = derived_stream_partitions(n_rows, configured)
-            if target < configured:
-                prior = str(configured)
-                spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    if n_rows is not None and configured > 0:
+        target = derived_stream_partitions(n_rows, configured)
+        if target < configured:
+            prior = str(configured)
+            spark.conf.set("spark.sql.shuffle.partitions", str(target))
     try:
         query = (
             streaming_df.writeStream.format("memory")

@@ -9,13 +9,19 @@ import math
 
 import pytest
 
-from hdb_resale_price_data_pipeline_spark.queries import local_queries
+from hdb_resale_price_data_pipeline_spark.queries import all_queries, local_queries
 
 from conftest import TEST_SF_DIR
 
 # Superset of the driver-graded registry: includes per-module
 # LOCAL_QUERIES demoted out of the driver's 50-entry window.
 REGISTRY = local_queries()
+
+# The driver-graded window is the `core` gate: every graded query's
+# oracle parity runs in the <5-min driver-facing subset (see
+# conftest.pytest_collection_modifyitems); the local-only queries stay
+# in the full suite.
+_GRADED = set(all_queries())
 
 
 def _canon(value):
@@ -63,7 +69,13 @@ def _rows(df_pandas, cols):
     )
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.core) if n in _GRADED else n
+        for n in sorted(REGISTRY)
+    ],
+)
 def test_query_matches_oracle(name, spark, duck):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, TEST_SF_DIR)

@@ -280,23 +280,32 @@ def test_od_candidates_generated_from_catalog():
         assert f"{table}.{a}~>{b}" in oracle
 
 
-def test_od_group_grain_one_scan_per_class_branch(spark):
-    """OD survivors share one column-pruned scan per (table,
-    class-pair) branch — native order semantics forbid the FD
-    discoverer's string-sentinel stack, so the scan count is the
-    branch count, never the candidate count."""
+@pytest.mark.core
+def test_od_determinant_fusion_one_scan_and_window_per_table(spark):
+    """r10 fusion: all OD candidates sharing a determinant are decided
+    in ONE pass — one column-pruned scan per table (never per
+    class-pair branch, never per candidate), and one Window operator
+    per table (every dependent's running max/min evaluates over the
+    same WindowSpec, so the per-determinant group sort is paid once,
+    not once per dependent)."""
     P.clear_profile_caches()
-    branches, survivors = set(), 0
+    tables, dets, survivors = set(), set(), 0
     for table, a, ka, b, kb in P._od_candidates():
         s = P._table_stats(spark, SMOKE_SF_DIR, table)
         if s.ind_stats[a][2] > 1 and s.ind_stats[b][2] > 1:
-            branches.add((table, ka, kb))
+            tables.add(table)
+            dets.add((table, a))
             survivors += 1
-    assert survivors > len(branches)  # the gate must not be vacuous
+    assert survivors > len(dets) > len(tables)  # gates must not be vacuous
     plan = _plan(P._build_od_discover(spark, SMOKE_SF_DIR))
-    assert plan.count("Scan parquet") == len(branches), (
+    assert plan.count("Scan parquet") == len(tables), (
         f"{plan.count('Scan parquet')} scans for {survivors} survivors "
-        f"over {len(branches)} class-pair branches"
+        f"over {len(tables)} tables"
+    )
+    n_windows = plan.count("Window [")
+    assert n_windows == len(tables), (
+        f"{n_windows} Window operators for {len(dets)} determinants "
+        f"over {len(tables)} tables — the determinant sorts must fuse"
     )
 
 

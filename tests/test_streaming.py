@@ -739,6 +739,7 @@ def test_stream_inner_attribution_matches_batch_and_outer_pair_half(spark):
     assert inner == outer_matched
 
 
+@pytest.mark.core
 def test_derived_stream_partitions_math_and_conf_restore(spark):
     """r9 optimization: the state-store partition count is derived from
     the source's footer row count (ceil(rows / target), clamped to the
@@ -785,3 +786,65 @@ def test_derived_stream_partitions_math_and_conf_restore(spark):
     st = stateful_sessions(split_events_stream(spark, TEST_SF_DIR))
     st_plan = _analyzed_plan_string(st)
     assert st_plan is not None and "FlatMapGroupsInPandasWithState" in st_plan
+
+
+@pytest.mark.core
+def test_dir_parquet_rows_short_circuit_and_fault_fallback(tmp_path, monkeypatch):
+    """r10 (verdict item 6 + ADVICE): the footer-count helper stops
+    reading footers once ``stop_at`` rows are proven (at 100 TB /
+    O(1e5) files the ceiling binds long before the sum finishes), its
+    truncated counts are cached as lower bounds (reused only when they
+    still prove the caller's threshold), and ANY metadata failure
+    falls back to None (no scaling) instead of raising into a running
+    streaming query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdb_resale_price_data_pipeline_spark.streaming import events as ev
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    n_files, rows_per = 20, 10
+    for i in range(n_files):
+        pq.write_table(
+            pa.table({"x": list(range(rows_per))}), d / f"part-{i:05d}.parquet"
+        )
+
+    reads = []
+    real = pq.read_metadata
+
+    def counting(f, *a, **k):
+        reads.append(f)
+        return real(f, *a, **k)
+
+    monkeypatch.setattr(pq, "read_metadata", counting)
+    ev._SOURCE_ROWS_CACHE.clear()
+
+    # full read: exact total, every footer touched, cached complete
+    assert ev._dir_parquet_rows(str(d)) == n_files * rows_per
+    assert len(reads) == n_files
+    reads.clear()
+    assert ev._dir_parquet_rows(str(d)) == n_files * rows_per  # cache hit
+    assert reads == []
+
+    # short-circuit: 25 rows proven after 3 footers; partial is a bound
+    ev._SOURCE_ROWS_CACHE.clear()
+    got = ev._dir_parquet_rows(str(d), stop_at=25)
+    assert got == 3 * rows_per and len(reads) == 3
+    reads.clear()
+    # truncated cache entry reused when it still proves the threshold…
+    assert ev._dir_parquet_rows(str(d), stop_at=25) == 30 and reads == []
+    # …and re-read when a higher threshold needs a higher bound
+    assert ev._dir_parquet_rows(str(d), stop_at=1000) == n_files * rows_per
+    assert len(reads) == n_files
+
+    # metadata failure → None, never an exception
+    reads.clear()
+
+    def boom(f, *a, **k):
+        raise OSError("corrupt footer")
+
+    monkeypatch.setattr(pq, "read_metadata", boom)
+    ev._SOURCE_ROWS_CACHE.clear()
+    assert ev._dir_parquet_rows(str(d)) is None
+    assert ev._dir_parquet_rows("/nonexistent/dir") is None

@@ -653,6 +653,12 @@ TPCH_QUERIES = [
     # map-side to <= CAP² rows per surviving pair; replicas keep NDVs,
     # so cell counts stay fixed while the one stack scan grows
     "dq_corr_discover",
+    # r10 (verdict item 8): the state-partition derivation re-probed at
+    # sf1 — event replicas repeat user_id (10× rows, constant users),
+    # so the derived store count must grow toward the configured
+    # ceiling while wall time stays flat-to-linear
+    "stream_session_windows",
+    "stream_user_dedup",
 ]
 
 
